@@ -1,0 +1,187 @@
+"""Contingency-table (histogram) operators — the heart of the engine.
+
+Reference behavior reproduced (see SURVEY.md §2.3):
+
+- 2-D histogram per feature vs a secondary column
+  (``InfoTheory.scala:474-521``): per-partition partial matrices merged by
+  key.
+- 3-D conditional histograms per feature vs (y, z) columns
+  (``InfoTheory.scala:535-586``).
+- Distinct-value cap per feature (``InfoTheory.scala:413-419``): dims are
+  ``max+1`` per feature, capped at 256 — values are bytes by contract.
+
+Spark-first design
+------------------
+The reference hand-builds a columnar byte layout and broadcasts the y/z
+columns (``InfoSelector.scala:421-436``).  On Spark we get the same data
+movement for free:
+
+- the wide tinyint DataFrame is cached once (Tungsten columnar batches);
+- ``mapInArrow`` hands each Python worker *columnar* Arrow batches — the
+  per-feature contiguous byte arrays the reference's transpose exists to
+  produce — with the y/z columns of the same rows positionally aligned in
+  the batch (no broadcast, no join, works at any row count);
+- each batch yields *sparse partial counts* ``(feat, x, y[, z], cnt)``;
+- a Catalyst ``groupBy().sum()`` merges partials (map-side partial
+  aggregation + tiny shuffle of count cells only — never row data).
+
+At 100 TB the shuffle volume is ``O(n_features × dims²)`` cells per
+partition, independent of row count; the scan stays whole-stage-codegen
+until the Arrow exchange.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pyarrow as pa
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "feature_dims",
+    "hist2d",
+    "hist3d",
+    "collect_hist2d",
+    "collect_hist3d",
+]
+
+
+def feature_dims(matrix: DataFrame, cols: list[str], cap: int = 256) -> dict[str, int]:
+    """Per-column histogram dimension = max value + 1, capped.
+
+    Mirrors the reference's ``counterByFeat`` (``InfoTheory.scala:413-419``,
+    cap at ``InfoTheory.scala:480``).  Exact max is fine: values are bytes.
+    One Catalyst job, partial-aggregated max per column.
+    """
+    row = matrix.agg(
+        *[(F.max(F.col(c).cast("int")) + F.lit(1)).alias(c) for c in cols]
+    ).collect()[0]
+    return {c: min(int(row[c]), cap) for c in cols}
+
+
+def _col_i64(batch: pa.RecordBatch, name: str) -> np.ndarray:
+    return batch.column(batch.schema.get_field_index(name)).to_numpy(zero_copy_only=False).astype(np.int64)
+
+
+def hist2d(
+    matrix: DataFrame,
+    feature_cols: list[str],
+    y_col: str,
+    dims: dict[str, int],
+    y_dim: int,
+) -> DataFrame:
+    """All per-feature 2-D contingency tables vs ``y_col`` in one pass.
+
+    Returns a fully aggregated DataFrame ``(feat int, x int, y int,
+    cnt long)`` where ``feat`` indexes ``feature_cols``.
+    Reference: ``InfoTheory.scala:474-521`` (partial build + merge).
+    """
+    feats = list(feature_cols)
+    xdims = [dims[c] for c in feats]
+
+    def count_batches(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            y = _col_i64(batch, y_col)
+            out_f, out_x, out_y, out_c = [], [], [], []
+            for fi, (fname, xd) in enumerate(zip(feats, xdims)):
+                x = _col_i64(batch, fname)
+                counts = np.bincount(x * y_dim + y, minlength=xd * y_dim)
+                nz = np.flatnonzero(counts)
+                out_f.append(np.full(nz.size, fi, dtype=np.int32))
+                out_x.append((nz // y_dim).astype(np.int32))
+                out_y.append((nz % y_dim).astype(np.int32))
+                out_c.append(counts[nz])
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(np.concatenate(out_f), type=pa.int32()),
+                    pa.array(np.concatenate(out_x), type=pa.int32()),
+                    pa.array(np.concatenate(out_y), type=pa.int32()),
+                    pa.array(np.concatenate(out_c), type=pa.int64()),
+                ],
+                names=["feat", "x", "y", "cnt"],
+            )
+
+    partial = matrix.mapInArrow(count_batches, "feat int, x int, y int, cnt long")
+    return partial.groupBy("feat", "x", "y").agg(F.sum("cnt").alias("cnt"))
+
+
+def hist3d(
+    matrix: DataFrame,
+    feature_cols: list[str],
+    y_col: str,
+    z_col: str,
+    dims: dict[str, int],
+    y_dim: int,
+    z_dim: int,
+) -> DataFrame:
+    """All per-feature 3-D contingency tables vs ``(y_col, z_col)``.
+
+    Returns ``(feat int, x int, y int, z int, cnt long)``.
+    Reference: ``InfoTheory.scala:535-586`` (conditional histograms).
+    In the greedy loop ``y_col`` is the newly selected feature and
+    ``z_col`` the class (``InfoTheory.scala:445-461``).
+    """
+    feats = list(feature_cols)
+    xdims = [dims[c] for c in feats]
+    yz = y_dim * z_dim
+
+    def count_batches(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            y = _col_i64(batch, y_col)
+            z = _col_i64(batch, z_col)
+            yz_code = y * z_dim + z
+            out_f, out_x, out_y, out_z, out_c = [], [], [], [], []
+            for fi, (fname, xd) in enumerate(zip(feats, xdims)):
+                x = _col_i64(batch, fname)
+                counts = np.bincount(x * yz + yz_code, minlength=xd * yz)
+                nz = np.flatnonzero(counts)
+                out_f.append(np.full(nz.size, fi, dtype=np.int32))
+                out_x.append((nz // yz).astype(np.int32))
+                rem = nz % yz
+                out_y.append((rem // z_dim).astype(np.int32))
+                out_z.append((rem % z_dim).astype(np.int32))
+                out_c.append(counts[nz])
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(np.concatenate(out_f), type=pa.int32()),
+                    pa.array(np.concatenate(out_x), type=pa.int32()),
+                    pa.array(np.concatenate(out_y), type=pa.int32()),
+                    pa.array(np.concatenate(out_z), type=pa.int32()),
+                    pa.array(np.concatenate(out_c), type=pa.int64()),
+                ],
+                names=["feat", "x", "y", "z", "cnt"],
+            )
+
+    partial = matrix.mapInArrow(count_batches, "feat int, x int, y int, z int, cnt long")
+    return partial.groupBy("feat", "x", "y", "z").agg(F.sum("cnt").alias("cnt"))
+
+
+def collect_hist2d(
+    hist: DataFrame, feature_cols: list[str], dims: dict[str, int], y_dim: int
+) -> dict[str, np.ndarray]:
+    """Collect an aggregated 2-D histogram DF into per-feature ndarrays.
+
+    The result is tiny (≤ n_features × 256 × y_dim cells) — the driver
+    barrier here matches the reference's ``collect()`` of probability
+    tables (``InfoTheory.scala:424-432``).
+    """
+    out = {c: np.zeros((dims[c], y_dim), dtype=np.int64) for c in feature_cols}
+    for row in hist.collect():
+        out[feature_cols[row["feat"]]][row["x"], row["y"]] = row["cnt"]
+    return out
+
+
+def collect_hist3d(
+    hist: DataFrame,
+    feature_cols: list[str],
+    dims: dict[str, int],
+    y_dim: int,
+    z_dim: int,
+) -> dict[str, np.ndarray]:
+    """Collect an aggregated 3-D histogram DF into per-feature ndarrays."""
+    out = {c: np.zeros((dims[c], y_dim, z_dim), dtype=np.int64) for c in feature_cols}
+    for row in hist.collect():
+        out[feature_cols[row["feat"]]][row["x"], row["y"], row["z"]] = row["cnt"]
+    return out

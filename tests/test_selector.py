@@ -1,0 +1,133 @@
+"""End-to-end selector tests vs an exact NumPy oracle (SURVEY.md §5 item 3)."""
+
+import numpy as np
+import pytest
+
+from flink_infotheoretic_feature_selection_spark.datasets import FEATURE_NAMES, features_dense
+from flink_infotheoretic_feature_selection_spark.selector import InfoThSelector
+
+
+# ---------------------------------------------------------------------------
+# Exact NumPy oracle: same algorithm, independently implemented over the
+# full (small) dataset.
+# ---------------------------------------------------------------------------
+def np_mi(x, y):
+    xs, ys = x.max() + 1, y.max() + 1
+    joint = np.zeros((xs, ys))
+    np.add.at(joint, (x, y), 1)
+    p = joint / len(x)
+    px = p.sum(1, keepdims=True)
+    py = p.sum(0, keepdims=True)
+    mask = p > 0
+    return (p[mask] * np.log2(p[mask] / (px * py)[mask])).sum()
+
+
+def np_cmi(x, y, z):
+    """CMI(X;Y|Z)"""
+    xs, ys, zs = x.max() + 1, y.max() + 1, z.max() + 1
+    joint = np.zeros((xs, ys, zs))
+    np.add.at(joint, (x, y, z), 1)
+    c = joint / len(x)
+    pz = c.sum((0, 1))
+    pxz = c.sum(1)
+    pyz = c.sum(0)
+    total = 0.0
+    for zi in range(zs):
+        for xi in range(xs):
+            for yi in range(ys):
+                pxyz = c[xi, yi, zi]
+                if pxyz > 0 and pxz[xi, zi] > 0 and pyz[yi, zi] > 0:
+                    total += pxyz * np.log2(pz[zi] * pxyz / (pxz[xi, zi] * pyz[yi, zi]))
+    return total
+
+
+def np_greedy(X, y, k, criterion):
+    nf = X.shape[1]
+    rel = [np_mi(X[:, i], y) for i in range(nf)]
+    if criterion == "mim":
+        return sorted(range(nf), key=lambda i: (-rel[i], i))[:k]
+    red = np.zeros(nf)
+    cred = np.zeros(nf)
+    mod = np.zeros(nf)
+    cnt = 0
+    selected = []
+    remaining = list(range(nf))
+    while len(selected) < k:
+        if criterion == "mrmr":
+            scores = {i: rel[i] - (red[i] / cnt if cnt else 0.0) for i in remaining}
+        elif criterion == "jmi":
+            scores = {
+                i: rel[i] - (red[i] / cnt if cnt else 0.0) + (cred[i] / cnt if cnt else 0.0)
+                for i in remaining
+            }
+        elif criterion in ("cmim", "if", "icap"):
+            scores = {i: rel[i] - mod[i] for i in remaining}
+        elif criterion == "mifs":
+            scores = {i: rel[i] - red[i] for i in remaining}
+        best = max(remaining, key=lambda i: (scores[i], -i))
+        selected.append(best)
+        remaining.remove(best)
+        if len(selected) >= k or not remaining:
+            break
+        cnt += 1
+        for i in remaining:
+            mi = np_mi(X[:, i], X[:, best])
+            cmi = np_cmi(X[:, i], X[:, best], y)
+            red[i] += mi
+            cred[i] += cmi
+            if criterion in ("cmim", "if"):
+                mod[i] = max(mod[i], mi - cmi)
+            elif criterion == "icap":
+                mod[i] += max(0.0, mi - cmi)
+    return selected
+
+
+@pytest.fixture(scope="module")
+def data(spark, sf_dir):
+    df = features_dense(spark, sf_dir)
+    pdf = df.toPandas()
+    X = pdf[FEATURE_NAMES].to_numpy(dtype=np.int64)
+    y = pdf["label"].to_numpy(dtype=np.int64)
+    return df, X, y
+
+
+@pytest.mark.parametrize("criterion", ["mim", "mrmr", "jmi", "cmim", "icap", "mifs"])
+def test_selection_matches_numpy_oracle(data, criterion):
+    df, X, y = data
+    k = 4
+    model = InfoThSelector(n_to_select=k, criterion=criterion, emit_f32=False).fit(df)
+    got = [FEATURE_NAMES.index(c) for c, _ in model.selection_path]
+    expect = np_greedy(X, y, k, criterion)
+    assert got == expect, f"{criterion}: {got} != {expect}"
+
+
+def test_relevances_match_numpy(data):
+    df, X, y = data
+    model = InfoThSelector(n_to_select=2, criterion="mim", emit_f32=False).fit(df)
+    for i, c in enumerate(FEATURE_NAMES):
+        assert model.relevances[c] == pytest.approx(np_mi(X[:, i], y), rel=1e-9)
+
+
+def test_mim_equals_topk_by_mi(data):
+    df, X, y = data
+    model = InfoThSelector(n_to_select=5, criterion="mim", emit_f32=False).fit(df)
+    ranked = sorted(FEATURE_NAMES, key=lambda c: (-model.relevances[c], FEATURE_NAMES.index(c)))
+    assert [c for c, _ in model.selection_path] == ranked[:5]
+
+
+def test_transform_projects_selected(data):
+    df, _, _ = data
+    model = InfoThSelector(n_to_select=3, criterion="mrmr").fit(df)
+    out = model.transform(df)
+    assert out.columns == model.selected_cols + ["label"]
+    assert out.count() == df.count()
+    assert len(model.selected_cols) == 3
+    # ascending order like the reference (InfoSelector.scala:491)
+    idx = [FEATURE_NAMES.index(c) for c in model.selected_cols]
+    assert idx == sorted(idx)
+
+
+def test_n_to_select_too_large_raises(data):
+    df, _, _ = data
+    with pytest.raises(ValueError):
+        InfoThSelector(n_to_select=99).fit(df)
