@@ -1,10 +1,8 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry`` runs the flagship mRMR fit; ``queries``/``oracle_sql`` expose
+every SQL-expressible operator from SURVEY.md §2 for the DuckDB
+correctness gate.  Column names are aliased identically on both sides.
 """
 
 from __future__ import annotations
@@ -12,27 +10,187 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flink_infotheoretic_feature_selection_spark.datasets import (
+    FEATURE_NAMES,
+    features_dense,
+    features_select_duckdb,
+)
+from flink_infotheoretic_feature_selection_spark.operators.histogram import feature_dims, hist2d, hist3d
+from flink_infotheoretic_feature_selection_spark.selector import InfoThSelector
+
+# DuckDB CTE producing the feature matrix (shared prefix of every oracle).
+_FM_CTE = f"fm AS (SELECT {features_select_duckdb()} FROM lineitem)"
+
+# DuckDB long-format (feat, x, y=label) view of the matrix via UNION ALL.
+_LONG_CTE = "long AS (" + " UNION ALL ".join(
+    f"SELECT {i} AS feat, CAST(f{i} AS INT) AS x, CAST(label AS INT) AS y FROM fm"
+    for i in range(len(FEATURE_NAMES))
+) + ")"
+
+
+# ---------------------------------------------------------------------------
+# Spark-side queries
+# ---------------------------------------------------------------------------
+def _q_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return features_dense(spark, sf_dir)
+
+
+def _q_class_prior(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # A8 — frequency count of the class column.
+    return (
+        features_dense(spark, sf_dir)
+        .groupBy(F.col("label").cast("int").alias("y"))
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def _q_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # A3 — per-feature distinct-value cap (max+1), as (feat, dim) rows.
+    df = features_dense(spark, sf_dir)
+    dims = feature_dims(df, FEATURE_NAMES)
+    return spark.createDataFrame(
+        [(i, dims[c]) for i, c in enumerate(FEATURE_NAMES)], "feat int, dim int"
+    )
+
+
+def _q_hist2d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # A4 — all per-feature 2-D contingency tables vs the class.
+    df = features_dense(spark, sf_dir)
+    dims = feature_dims(df, FEATURE_NAMES + ["label"])
+    return hist2d(df, FEATURE_NAMES, "label", dims, dims["label"])
+
+
+def _q_hist3d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # A5 — 3-D conditional histograms vs (y=f0, z=label) for f1..f7.
+    df = features_dense(spark, sf_dir)
+    dims = feature_dims(df, FEATURE_NAMES + ["label"])
+    feats = [c for c in FEATURE_NAMES if c != "f0"]
+    return hist3d(df, feats, "f0", "label", dims, dims["f0"], dims["label"])
+
+
+def _q_relevance_mi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # A10 — MI(feature; class) for every feature, via the engine path.
+    df = features_dense(spark, sf_dir)
+    model = InfoThSelector(n_to_select=1, criterion="mim", emit_f32=False).fit(df)
+    rows = [(i, round(model.relevances[c], 5)) for i, c in enumerate(FEATURE_NAMES)]
+    return spark.createDataFrame(rows, "feat int, mi double")
+
+
+def _q_mim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # A13 — top-k features by relevance (MIM fast path), k=5.
+    df = features_dense(spark, sf_dir)
+    model = InfoThSelector(n_to_select=5, criterion="mim", emit_f32=False).fit(df)
+    rows = [
+        (FEATURE_NAMES.index(c), round(s, 5)) for c, s in model.selection_path
+    ]
+    return spark.createDataFrame(rows, "feat int, mi double")
+
+
+def _q_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # P1 — feature projection transform (fixed indices 2,5,7).
+    return features_dense(spark, sf_dir).select("f2", "f5", "f7", "label")
+
+
+def _q_equal_freq_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # P2/M4 — deterministic rank-based equal-frequency bucketing of
+    # l_quantity into 8 buckets; returns the bucket histogram.
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").createOrReplaceTempView("lineitem")
+    return spark.sql(
+        """
+        WITH r AS (
+          SELECT CAST(least(7, floor((rank() OVER (ORDER BY l_quantity) - 1) * 8
+                     / count(*) OVER ())) AS INT) AS bucket
+          FROM lineitem)
+        SELECT bucket, count(*) AS cnt FROM r GROUP BY bucket
+        """
+    )
+
+
+def _q_selected_mrmr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # I1 — greedy mRMR selection, k=5 (iterative; no SQL oracle → rows-only).
+    df = features_dense(spark, sf_dir)
+    model = InfoThSelector(n_to_select=5, criterion="mrmr").fit(df)
+    rows = [
+        (step, FEATURE_NAMES.index(c), round(s, 5))
+        for step, (c, s) in enumerate(model.selection_path)
+    ]
+    return spark.createDataFrame(rows, "step int, feat int, score double")
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: mRMR greedy selection (k=5) on sf0.001."""
+    return _q_selected_mrmr(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "features_dense": _q_features,
+        "class_prior": _q_class_prior,
+        "distinct_counts": _q_distinct_counts,
+        "hist2d": _q_hist2d,
+        "hist3d": _q_hist3d,
+        "relevance_mi": _q_relevance_mi,
+        "mim_topk": _q_mim_topk,
+        "projection": _q_projection,
+        "equal_freq_bucket": _q_equal_freq_bucket,
+        "selected_mrmr": _q_selected_mrmr,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
+    n_feat = len(FEATURE_NAMES)
+    mi_sql = f"""
+        WITH {_FM_CTE}, {_LONG_CTE},
+        j AS (SELECT feat, x, y, count(*) AS c FROM long GROUP BY feat, x, y),
+        tot AS (SELECT feat, sum(c) AS n FROM j GROUP BY feat),
+        mx AS (SELECT feat, x, sum(c) AS cx FROM j GROUP BY feat, x),
+        my AS (SELECT feat, y, sum(c) AS cy FROM j GROUP BY feat, y),
+        mi AS (
+          SELECT j.feat AS feat,
+                 round(sum((CAST(c AS DOUBLE)/n) *
+                       log2(CAST(c AS DOUBLE)*n/(CAST(cx AS DOUBLE)*cy))), 5) AS mi
+          FROM j JOIN tot USING (feat) JOIN mx USING (feat, x) JOIN my USING (feat, y)
+          GROUP BY j.feat)
     """
-    return {}
+    return {
+        "features_dense": f"WITH {_FM_CTE} SELECT * FROM fm",
+        "class_prior": (
+            f"WITH {_FM_CTE} SELECT CAST(label AS INT) AS y, count(*) AS cnt "
+            "FROM fm GROUP BY y"
+        ),
+        "distinct_counts": (
+            f"WITH {_FM_CTE}, {_LONG_CTE} "
+            "SELECT CAST(feat AS INT) AS feat, CAST(max(x) + 1 AS INT) AS dim "
+            "FROM long GROUP BY feat"
+        ),
+        "hist2d": (
+            f"WITH {_FM_CTE}, {_LONG_CTE} "
+            "SELECT CAST(feat AS INT) AS feat, x, y, count(*) AS cnt "
+            "FROM long GROUP BY feat, x, y"
+        ),
+        "hist3d": (
+            f"WITH {_FM_CTE}, long3 AS ("
+            + " UNION ALL ".join(
+                f"SELECT {i - 1} AS feat, CAST(f{i} AS INT) AS x, CAST(f0 AS INT) AS y,"
+                f" CAST(label AS INT) AS z FROM fm"
+                for i in range(1, n_feat)
+            )
+            + ") SELECT CAST(feat AS INT) AS feat, x, y, z, count(*) AS cnt "
+            "FROM long3 GROUP BY feat, x, y, z"
+        ),
+        "relevance_mi": mi_sql + " SELECT CAST(feat AS INT) AS feat, mi FROM mi",
+        "mim_topk": mi_sql
+        + " SELECT CAST(feat AS INT) AS feat, mi FROM mi ORDER BY mi DESC, feat LIMIT 5",
+        "projection": f"WITH {_FM_CTE} SELECT f2, f5, f7, label FROM fm",
+        "equal_freq_bucket": """
+            WITH r AS (
+              SELECT CAST(least(7, floor((rank() OVER (ORDER BY l_quantity) - 1) * 8
+                         / count(*) OVER ())) AS INT) AS bucket
+              FROM lineitem)
+            SELECT bucket, count(*) AS cnt FROM r GROUP BY bucket
+        """,
+        # selected_mrmr: iterative greedy loop — intentionally no SQL oracle
+        # (driver records rows-only check).
+    }

@@ -1,0 +1,110 @@
+"""Benchmark harness (BASELINE.md B1-B7).
+
+Runs the headline operators at $SPARK_GRAFT_SF_DIR (default sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+from pyspark.storagelevel import StorageLevel
+
+from flink_infotheoretic_feature_selection_spark.datasets import FEATURE_NAMES, features_dense
+from flink_infotheoretic_feature_selection_spark.discretizer import EqualFrequencyDiscretizer
+from flink_infotheoretic_feature_selection_spark.operators.histogram import collect_hist2d, feature_dims, hist2d
+from flink_infotheoretic_feature_selection_spark.functions.infotheory import mutual_info
+from flink_infotheoretic_feature_selection_spark.selector import InfoThSelector
+from flink_infotheoretic_feature_selection_spark.session import get_spark
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+
+def timed(fn):
+    t0 = time.perf_counter()
+    out = fn()
+    return time.perf_counter() - t0, out
+
+
+def main() -> None:
+    spark = get_spark("bench", cpus=CPUS)
+    results: dict[str, float] = {}
+
+    # B1 — matrix build + cache materialization
+    df = features_dense(spark, SF_DIR)
+    matrix = df.persist(StorageLevel.MEMORY_AND_DISK)
+    t, n = timed(lambda: matrix.count())
+    results["b1_cache_materialize"] = round(t, 3)
+
+    # B2 — relevance init: dims + 2-D histograms + MI for all 32 features
+    def b2():
+        dims = feature_dims(matrix, FEATURE_NAMES + ["label"])
+        h2 = collect_hist2d(
+            hist2d(matrix, FEATURE_NAMES, "label", dims, dims["label"]),
+            FEATURE_NAMES,
+            dims,
+            dims["label"],
+        )
+        return {c: mutual_info(h2[c], n) for c in FEATURE_NAMES}
+
+    t, _ = timed(b2)
+    results["b2_relevance_init"] = round(t, 3)
+
+    # B3 — MIM top-k end-to-end fit (includes its own cache+count)
+    t, _ = timed(lambda: InfoThSelector(n_to_select=10, criterion="mim").fit(df))
+    results["b3_mim_k10"] = round(t, 3)
+
+    # B4 — mRMR fit at k ∈ {5, 10, 25}
+    for k in (5, 10, 25):
+        t, _ = timed(lambda k=k: InfoThSelector(n_to_select=k, criterion="mrmr").fit(df))
+        results[f"b4_mrmr_k{k}"] = round(t, 3)
+        results[f"b4_mrmr_k{k}_per_iter"] = round(t / k, 3)
+
+    # B5 — JMI / CMIM fit, k=10
+    for crit in ("jmi", "cmim"):
+        t, _ = timed(lambda c=crit: InfoThSelector(n_to_select=10, criterion=c).fit(df))
+        results[f"b5_{crit}_k10"] = round(t, 3)
+
+    # B6 — projection transform throughput
+    model = InfoThSelector(n_to_select=10, criterion="mim").fit(df)
+    t, cnt = timed(lambda: model.transform(df).count())
+    results["b6_transform"] = round(t, 3)
+    results["b6_transform_rows_per_sec"] = round(cnt / t) if t > 0 else -1
+
+    # B7 — discretizer fit + transform over raw numerics
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+
+    def b7():
+        m = EqualFrequencyDiscretizer(
+            ["l_quantity", "l_extendedprice", "l_discount", "l_tax"], num_buckets=32
+        ).fit(li)
+        return m.transform(li).count()
+
+    t, _ = timed(b7)
+    results["b7_discretizer"] = round(t, 3)
+
+    matrix.unpersist()
+    total = round(sum(v for k, v in results.items() if not k.endswith(("per_iter", "per_sec"))), 3)
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "bench_total",
+                "value": total,
+                "unit": "sec",
+                "queries": results,
+                "sf": float(sf),
+                "cpus": int(CPUS),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
+    sys.stdout.flush()

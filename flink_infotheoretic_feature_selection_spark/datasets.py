@@ -35,35 +35,63 @@ TABLES = (
 DEFAULT_SF_DIR = "/root/testdata/sf0.001"
 
 # ---------------------------------------------------------------------------
-# Feature spec: (name, spark_sql_expr, duckdb_sql_expr).
-# Expressions are kept dialect-minimal; where dialects diverge (datediff)
-# both spellings are given.  All results are integers in [0, 255].
+# Feature spec.  Each entry is (name, expr) where expr is valid in BOTH
+# Spark SQL and DuckDB, or (name, spark_expr, duckdb_expr) where dialects
+# diverge (datediff).  All results are integers in [0, 127] so the
+# TINYINT cast is lossless in both engines.  ``_DD`` is the day offset of
+# l_shipdate — the only dialect-specific building block.
 # ---------------------------------------------------------------------------
+_DD_SPARK = "datediff(CAST(l_shipdate AS DATE), DATE '1992-01-01')"
+_DD_DUCK = "datediff('day', DATE '1992-01-01', CAST(l_shipdate AS DATE))"
+
+_RAW_SPEC: list[tuple[str, ...]] = [
+    ("f0", "CAST(l_quantity AS INT) % 50"),
+    ("f1", "CAST(FLOOR(l_extendedprice / 1000.0) AS INT) % 128"),
+    ("f2", "CAST(FLOOR(l_discount * 100 + 0.5) AS INT)"),
+    ("f3", "CAST(FLOOR(l_tax * 100 + 0.5) AS INT)"),
+    ("f4", "l_linenumber - 1"),
+    ("f5", "CAST(l_partkey % 100 AS INT)"),
+    ("f6", "CAST(l_suppkey % 100 AS INT)"),
+    ("f7", f"CAST({_DD_SPARK} % 128 AS INT)", f"CAST({_DD_DUCK} % 128 AS INT)"),
+    ("f8", "CAST(l_orderkey % 64 AS INT)"),
+    ("f9", "CAST(FLOOR(l_partkey / 100.0) AS INT) % 64"),
+    ("f10", "CAST(FLOOR(l_suppkey / 10.0) AS INT) % 32"),
+    ("f11", "CAST(CAST(FLOOR(l_extendedprice) AS BIGINT) % 97 AS INT)"),
+    ("f12", "CAST(FLOOR(l_extendedprice / 500.0) AS INT) % 64"),
+    ("f13", "(CAST(l_quantity AS INT) * 2) % 100"),
+    ("f14", f"CAST({_DD_SPARK} % 7 AS INT)", f"CAST({_DD_DUCK} % 7 AS INT)"),
+    (
+        "f15",
+        f"CAST(FLOOR({_DD_SPARK} / 30.0) AS INT) % 36",
+        f"CAST(FLOOR({_DD_DUCK} / 30.0) AS INT) % 36",
+    ),
+    ("f16", "CAST(FLOOR(l_orderkey / 8.0) AS INT) % 128"),
+    ("f17", "CAST((l_partkey + l_suppkey) % 50 AS INT)"),
+    ("f18", "(CAST(l_quantity AS INT) + l_linenumber) % 53"),
+    (
+        "f19",
+        "CAST(FLOOR(l_tax * 100 + 0.5) + FLOOR(l_discount * 100 + 0.5) AS INT)",
+    ),
+    ("f20", "CAST(CAST(FLOOR(l_extendedprice / 10.0) AS BIGINT) % 10 AS INT)"),
+    ("f21", "CAST(l_orderkey % 3 AS INT)"),
+    ("f22", "CAST((l_orderkey + l_linenumber) % 16 AS INT)"),
+    (
+        "f23",
+        f"CAST(FLOOR({_DD_SPARK} / 365.0) AS INT) % 10",
+        f"CAST(FLOOR({_DD_DUCK} / 365.0) AS INT) % 10",
+    ),
+    ("f24", "CAST(l_suppkey % 7 AS INT)"),
+    ("f25", "CAST(CAST(FLOOR(l_extendedprice) AS BIGINT) % 101 AS INT)"),
+    ("f26", "CAST(l_orderkey % 11 AS INT)"),
+    ("f27", "CAST((l_partkey * 3 + 7) % 64 AS INT)"),
+    ("f28", "CAST(l_quantity AS INT) % 8"),
+    ("f29", f"CAST({_DD_SPARK} % 30 AS INT)", f"CAST({_DD_DUCK} % 30 AS INT)"),
+    ("f30", "CAST((l_suppkey + l_linenumber) % 29 AS INT)"),
+    ("f31", "CAST(l_orderkey % 128 AS INT)"),
+]
+
 FEATURE_SPEC: list[tuple[str, str, str]] = [
-    ("f0", "CAST(l_quantity AS INT) % 50", "CAST(l_quantity AS INT) % 50"),
-    (
-        "f1",
-        "CAST(FLOOR(l_extendedprice / 1000.0) AS INT) % 128",
-        "CAST(FLOOR(l_extendedprice / 1000.0) AS INT) % 128",
-    ),
-    (
-        "f2",
-        "CAST(FLOOR(l_discount * 100 + 0.5) AS INT)",
-        "CAST(FLOOR(l_discount * 100 + 0.5) AS INT)",
-    ),
-    (
-        "f3",
-        "CAST(FLOOR(l_tax * 100 + 0.5) AS INT)",
-        "CAST(FLOOR(l_tax * 100 + 0.5) AS INT)",
-    ),
-    ("f4", "l_linenumber - 1", "l_linenumber - 1"),
-    ("f5", "CAST(l_partkey % 100 AS INT)", "CAST(l_partkey % 100 AS INT)"),
-    ("f6", "CAST(l_suppkey % 100 AS INT)", "CAST(l_suppkey % 100 AS INT)"),
-    (
-        "f7",
-        "CAST(datediff(CAST(l_shipdate AS DATE), DATE '1992-01-01') % 128 AS INT)",
-        "CAST(datediff('day', DATE '1992-01-01', CAST(l_shipdate AS DATE)) % 128 AS INT)",
-    ),
+    (e[0], e[1], e[-1]) for e in _RAW_SPEC
 ]
 
 LABEL_EXPR_SPARK = "CASE l_returnflag WHEN 'A' THEN 0 WHEN 'N' THEN 1 ELSE 2 END"

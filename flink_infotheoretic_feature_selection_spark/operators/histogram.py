@@ -168,8 +168,14 @@ def collect_hist2d(
     tables (``InfoTheory.scala:424-432``).
     """
     out = {c: np.zeros((dims[c], y_dim), dtype=np.int64) for c in feature_cols}
-    for row in hist.collect():
-        out[feature_cols[row["feat"]]][row["x"], row["y"]] = row["cnt"]
+    pdf = hist.toPandas()  # Arrow path — cells are bounded by dims, not rows
+    feat = pdf["feat"].to_numpy()
+    x = pdf["x"].to_numpy()
+    y = pdf["y"].to_numpy()
+    cnt = pdf["cnt"].to_numpy()
+    for fi, c in enumerate(feature_cols):
+        m = feat == fi
+        out[c][x[m], y[m]] = cnt[m]
     return out
 
 
@@ -182,6 +188,13 @@ def collect_hist3d(
 ) -> dict[str, np.ndarray]:
     """Collect an aggregated 3-D histogram DF into per-feature ndarrays."""
     out = {c: np.zeros((dims[c], y_dim, z_dim), dtype=np.int64) for c in feature_cols}
-    for row in hist.collect():
-        out[feature_cols[row["feat"]]][row["x"], row["y"], row["z"]] = row["cnt"]
+    pdf = hist.toPandas()  # Arrow path
+    feat = pdf["feat"].to_numpy()
+    x = pdf["x"].to_numpy()
+    y = pdf["y"].to_numpy()
+    z = pdf["z"].to_numpy()
+    cnt = pdf["cnt"].to_numpy()
+    for fi, c in enumerate(feature_cols):
+        m = feat == fi
+        out[c][x[m], y[m], z[m]] = cnt[m]
     return out
