@@ -17,6 +17,7 @@ from flink_infotheoretic_feature_selection_spark.datasets import (
     features_dense,
     features_select_duckdb,
 )
+from flink_infotheoretic_feature_selection_spark.operators import dedup, similarity, text
 from flink_infotheoretic_feature_selection_spark.operators.histogram import feature_dims, hist2d, hist3d
 from flink_infotheoretic_feature_selection_spark.selector import InfoThSelector
 
@@ -136,6 +137,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "projection": _q_projection,
         "equal_freq_bucket": _q_equal_freq_bucket,
         "selected_mrmr": _q_selected_mrmr,
+        # M7 extensions — LLM-data-pipeline operators
+        "text_stats": text.text_stats,
+        "lang_id": text.lang_id,
+        "doc_fingerprint": text.fingerprint,
+        "dedup_exact": dedup.exact_dedup,
+        "dedup_jaccard_pairs": dedup.shingle_jaccard_pairs,
+        "minhash_signatures": dedup.minhash_signatures,
+        "minhash_lsh_pairs": dedup.minhash_lsh_pairs,
+        "simhash": dedup.simhash,
+        "cosine_topk": similarity.cosine_topk,
+        "ann_ivf_topk": similarity.ivf_topk,
+        "embedding_neardup": similarity.embedding_neardup_pairs,
     }
 
 
@@ -193,4 +206,15 @@ def oracle_sql() -> dict[str, str]:
         """,
         # selected_mrmr: iterative greedy loop — intentionally no SQL oracle
         # (driver records rows-only check).
+        "text_stats": text.TEXT_STATS_ORACLE,
+        "lang_id": text.LANG_ID_ORACLE,
+        "doc_fingerprint": text.FINGERPRINT_ORACLE,
+        "dedup_exact": dedup.EXACT_DEDUP_ORACLE,
+        "dedup_jaccard_pairs": dedup.jaccard_pairs_oracle(),
+        "minhash_signatures": dedup.minhash_signatures_oracle(),
+        "minhash_lsh_pairs": dedup.minhash_lsh_pairs_oracle(),
+        "simhash": dedup.simhash_oracle(),
+        "cosine_topk": similarity.cosine_topk_oracle(),
+        "ann_ivf_topk": similarity.ivf_topk_oracle(),
+        "embedding_neardup": similarity.embedding_neardup_oracle(),
     }

@@ -1,0 +1,252 @@
+"""Deduplication operators for LLM training-data pipelines (SURVEY.md §7.4/M7).
+
+Five families, each Spark-first with a DuckDB-portable oracle twin:
+
+- **exact**: hash-groupBy on md5(text); every doc labeled with its group's
+  keeper id.  One shuffle on the 16-byte digest — optimal at any scale.
+- **n-gram Jaccard**: word-trigram shingles → explode distinct → self-join
+  on shingle → pair intersection counts → Jaccard filter.  The join is on
+  the shingle key, so only docs sharing a shingle ever meet (never a
+  cross-join); skewed ultra-common shingles can be frequency-capped.
+- **MinHash**: portable polynomial rolling hash of each shingle feeds
+  ``min((a_i·h + b_i) mod p)`` signatures — pure array expressions, no UDF.
+- **MinHash-LSH banding**: signatures split into bands; candidate pairs =
+  equi-join on (band, band-signature); verified with exact Jaccard.
+  Scale path: the band join replaces the quadratic pair space with
+  hash-bucket collisions only.
+- **SimHash**: 16-bit signature by per-bit majority vote over token
+  hashes — array expressions again.
+
+A production deployment would swap the portable rolling hash for
+xxhash/murmur (Spark's ``hash``/``xxhash64``); the algebra is identical —
+the portable hash exists so DuckDB can verify every stage bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from flink_infotheoretic_feature_selection_spark.operators.text import (
+    ROLLING_MOD,
+    rolling_hash_expr_duckdb,
+    rolling_hash_expr_spark,
+)
+
+__all__ = [
+    "exact_dedup",
+    "shingle_jaccard_pairs",
+    "minhash_signatures",
+    "minhash_lsh_pairs",
+    "simhash",
+    "EXACT_DEDUP_ORACLE",
+    "jaccard_pairs_oracle",
+    "minhash_signatures_oracle",
+    "minhash_lsh_pairs_oracle",
+    "simhash_oracle",
+]
+
+# MinHash parameters: h_i(x) = (A_i * x + B_i) mod P over the shingle's
+# rolling hash. Deterministic, engine-portable.
+MINHASH_P = 2_147_483_647  # 2^31 - 1 (Mersenne prime)
+MINHASH_PARAMS = [(2 * i + 1, 7919 * (i + 1)) for i in range(8)]
+N_BANDS = 4  # 8 hashes / 4 bands = 2 rows per band
+SIMHASH_BITS = 16
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> None:
+    spark.read.parquet(f"{sf_dir}/documents.parquet").createOrReplaceTempView("documents")
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+_EXACT_SQL = """
+SELECT doc_id,
+       min(doc_id) OVER (PARTITION BY md5(text)) AS keep_id,
+       count(*) OVER (PARTITION BY md5(text)) AS group_size
+FROM documents
+"""
+
+
+def exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup via hash-groupBy (window over md5 digest)."""
+    _docs(spark, sf_dir)
+    return spark.sql(_EXACT_SQL)
+
+
+EXACT_DEDUP_ORACLE = _EXACT_SQL
+
+
+# ---------------------------------------------------------------------------
+# Word n-gram shingles (shared fragment)
+# ---------------------------------------------------------------------------
+def _shingles_cte(duck: bool, n: int = 3) -> str:
+    """CTE `sh(doc_id, shingle)` = distinct word n-grams per doc."""
+    if duck:
+        tokens = r"string_split_regex(trim(lower(text)), '\s+')"
+        return f"""
+        tok AS (SELECT doc_id, {tokens} AS ts FROM documents),
+        sh_all AS (
+          SELECT doc_id,
+                 unnest(list_transform(range(1, len(ts) - {n - 2}),
+                        i -> array_to_string(ts[i : i + {n - 1}], ' '))) AS shingle
+          FROM tok WHERE len(ts) >= {n}),
+        sh AS (SELECT DISTINCT doc_id, shingle FROM sh_all)
+        """
+    tokens = r"split(trim(lower(text)), '\\s+')"
+    return f"""
+    tok AS (SELECT doc_id, {tokens} AS ts FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id, shingle
+      FROM tok
+      LATERAL VIEW explode(transform(sequence(1, size(ts) - {n - 1}),
+                   i -> concat_ws(' ', slice(ts, i, {n})))) t AS shingle
+      WHERE size(ts) >= {n})
+    """
+
+
+def _jaccard_sql(duck: bool, threshold: float, n: int) -> str:
+    return f"""
+    WITH {_shingles_cte(duck, n)},
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id)
+    SELECT doc_a, doc_b,
+           round(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 5) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= {threshold}
+    """
+
+
+def shingle_jaccard_pairs(
+    spark: SparkSession, sf_dir: str, threshold: float = 0.2, n: int = 3
+) -> DataFrame:
+    """Near-dup pairs by word-trigram Jaccard ≥ threshold."""
+    _docs(spark, sf_dir)
+    return spark.sql(_jaccard_sql(duck=False, threshold=threshold, n=n))
+
+
+def jaccard_pairs_oracle(threshold: float = 0.2, n: int = 3) -> str:
+    return _jaccard_sql(duck=True, threshold=threshold, n=n)
+
+
+# ---------------------------------------------------------------------------
+# MinHash signatures + LSH banding
+# ---------------------------------------------------------------------------
+def _minhash_sql(duck: bool, n: int = 3) -> str:
+    rh = rolling_hash_expr_duckdb("s") if duck else rolling_hash_expr_spark("s")
+    xform = "list_transform" if duck else "transform"
+    lmin = "list_min" if duck else "array_min"
+    collect = "list(shingle)" if duck else "collect_list(shingle)"
+    mh_cols = ",\n           ".join(
+        f"{lmin}({xform}(hs, h -> ({a} * h + {b}) % {MINHASH_P})) AS mh{i}"
+        for i, (a, b) in enumerate(MINHASH_PARAMS)
+    )
+    return f"""
+    WITH {_shingles_cte(duck, n)},
+    hs AS (
+      SELECT doc_id, {xform}({collect}, s -> {rh}) AS hs
+      FROM sh GROUP BY doc_id)
+    SELECT doc_id,
+           {mh_cols}
+    FROM hs
+    """
+
+
+def minhash_signatures(spark: SparkSession, sf_dir: str, n: int = 3) -> DataFrame:
+    """8-hash MinHash signature per document (pure array expressions)."""
+    _docs(spark, sf_dir)
+    return spark.sql(_minhash_sql(duck=False, n=n))
+
+
+def minhash_signatures_oracle(n: int = 3) -> str:
+    return _minhash_sql(duck=True, n=n)
+
+
+def _lsh_sql(duck: bool, threshold: float, n: int) -> str:
+    rows_per_band = len(MINHASH_PARAMS) // N_BANDS
+    band_keys = []
+    for band in range(N_BANDS):
+        cols = [f"mh{band * rows_per_band + r}" for r in range(rows_per_band)]
+        band_keys.append(f"concat_ws(',', {', '.join(cols)})")
+    band_union = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS bkey, {i} AS band FROM sig" for i, b in enumerate(band_keys)
+    )
+    return f"""
+    WITH {_shingles_cte(duck, n)},
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    sig AS ({_minhash_sql(duck, n).strip()}),
+    bands AS ({band_union}),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+    inter AS (
+      SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS n_inter
+      FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+      JOIN cand c ON c.doc_a = x.doc_id AND c.doc_b = y.doc_id
+      GROUP BY x.doc_id, y.doc_id)
+    SELECT doc_a, doc_b,
+           round(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 5) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= {threshold}
+    """
+
+
+def minhash_lsh_pairs(
+    spark: SparkSession, sf_dir: str, threshold: float = 0.2, n: int = 3
+) -> DataFrame:
+    """LSH-banded candidate pairs verified by exact Jaccard.
+
+    Scale path: candidates come from the band-bucket equi-join, so the
+    pair space is hash collisions, not n²."""
+    _docs(spark, sf_dir)
+    return spark.sql(_lsh_sql(duck=False, threshold=threshold, n=n))
+
+
+def minhash_lsh_pairs_oracle(threshold: float = 0.2, n: int = 3) -> str:
+    return _lsh_sql(duck=True, threshold=threshold, n=n)
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+def _simhash_sql(duck: bool) -> str:
+    rh = rolling_hash_expr_duckdb("t") if duck else rolling_hash_expr_spark("t")
+    xform = "list_transform" if duck else "transform"
+    flt = "list_filter" if duck else "filter"
+    size = "len" if duck else "size"
+    tokens = (
+        r"string_split_regex(trim(lower(text)), '\s+')"
+        if duck
+        else r"split(trim(lower(text)), '\\s+')"
+    )
+    dedupe = "list_distinct" if duck else "array_distinct"
+    bit_terms = " + ".join(
+        f"(CASE WHEN 2 * {size}({flt}(hs, h -> (h >> {b}) & 1 = 1)) >= {size}(hs) "
+        f"THEN {1 << b} ELSE 0 END)"
+        for b in range(SIMHASH_BITS)
+    )
+    return f"""
+    WITH hs AS (
+      SELECT doc_id, {xform}({dedupe}({tokens}), t -> {rh}) AS hs
+      FROM documents)
+    SELECT doc_id, {bit_terms} AS simhash
+    FROM hs
+    """
+
+
+def simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash per document (per-bit majority over token hashes)."""
+    _docs(spark, sf_dir)
+    return spark.sql(_simhash_sql(duck=False))
+
+
+def simhash_oracle() -> str:
+    return _simhash_sql(duck=True)
