@@ -109,6 +109,36 @@ def _q_equal_freq_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SPARSE_NF = 8  # first 8 features exercised through the sparse path
+
+
+def _q_sparse_hist2d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # M6 — sparse long-format histograms with implicit-zero crediting
+    # (operators/sparse.py).  Derived from the dense matrix by dropping
+    # zeros; must reproduce the full dense counts.
+    from flink_infotheoretic_feature_selection_spark.operators.sparse import sparse_hist2d
+
+    feats = FEATURE_NAMES[:_SPARSE_NF]
+    base = (
+        features_dense(spark, sf_dir)
+        .select(
+            F.monotonically_increasing_id().alias("row_id"),
+            *[F.col(c).cast("int").alias(c) for c in feats],
+            F.col("label").cast("int").alias("y"),
+        )
+        .persist()
+    )
+    nonzeros = (
+        base.select(
+            "row_id",
+            F.posexplode(F.array(*feats)).alias("feat", "x"),
+        )
+        .filter(F.col("x") != 0)
+    )
+    labels = base.select("row_id", "y")
+    return sparse_hist2d(nonzeros, labels, _SPARSE_NF)
+
+
 def _q_selected_mrmr(spark: SparkSession, sf_dir: str) -> DataFrame:
     # I1 — greedy mRMR selection, k=5 (iterative; no SQL oracle → rows-only).
     df = features_dense(spark, sf_dir)
@@ -136,6 +166,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mim_topk": _q_mim_topk,
         "projection": _q_projection,
         "equal_freq_bucket": _q_equal_freq_bucket,
+        "sparse_hist2d": _q_sparse_hist2d,
         "selected_mrmr": _q_selected_mrmr,
         # M7 extensions — LLM-data-pipeline operators
         "text_stats": text.text_stats,
@@ -204,6 +235,11 @@ def oracle_sql() -> dict[str, str]:
               FROM lineitem)
             SELECT bucket, count(*) AS cnt FROM r GROUP BY bucket
         """,
+        "sparse_hist2d": (
+            f"WITH {_FM_CTE}, {_LONG_CTE} "
+            "SELECT CAST(feat AS INT) AS feat, x, y, count(*) AS cnt "
+            f"FROM long WHERE feat < {_SPARSE_NF} GROUP BY feat, x, y"
+        ),
         # selected_mrmr: iterative greedy loop — intentionally no SQL oracle
         # (driver records rows-only check).
         "text_stats": text.TEXT_STATS_ORACLE,

@@ -44,7 +44,7 @@ from flink_infotheoretic_feature_selection_spark.operators.histogram import (
     hist3d,
 )
 
-__all__ = ["InfoThSelector", "InfoThSelectorModel"]
+__all__ = ["InfoThSelector", "InfoThSelectorModel", "SparseInfoThSelector"]
 
 
 @dataclass
@@ -151,3 +151,124 @@ class InfoThSelector:
             selection_path=path,
             relevances=relevances,
         )
+
+
+class SparseInfoThSelector:
+    """Greedy selection over sparse long-format input — the path the
+    reference declares but never implemented working
+    (``InfoSelector.scala:378-386``; see operators/sparse.py).
+
+    Input: ``nonzeros`` (row_id, feat, x) with x ≠ 0 implicit-zero
+    semantics, ``labels`` (row_id, y).  Selection semantics are identical
+    to the dense path — verified by the dense-vs-densified test.
+    """
+
+    def __init__(
+        self,
+        n_features: int,
+        n_to_select: int = 10,
+        criterion: str = "mrmr",
+        beta: float = 1.0,
+        emit_f32: bool = True,
+    ) -> None:
+        self.n_features = int(n_features)
+        self.n_to_select = int(n_to_select)
+        self.criterion = criterion
+        self.beta = beta
+        self.emit_f32 = emit_f32
+
+    def fit(self, nonzeros: DataFrame, labels: DataFrame) -> InfoThSelectorModel:
+        from flink_infotheoretic_feature_selection_spark.operators.sparse import sparse_hist2d, sparse_hist3d
+
+        if self.n_to_select > self.n_features:
+            raise ValueError(
+                f"n_to_select={self.n_to_select} exceeds n_features={self.n_features}"
+            )
+        import numpy as np
+        from pyspark.sql import functions as F
+
+        nonzeros = nonzeros.persist(StorageLevel.MEMORY_AND_DISK)
+        labels = labels.persist(StorageLevel.MEMORY_AND_DISK)
+        try:
+            n = labels.count()
+            nf = self.n_features
+            # dims: per-feature max+1 (≥1 so empty features still get x=0)
+            drow = {
+                r["feat"]: int(r["d"])
+                for r in nonzeros.groupBy("feat").agg((F.max("x") + 1).alias("d")).collect()
+            }
+            dims = {i: max(drow.get(i, 1), 1) for i in range(nf)}
+            y_dim = int(labels.agg(F.max("y")).collect()[0][0]) + 1
+
+            def collect2d(hdf: DataFrame) -> dict[int, np.ndarray]:
+                out = {i: np.zeros((dims[i], y_dim), dtype=np.int64) for i in range(nf)}
+                pdf = hdf.toPandas()
+                for f_, x_, y_, c_ in pdf[["feat", "x", "y", "cnt"]].itertuples(index=False):
+                    out[f_][x_, y_] = c_
+                return out
+
+            h2 = collect2d(sparse_hist2d(nonzeros, labels, nf))
+            relevances = {
+                i: mutual_info(h2[i], n, emit_f32=self.emit_f32) for i in range(nf)
+            }
+            state = {
+                i: criterion_factory(self.criterion, self.beta).init(relevances[i])
+                for i in range(nf)
+            }
+
+            path: list[tuple[int, float]] = []
+            if self.criterion.lower() == "mim":
+                order = sorted(range(nf), key=lambda i: (-relevances[i], i))
+                path = [(i, relevances[i]) for i in order[: self.n_to_select]]
+            else:
+                remaining = list(range(nf))
+                while len(path) < self.n_to_select:
+                    best = max(remaining, key=lambda i: (state[i].score, -i))
+                    path.append((best, state[best].score))
+                    state[best].valid = False
+                    remaining.remove(best)
+                    if len(path) >= self.n_to_select or not remaining:
+                        break
+                    # z column = selected feature's value per row (0 if absent)
+                    zcol = (
+                        labels.select("row_id")
+                        .join(
+                            nonzeros.filter(F.col("feat") == best).select(
+                                "row_id", F.col("x").alias("z")
+                            ),
+                            "row_id",
+                            "left",
+                        )
+                        .select("row_id", F.coalesce("z", F.lit(0)).alias("z"))
+                    )
+                    rem_nz = nonzeros.filter(F.col("feat").isin(remaining))
+                    h3df = sparse_hist3d(rem_nz, labels, zcol, nf)
+                    sel_dim = dims[best]
+                    # mi_and_cmi convention: counts[x, y=selected, z=class]
+                    # (InfoTheory.scala:445-461) — hist3d's y is the class
+                    # and z the selected feature, so swap on fill.
+                    out = {
+                        i: np.zeros((dims[i], sel_dim, y_dim), dtype=np.int64)
+                        for i in remaining
+                    }
+                    pdf = h3df.filter(F.col("feat").isin(remaining)).toPandas()
+                    for f_, x_, y_, z_, c_ in pdf[
+                        ["feat", "x", "y", "z", "cnt"]
+                    ].itertuples(index=False):
+                        out[f_][x_, z_, y_] = c_
+                    for i in remaining:
+                        mi, cmi = mi_and_cmi(out[i], n, emit_f32=self.emit_f32)
+                        state[i].update(mi, cmi)
+
+            names = [f"f{i}" for i in range(nf)]
+            selected = sorted(i for i, _ in path)
+            return InfoThSelectorModel(
+                feature_cols=names,
+                label_col="y",
+                selected_cols=[names[i] for i in selected],
+                selection_path=[(names[i], s) for i, s in path],
+                relevances={names[i]: relevances[i] for i in range(nf)},
+            )
+        finally:
+            nonzeros.unpersist()
+            labels.unpersist()

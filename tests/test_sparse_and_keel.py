@@ -1,0 +1,132 @@
+"""Sparse path (implicit-zero semantics) and KEEL reader tests.
+
+Sparse selection must agree exactly with the dense selector on the same
+data — the reference intended this equivalence but its sparse path is
+broken (``InfoSelector.scala:378-386``); ours is the fixed design.
+"""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from flink_infotheoretic_feature_selection_spark.operators.sparse import sparse_hist2d, sparse_hist3d
+from flink_infotheoretic_feature_selection_spark.selector import (
+    InfoThSelector,
+    SparseInfoThSelector,
+)
+from flink_infotheoretic_feature_selection_spark.sources.keel import parse_keel_header, read_keel
+
+NF = 6
+N_ROWS = 400
+
+
+@pytest.fixture(scope="module")
+def mats(spark):
+    """Dense matrix + its sparse long-format twin (zeros dropped)."""
+    rng = np.random.default_rng(7)
+    X = rng.integers(0, 5, size=(N_ROWS, NF))
+    X[rng.random(X.shape) < 0.6] = 0  # make it genuinely sparse
+    y = (X[:, 0] + X[:, 2] > 3).astype(int)
+
+    dense = spark.createDataFrame(
+        [tuple(int(v) for v in row) + (int(lab),) for row, lab in zip(X, y)],
+        ", ".join(f"f{i} int" for i in range(NF)) + ", label int",
+    )
+    nonzeros = spark.createDataFrame(
+        [
+            (r, f, int(X[r, f]))
+            for r in range(N_ROWS)
+            for f in range(NF)
+            if X[r, f] != 0
+        ],
+        "row_id long, feat int, x int",
+    )
+    labels = spark.createDataFrame(
+        [(r, int(y[r])) for r in range(N_ROWS)], "row_id long, y int"
+    )
+    return X, y, dense, nonzeros, labels
+
+
+def test_sparse_hist2d_matches_exact_counts(mats):
+    X, y, _, nonzeros, labels = mats
+    got = {
+        (r["feat"], r["x"], r["y"]): r["cnt"]
+        for r in sparse_hist2d(nonzeros, labels, NF).collect()
+    }
+    for f in range(NF):
+        for xv in range(int(X[:, f].max()) + 1):
+            for yv in (0, 1):
+                expect = int(((X[:, f] == xv) & (y == yv)).sum())
+                assert got.get((f, xv, yv), 0) == expect, (f, xv, yv)
+
+
+def test_sparse_hist3d_matches_exact_counts(mats):
+    X, y, _, nonzeros, labels = mats
+    zf = 1  # condition on feature 1's value
+    z_col = labels.sparkSession.createDataFrame(
+        [(r, int(X[r, zf])) for r in range(N_ROWS)], "row_id long, z int"
+    )
+    got = {
+        (r["feat"], r["x"], r["y"], r["z"]): r["cnt"]
+        for r in sparse_hist3d(nonzeros, labels, z_col, NF).collect()
+    }
+    f = 3
+    for xv in range(int(X[:, f].max()) + 1):
+        for yv in (0, 1):
+            for zv in range(int(X[:, zf].max()) + 1):
+                expect = int(((X[:, f] == xv) & (y == yv) & (X[:, zf] == zv)).sum())
+                assert got.get((f, xv, yv, zv), 0) == expect, (xv, yv, zv)
+
+
+@pytest.mark.parametrize("criterion", ["mim", "mrmr", "jmi"])
+def test_sparse_selection_equals_dense(mats, criterion):
+    _, _, dense, nonzeros, labels = mats
+    k = 3
+    dm = InfoThSelector(
+        n_to_select=k, criterion=criterion, emit_f32=False,
+        feature_cols=[f"f{i}" for i in range(NF)], label_col="label",
+    ).fit(dense)
+    sm = SparseInfoThSelector(
+        n_features=NF, n_to_select=k, criterion=criterion, emit_f32=False
+    ).fit(nonzeros, labels)
+    assert [c for c, _ in sm.selection_path] == [c for c, _ in dm.selection_path]
+    for (_, s1), (_, s2) in zip(sm.selection_path, dm.selection_path):
+        assert s1 == pytest.approx(s2, rel=1e-9)
+
+
+KEEL_TEXT = """\
+@relation toy
+@attribute a1 {red, green, blue}
+@attribute a2 integer [0, 10]
+@attribute a3 real [0.0, 1.0]
+@attribute class {yes, no}
+@inputs a1, a2, a3
+@outputs class
+@data
+red, 3, 0.5, yes
+blue, 7, 0.25, no
+green, 0, 1.0, yes
+"""
+
+
+def test_parse_keel_header():
+    h = parse_keel_header(KEEL_TEXT.splitlines())
+    assert h.relation == "toy"
+    assert [a.name for a in h.attributes] == ["a1", "a2", "a3", "class"]
+    assert h.attributes[0].kind == "nominal"
+    assert h.attributes[0].values == ["red", "green", "blue"]
+    assert h.attributes[1].kind == "integer"
+    assert h.attributes[2].kind == "real"
+    assert h.label == "class"
+
+
+def test_read_keel(spark, tmp_path):
+    p = tmp_path / "toy.dat"
+    p.write_text(KEEL_TEXT)
+    df = read_keel(spark, str(p)).orderBy("a2")
+    assert df.columns == ["a1", "a2", "a3", "label"]
+    rows = df.collect()
+    # nominal → declared-order index (KeelParser.scala:27-32)
+    assert [r["a1"] for r in rows] == [1, 0, 2]  # green, red, blue by a2 order
+    assert [r["a2"] for r in rows] == [0.0, 3.0, 7.0]
+    assert [r["label"] for r in rows] == [0, 0, 1]
