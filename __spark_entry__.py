@@ -17,7 +17,7 @@ from flink_infotheoretic_feature_selection_spark.datasets import (
     features_dense,
     features_select_duckdb,
 )
-from flink_infotheoretic_feature_selection_spark.operators import dedup, similarity, text
+from flink_infotheoretic_feature_selection_spark.operators import dedup, multimodal, similarity, text
 from flink_infotheoretic_feature_selection_spark.operators.histogram import feature_dims, hist2d, hist3d
 from flink_infotheoretic_feature_selection_spark.selector import InfoThSelector
 
@@ -150,6 +150,24 @@ def _q_selected_mrmr(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "step int, feat int, score double")
 
 
+def _q_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Multimodal: typed metadata over the synthetic binary media column.
+    return multimodal.media_meta(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+
+
+def _q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Multimodal: Arrow-batched byte-histogram features (rows-only check —
+    # array<float> output, mapInPandas path).
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return multimodal.extract_features(multimodal.attach_media(docs), dim=16)
+
+
+def _q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Multimodal: every-4th fixed-size frame stats (rows-only check).
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return multimodal.frame_sample(multimodal.attach_media(docs), every_k=4)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: mRMR greedy selection (k=5) on sf0.001."""
     return _q_selected_mrmr(spark, "/root/testdata/sf0.001")
@@ -180,6 +198,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk": similarity.cosine_topk,
         "ann_ivf_topk": similarity.ivf_topk,
         "embedding_neardup": similarity.embedding_neardup_pairs,
+        "media_meta": _q_media_meta,
+        "media_features": _q_media_features,
+        "frame_sample": _q_frame_sample,
     }
 
 
@@ -253,4 +274,6 @@ def oracle_sql() -> dict[str, str]:
         "cosine_topk": similarity.cosine_topk_oracle(),
         "ann_ivf_topk": similarity.ivf_topk_oracle(),
         "embedding_neardup": similarity.embedding_neardup_oracle(),
+        "media_meta": multimodal.MEDIA_META_ORACLE,
+        # media_features / frame_sample: mapInPandas paths — rows-only check.
     }

@@ -1,0 +1,215 @@
+"""Multimodal (image/audio/video) column plumbing over opaque binary.
+
+Design for a 100 TB training-data pipeline: media lives as an opaque
+``binary`` column with typed metadata alongside; every transformation is
+an Arrow-batched ``mapInPandas`` so bytes never round-trip per-row, and
+the frame/patch layout keeps each batch bounded regardless of total
+scale.  Partitioning is inherited from the source scan — no shuffle is
+introduced by any operator here.
+
+The container has no image/audio codecs, so the *decode* step is stubbed
+(SURVEY-brief mandate): ``decode_media`` raises ``NotImplementedError``
+unless a real decoder is importable, while ``fake_decode`` is a
+deterministic stand-in (byte-fold "pixels") that keeps every downstream
+schema, batch shape, and test real.
+
+Testdata has no binary column; :func:`attach_media` synthesizes one
+deterministically from ``documents.text`` so the plumbing runs against
+driver-provided tables only.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    FloatType,
+    IntegerType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+__all__ = [
+    "attach_media",
+    "media_meta",
+    "decode_media",
+    "fake_decode",
+    "extract_features",
+    "frame_sample",
+    "MEDIA_META_ORACLE",
+]
+
+FRAME_BYTES = 64  # fixed frame size for the synthetic video layout
+
+
+def attach_media(documents: DataFrame) -> DataFrame:
+    """(doc_id, media binary, media_type, n_bytes) from the documents table.
+
+    The payload is ``encode(text, 'UTF-8')`` — deterministic, so DuckDB
+    can reproduce byte lengths; media_type cycles by doc_id for coverage.
+    """
+    return documents.select(
+        "doc_id",
+        F.encode("text", "UTF-8").alias("media"),
+        F.element_at(
+            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+            (F.col("doc_id") % 3 + 1).cast("int"),
+        ).alias("media_type"),
+        F.length(F.encode("text", "UTF-8")).alias("n_bytes"),
+    )
+
+
+def media_meta(documents: DataFrame) -> DataFrame:
+    """Typed metadata: byte length + full-frame count per document.
+
+    Pure JVM expressions (no UDF) — at scale this is a narrow projection
+    fused into the parquet scan.
+    """
+    m = attach_media(documents)
+    return m.select(
+        "doc_id",
+        "media_type",
+        F.col("n_bytes").cast("bigint").alias("n_bytes"),
+        (F.col("n_bytes") / FRAME_BYTES).cast("bigint").alias("n_frames"),
+    )
+
+
+# DuckDB oracle for media_meta — identical payload via encode().
+MEDIA_META_ORACLE = f"""
+    SELECT doc_id,
+           CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
+                WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           CAST(floor(octet_length(encode(text)) / {FRAME_BYTES}.0) AS BIGINT) AS n_frames
+    FROM documents
+"""
+
+
+def decode_media(df: DataFrame, media_col: str = "media") -> DataFrame:
+    """Real decode — requires an image/audio codec library.
+
+    STUB: the container ships no codecs (``PIL``/``cv2``/``soundfile``);
+    importable decoders would slot in here.  Until then this raises, and
+    :func:`fake_decode` provides the deterministic stand-in with the same
+    output schema.
+    """
+    for mod in ("PIL.Image", "cv2", "soundfile"):
+        try:
+            __import__(mod)
+            break
+        except ImportError:
+            continue
+    else:
+        raise NotImplementedError(
+            "no codec library available in this environment; "
+            "use fake_decode() — same schema, deterministic payload"
+        )
+    raise NotImplementedError("real decode path not wired yet")
+
+
+_DECODED_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("height", IntegerType()),
+        StructField("width", IntegerType()),
+        StructField("pixels", ArrayType(FloatType())),
+    ]
+)
+
+
+def fake_decode(media: DataFrame, height: int = 8, width: int = 8) -> DataFrame:
+    """Deterministic decoder stand-in: fold bytes into an h×w float grid.
+
+    Exercises the exact plumbing a real decoder needs — binary in via
+    Arrow batch, fixed-shape float array out — with output fully
+    determined by the input bytes (pixel[i] = byte[i mod n]/255).
+    """
+    npix = height * width
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            pixels = []
+            for buf in pdf["media"]:
+                b = np.frombuffer(bytes(buf), dtype=np.uint8)
+                if len(b) == 0:
+                    b = np.zeros(1, dtype=np.uint8)
+                reps = int(np.ceil(npix / len(b)))
+                grid = np.tile(b, reps)[:npix].astype(np.float32) / 255.0
+                pixels.append(grid.tolist())
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "height": height,
+                    "width": width,
+                    "pixels": pixels,
+                }
+            )
+
+    return media.select("doc_id", "media").mapInPandas(batches, _DECODED_SCHEMA)
+
+
+_FEATURES_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("features", ArrayType(FloatType())),
+    ]
+)
+
+
+def extract_features(media: DataFrame, dim: int = 16) -> DataFrame:
+    """Byte-distribution feature vector per media blob (normalized
+    ``dim``-bin histogram) — the feature-extraction slot of the pipeline,
+    deterministic and codec-free.  Arrow-batched; O(bytes) per batch."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            feats = []
+            for buf in pdf["media"]:
+                b = np.frombuffer(bytes(buf), dtype=np.uint8)
+                if len(b) == 0:
+                    feats.append([0.0] * dim)
+                    continue
+                hist = np.bincount(b // (256 // dim), minlength=dim)[:dim]
+                feats.append((hist / len(b)).astype(np.float32).tolist())
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "features": feats})
+
+    return media.select("doc_id", "media").mapInPandas(batches, _FEATURES_SCHEMA)
+
+
+def frame_sample(media: DataFrame, every_k: int = 4) -> DataFrame:
+    """Sample every k-th fixed-size frame from a (synthetic) video blob.
+
+    Returns (doc_id, frame_idx, frame_len, frame_sum) — the frame slice
+    itself stays binary-safe inside the batch; only bounded per-frame
+    stats leave, so the output is small no matter the media size.
+    """
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("frame_idx", IntegerType()),
+            StructField("frame_len", IntegerType()),
+            StructField("frame_sum", LongType()),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out: dict[str, list] = {k.name: [] for k in schema.fields}
+            for doc_id, buf in zip(pdf["doc_id"], pdf["media"]):
+                b = np.frombuffer(bytes(buf), dtype=np.uint8)
+                n_frames = len(b) // FRAME_BYTES
+                for idx in range(0, n_frames, every_k):
+                    frame = b[idx * FRAME_BYTES : (idx + 1) * FRAME_BYTES]
+                    out["doc_id"].append(doc_id)
+                    out["frame_idx"].append(idx)
+                    out["frame_len"].append(len(frame))
+                    out["frame_sum"].append(int(frame.sum()))
+            yield pd.DataFrame(out)
+
+    return media.select("doc_id", "media").mapInPandas(batches, schema)
