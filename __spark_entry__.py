@@ -150,6 +150,29 @@ def _q_selected_mrmr(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "step int, feat int, score double")
 
 
+def _q_events_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Streaming-shaped agg, batch-checked: 1-day tumbling windows over
+    # event time (streaming/ops.py::windowed_event_agg is the same plan
+    # with a watermark).
+    from flink_infotheoretic_feature_selection_spark.datasets import load_events
+
+    return (
+        load_events(spark, sf_dir)
+        .groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            # date cast: DuckDB date_trunc('day') yields DATE
+            F.col("w.start").cast("date").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
 def _q_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Multimodal: typed metadata over the synthetic binary media column.
     return multimodal.media_meta(spark.read.parquet(f"{sf_dir}/documents.parquet"))
@@ -198,6 +221,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk": similarity.cosine_topk,
         "ann_ivf_topk": similarity.ivf_topk,
         "embedding_neardup": similarity.embedding_neardup_pairs,
+        "events_window_agg": _q_events_window_agg,
         "media_meta": _q_media_meta,
         "media_features": _q_media_features,
         "frame_sample": _q_frame_sample,
@@ -274,6 +298,13 @@ def oracle_sql() -> dict[str, str]:
         "cosine_topk": similarity.cosine_topk_oracle(),
         "ann_ivf_topk": similarity.ivf_topk_oracle(),
         "embedding_neardup": similarity.embedding_neardup_oracle(),
+        "events_window_agg": """
+            SELECT date_trunc('day', ts) AS window_start,
+                   event_type,
+                   count(*) AS n_events,
+                   round(sum(value), 4) AS sum_value
+            FROM events GROUP BY 1, 2
+        """,
         "media_meta": multimodal.MEDIA_META_ORACLE,
         # media_features / frame_sample: mapInPandas paths — rows-only check.
     }

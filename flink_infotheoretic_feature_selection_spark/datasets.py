@@ -105,6 +105,24 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events with ``ts`` as a real timestamp.
+
+    The parquet stores TIMESTAMP(NANOS); with
+    ``spark.sql.legacy.parquet.nanosAsLong`` (set in session.get_spark)
+    it scans as long nanos, converted here via ``timestamp_micros`` —
+    still a narrow JVM-side expression.
+    """
+    from pyspark.sql import functions as F
+
+    df = load_table(spark, sf_dir, "events")
+    if dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn(
+            "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+        )
+    return df
+
+
 def register_tables(spark: SparkSession, sf_dir: str) -> None:
     """Register every testdata table as a temp view."""
     for name in TABLES:

@@ -1,0 +1,15 @@
+from flink_infotheoretic_feature_selection_spark.streaming.ops import (
+    read_events_stream,
+    stream_feature_histogram,
+    stream_text_stats,
+    streaming_dedup,
+    windowed_event_agg,
+)
+
+__all__ = [
+    "read_events_stream",
+    "stream_feature_histogram",
+    "stream_text_stats",
+    "streaming_dedup",
+    "windowed_event_agg",
+]

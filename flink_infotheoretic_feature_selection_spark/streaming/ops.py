@@ -1,0 +1,177 @@
+"""Structured Streaming operators.
+
+The reference is batch-only (Flink 1.0 ``DataSet``, ``InfoSelector.
+scala:30`` — SURVEY.md §2.8 lists streaming as ABSENT), so this module is
+part of the driver-mandated extension surface: the streaming shapes a
+training-data pipeline needs, expressed as ``readStream`` →
+transformation → ``writeStream`` with event-time watermarks.
+
+Every transformation here is the SAME function that serves the batch
+path where one exists (text stats, histograms) — Structured Streaming's
+unified DataFrame API means narrow ops and hash aggregations carry over
+verbatim; only watermarks and output modes are stream-specific.
+
+Scale notes:
+- windowed aggs keep state bounded by the watermark horizon; state is
+  per (window, key) — no per-row state.
+- streaming dedup uses ``dropDuplicatesWithinWatermark`` so the key
+  store is purged past the horizon (unbounded-state dedup is a known
+  production foot-gun at 100 TB/day).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+__all__ = [
+    "EVENTS_SCHEMA",
+    "read_events_stream",
+    "windowed_event_agg",
+    "streaming_dedup",
+    "stream_text_stats",
+    "stream_feature_histogram",
+]
+
+EVENTS_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        # TIMESTAMP(NANOS) parquet → long nanos under
+        # spark.sql.legacy.parquet.nanosAsLong (see session.get_spark)
+        StructField("ts", LongType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+
+def read_events_stream(spark: SparkSession, path: str) -> DataFrame:
+    """File-source stream over an events parquet directory.
+
+    File sources need an explicit schema (no inference mid-stream); new
+    files under ``path`` become micro-batches.  ``ts`` arrives as long
+    nanos and is converted to a real timestamp here (narrow JVM expr).
+    """
+    return (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .parquet(path)
+        .withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    )
+
+
+def windowed_event_agg(
+    events: DataFrame,
+    window: str = "1 hour",
+    slide: str | None = None,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Event-time windowed count/sum per event_type with late-data bound.
+
+    Tumbling when ``slide`` is None, else sliding.  State per
+    (window, event_type) only; the watermark lets the store evict closed
+    windows, so state size is O(types × windows-in-horizon).
+    """
+    win = (
+        F.window("ts", window)
+        if slide is None
+        else F.window("ts", window, slide)
+    )
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(win.alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("value").alias("sum_value"),
+            F.approx_count_distinct("user_id").alias("approx_users"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "sum_value",
+            "approx_users",
+        )
+    )
+
+
+def streaming_dedup(
+    events: DataFrame,
+    keys: list[str] | None = None,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Exact streaming dedup with bounded state.
+
+    ``dropDuplicatesWithinWatermark`` purges seen-keys past the
+    watermark horizon — the only dedup shape that survives an unbounded
+    stream.  Default key: event_id.
+    """
+    keys = keys or ["event_id"]
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)
+
+
+def stream_text_stats(docs: DataFrame) -> DataFrame:
+    """The batch text-stats transformation applied to a document stream —
+    narrow per-row expressions carry to streaming unchanged
+    (operators/text.py::_stats_select is the shared core)."""
+    from flink_infotheoretic_feature_selection_spark.operators.text import _stats_select
+
+    return docs.selectExpr(*[
+        e.strip() for e in _split_select(_stats_select(duck=False))
+    ])
+
+
+def _split_select(select_list: str) -> list[str]:
+    """Split a SELECT list on top-level commas (expressions contain
+    nested commas inside parens/quotes)."""
+    parts, depth, quote, cur = [], 0, None, []
+    for ch in select_list:
+        if quote:
+            if ch == quote:
+                quote = None
+        elif ch in "'\"":
+            quote = ch
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            parts.append("".join(cur))
+            cur = []
+            continue
+        cur.append(ch)
+    if cur:
+        parts.append("".join(cur))
+    return [p for p in (s.strip() for s in parts) if p]
+
+
+def stream_feature_histogram(
+    events: DataFrame, watermark: str = "2 hours"
+) -> DataFrame:
+    """Streaming analogue of the engine's 2-D histogram build (A4):
+    running contingency counts of (event_type, value-bucket) per window.
+
+    Shows the selector's core aggregation shape under incremental
+    maintenance — counts arrive monotonically per (window, x, y) key in
+    update mode.
+    """
+    return (
+        events.withWatermark("ts", watermark)
+        .select(
+            F.window("ts", "6 hours").alias("w"),
+            F.col("event_type").alias("x"),
+            F.least(F.lit(9), (F.col("value") / 10).cast("int")).alias("y"),
+        )
+        .groupBy("w", "x", "y")
+        .agg(F.count("*").alias("cnt"))
+        .select(F.col("w.start").alias("window_start"), "x", "y", "cnt")
+    )
