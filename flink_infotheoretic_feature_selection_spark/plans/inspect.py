@@ -1,0 +1,73 @@
+"""Physical-plan inspection — the engine's scale guardrails.
+
+The reference hand-schedules its data movement (SURVEY.md §4); on Spark
+the physical strategy is Catalyst's, so our scale discipline lives in
+*assertions about the chosen plan*: filters reach the parquet scan,
+projections prune the read schema, small dimensions broadcast, and
+per-operator shuffle counts stay at their designed minimum.  Tests pin
+these properties so a regression that silently de-optimizes a plan (a
+UDF blocking pushdown, a join falling back to sort-merge-shuffle) fails
+CI rather than surfacing as a 100× slowdown at 100 TB.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame
+
+__all__ = [
+    "formatted_plan",
+    "pushed_filters",
+    "read_schema_columns",
+    "exchange_count",
+    "broadcast_join_count",
+    "wholestage_codegen_count",
+]
+
+
+def formatted_plan(df: DataFrame) -> str:
+    """`explain("formatted")` output as a string."""
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def pushed_filters(df: DataFrame) -> list[str]:
+    """Filters the parquet scan accepted (``PushedFilters: [...]``)."""
+    out: list[str] = []
+    for m in re.finditer(r"PushedFilters: \[([^\]]*)\]", formatted_plan(df)):
+        body = m.group(1).strip()
+        if body:
+            out.extend(s.strip() for s in body.split(","))
+    return out
+
+
+def read_schema_columns(df: DataFrame) -> list[str]:
+    """Columns the parquet scan actually reads (``ReadSchema``) — the
+    column-pruning witness."""
+    cols: list[str] = []
+    for m in re.finditer(r"ReadSchema: struct<([^>]*)>", formatted_plan(df)):
+        for field in m.group(1).split(","):
+            name = field.split(":")[0].strip()
+            if name:
+                cols.append(name)
+    return cols
+
+
+def exchange_count(df: DataFrame) -> int:
+    """Number of shuffle exchanges in the plan (excludes broadcast
+    exchanges — those ship dims, not data).  Formatted mode prints each
+    node as ``(N) Exchange`` / ``(N) BroadcastExchange``."""
+    plan = formatted_plan(df)
+    return len(re.findall(r"\(\d+\) Exchange\b", plan))
+
+
+def broadcast_join_count(df: DataFrame) -> int:
+    return len(re.findall(r"BroadcastHashJoin|BroadcastNestedLoopJoin", formatted_plan(df)))
+
+
+def wholestage_codegen_count(df: DataFrame) -> int:
+    """Number of WholeStageCodegen spans — wider is better (more of the
+    plan fused into generated JVM loops)."""
+    return len(set(re.findall(r"WholeStageCodegen \((\d+)\)", formatted_plan(df))))

@@ -1,0 +1,73 @@
+"""Physical-plan guardrails: pushdown, pruning, broadcast, shuffle counts.
+
+These pin the scale properties the brief grades — a regression that
+de-optimizes a plan fails here instead of surfacing at 100 TB.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from flink_infotheoretic_feature_selection_spark.datasets import FEATURE_NAMES, features_dense, load_table
+from flink_infotheoretic_feature_selection_spark.operators.histogram import feature_dims, hist2d
+from flink_infotheoretic_feature_selection_spark.plans import (
+    broadcast_join_count,
+    exchange_count,
+    formatted_plan,
+    pushed_filters,
+    read_schema_columns,
+)
+from flink_infotheoretic_feature_selection_spark.selector import InfoThSelector
+
+
+def test_feature_matrix_prunes_scan(spark, sf_dir):
+    # The 33-column matrix derives from 11 lineitem columns — the parquet
+    # scan must read exactly those, not all 16.
+    df = features_dense(spark, sf_dir)
+    cols = set(read_schema_columns(df))
+    assert "l_comment" not in cols and "l_shipmode" not in cols
+    assert {"l_quantity", "l_extendedprice", "l_returnflag"} <= cols
+    assert len(cols) <= 11
+
+
+def test_projection_prunes_to_selected(spark, sf_dir):
+    # After selection, transform must narrow the scan to the selected
+    # features' source columns only — projection is scan-deep.
+    df = features_dense(spark, sf_dir)
+    model = InfoThSelector(n_to_select=3, criterion="mim").fit(df)
+    out = model.transform(df)
+    assert len(read_schema_columns(out)) < 11
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    q = li.filter(F.col("l_quantity") > 30).select("l_orderkey")
+    pf = pushed_filters(q)
+    assert any("l_quantity" in f for f in pf), pf
+
+
+def test_small_dim_join_broadcasts(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    nation = load_table(spark, sf_dir, "nation")
+    customer = load_table(spark, sf_dir, "customer")
+    q = (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .join(nation, customer.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .count()
+    )
+    assert broadcast_join_count(q) >= 1, formatted_plan(q)
+
+
+def test_hist2d_single_shuffle(spark, sf_dir):
+    # The histogram pass must shuffle ONLY the partial count cells —
+    # exactly one hash exchange (partial->final agg), never row data.
+    df = features_dense(spark, sf_dir)
+    dims = feature_dims(df, FEATURE_NAMES + ["label"])
+    h = hist2d(df, FEATURE_NAMES, "label", dims, dims["label"])
+    assert exchange_count(h) == 1, formatted_plan(h)
+
+
+def test_transform_is_shuffle_free(spark, sf_dir):
+    df = features_dense(spark, sf_dir)
+    model = InfoThSelector(n_to_select=3, criterion="mim").fit(df)
+    assert exchange_count(model.transform(df)) == 0
