@@ -82,17 +82,26 @@ def hist2d(
     xdims = [dims[c] for c in feats]
 
     def count_batches(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        # Accumulate across ALL batches of the partition, emit ONCE:
+        # partial-cell volume is O(n_features × xd × y_dim) per PARTITION,
+        # independent of row count — the map-side combine the reference
+        # builds by hand (InfoTheory.scala:492-510).
+        acc = [np.zeros(xd * y_dim, dtype=np.int64) for xd in xdims]
         for batch in batches:
             y = _col_i64(batch, y_col)
-            out_f, out_x, out_y, out_c = [], [], [], []
-            for fi, (fname, xd) in enumerate(zip(feats, xdims)):
+            for fi, fname in enumerate(feats):
                 x = _col_i64(batch, fname)
-                counts = np.bincount(x * y_dim + y, minlength=xd * y_dim)
-                nz = np.flatnonzero(counts)
-                out_f.append(np.full(nz.size, fi, dtype=np.int32))
-                out_x.append((nz // y_dim).astype(np.int32))
-                out_y.append((nz % y_dim).astype(np.int32))
-                out_c.append(counts[nz])
+                acc[fi] += np.bincount(x * y_dim + y, minlength=acc[fi].size)
+        out_f, out_x, out_y, out_c = [], [], [], []
+        for fi in range(len(feats)):
+            nz = np.flatnonzero(acc[fi])
+            if nz.size == 0:
+                continue
+            out_f.append(np.full(nz.size, fi, dtype=np.int32))
+            out_x.append((nz // y_dim).astype(np.int32))
+            out_y.append((nz % y_dim).astype(np.int32))
+            out_c.append(acc[fi][nz])
+        if out_f:
             yield pa.RecordBatch.from_arrays(
                 [
                     pa.array(np.concatenate(out_f), type=pa.int32()),
@@ -128,21 +137,29 @@ def hist3d(
     yz = y_dim * z_dim
 
     def count_batches(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        # Per-partition accumulation (see hist2d): emitted cells are
+        # bounded by n_features × xd × y_dim × z_dim per partition — the
+        # row count never reaches the shuffle.
+        acc = [np.zeros(xd * yz, dtype=np.int64) for xd in xdims]
         for batch in batches:
             y = _col_i64(batch, y_col)
             z = _col_i64(batch, z_col)
             yz_code = y * z_dim + z
-            out_f, out_x, out_y, out_z, out_c = [], [], [], [], []
-            for fi, (fname, xd) in enumerate(zip(feats, xdims)):
+            for fi, fname in enumerate(feats):
                 x = _col_i64(batch, fname)
-                counts = np.bincount(x * yz + yz_code, minlength=xd * yz)
-                nz = np.flatnonzero(counts)
-                out_f.append(np.full(nz.size, fi, dtype=np.int32))
-                out_x.append((nz // yz).astype(np.int32))
-                rem = nz % yz
-                out_y.append((rem // z_dim).astype(np.int32))
-                out_z.append((rem % z_dim).astype(np.int32))
-                out_c.append(counts[nz])
+                acc[fi] += np.bincount(x * yz + yz_code, minlength=acc[fi].size)
+        out_f, out_x, out_y, out_z, out_c = [], [], [], [], []
+        for fi in range(len(feats)):
+            nz = np.flatnonzero(acc[fi])
+            if nz.size == 0:
+                continue
+            out_f.append(np.full(nz.size, fi, dtype=np.int32))
+            out_x.append((nz // yz).astype(np.int32))
+            rem = nz % yz
+            out_y.append((rem // z_dim).astype(np.int32))
+            out_z.append((rem % z_dim).astype(np.int32))
+            out_c.append(acc[fi][nz])
+        if out_f:
             yield pa.RecordBatch.from_arrays(
                 [
                     pa.array(np.concatenate(out_f), type=pa.int32()),
