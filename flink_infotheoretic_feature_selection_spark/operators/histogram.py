@@ -41,6 +41,7 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "feature_dims",
+    "feature_dims_and_count",
     "hist2d",
     "hist3d",
     "collect_hist2d",
@@ -55,10 +56,19 @@ def feature_dims(matrix: DataFrame, cols: list[str], cap: int = 256) -> dict[str
     cap at ``InfoTheory.scala:480``).  Exact max is fine: values are bytes.
     One Catalyst job, partial-aggregated max per column.
     """
+    return feature_dims_and_count(matrix, cols, cap)[0]
+
+
+def feature_dims_and_count(
+    matrix: DataFrame, cols: list[str], cap: int = 256
+) -> tuple[dict[str, int], int]:
+    """Dims + row count in ONE aggregation job (the selector needs both;
+    two separate passes over the cache would double the init scans)."""
     row = matrix.agg(
-        *[(F.max(F.col(c).cast("int")) + F.lit(1)).alias(c) for c in cols]
+        F.count(F.lit(1)).alias("__n"),
+        *[(F.max(F.col(c).cast("int")) + F.lit(1)).alias(c) for c in cols],
     ).collect()[0]
-    return {c: min(int(row[c]), cap) for c in cols}
+    return {c: min(int(row[c]), cap) for c in cols}, int(row["__n"])
 
 
 def _col_i64(batch: pa.RecordBatch, name: str) -> np.ndarray:
@@ -112,7 +122,10 @@ def hist2d(
                 names=["feat", "x", "y", "cnt"],
             )
 
-    partial = matrix.mapInArrow(count_batches, "feat int, x int, y int, cnt long")
+    # Prune to the columns this pass reads — the Arrow exchange ships
+    # only (features + y), which matters as `remaining` shrinks.
+    needed = matrix.select(*feats, y_col) if set(matrix.columns) - {*feats, y_col} else matrix
+    partial = needed.mapInArrow(count_batches, "feat int, x int, y int, cnt long")
     return partial.groupBy("feat", "x", "y").agg(F.sum("cnt").alias("cnt"))
 
 
@@ -171,7 +184,9 @@ def hist3d(
                 names=["feat", "x", "y", "z", "cnt"],
             )
 
-    partial = matrix.mapInArrow(count_batches, "feat int, x int, y int, z int, cnt long")
+    cols = {*feats, y_col, z_col}
+    needed = matrix.select(*feats, y_col, z_col) if set(matrix.columns) - cols else matrix
+    partial = needed.mapInArrow(count_batches, "feat int, x int, y int, z int, cnt long")
     return partial.groupBy("feat", "x", "y", "z").agg(F.sum("cnt").alias("cnt"))
 
 

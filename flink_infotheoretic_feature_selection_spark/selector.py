@@ -40,6 +40,7 @@ from flink_infotheoretic_feature_selection_spark.operators.histogram import (
     collect_hist2d,
     collect_hist3d,
     feature_dims,
+    feature_dims_and_count,
     hist2d,
     hist3d,
 )
@@ -104,9 +105,9 @@ class InfoThSelector:
     # -- internal ----------------------------------------------------------
 
     def _fit_cached(self, matrix: DataFrame, feats: list[str], label: str) -> InfoThSelectorModel:
-        dims = feature_dims(matrix, feats + [label])
+        # one job: dims + count together (also materializes the cache)
+        dims, n = feature_dims_and_count(matrix, feats + [label])
         y_dim = dims[label]
-        n = matrix.count()
 
         # Stage 2 — relevances: one histogram pass over all features.
         h2 = collect_hist2d(hist2d(matrix, feats, label, dims, y_dim), feats, dims, y_dim)
