@@ -99,6 +99,32 @@ class EqualFrequencyDiscretizerModel:
                 out = out.withColumn(c, F.col(c).cast("tinyint"))
         return out
 
+    def save(self, path: str) -> None:
+        """JSON persistence (±inf survives via Python's non-strict JSON)."""
+        import json
+
+        with open(path, "w") as fh:
+            json.dump(
+                {
+                    "splits": self.splits,
+                    "output_suffix": self.output_suffix,
+                    "as_bytes": self.as_bytes,
+                },
+                fh,
+            )
+
+    @classmethod
+    def load(cls, path: str) -> "EqualFrequencyDiscretizerModel":
+        import json
+
+        with open(path) as fh:
+            d = json.load(fh)
+        return cls(
+            splits={k: [float(v) for v in s] for k, s in d["splits"].items()},
+            output_suffix=d["output_suffix"],
+            as_bytes=d["as_bytes"],
+        )
+
 
 class EqualFrequencyDiscretizer:
     def __init__(

@@ -66,6 +66,38 @@ class InfoThSelectorModel:
         cols = keep + ([self.label_col] if self.label_col in df.columns else [])
         return df.select(*cols)
 
+    def save(self, path: str) -> None:
+        """Persist the fitted model as JSON (MLlib-style save/load; the
+        reference keeps only ``selectedFeatures`` in memory —
+        ``InfoSelector.scala:79``)."""
+        import json
+
+        with open(path, "w") as fh:
+            json.dump(
+                {
+                    "feature_cols": self.feature_cols,
+                    "label_col": self.label_col,
+                    "selected_cols": self.selected_cols,
+                    "selection_path": self.selection_path,
+                    "relevances": self.relevances,
+                },
+                fh,
+            )
+
+    @classmethod
+    def load(cls, path: str) -> "InfoThSelectorModel":
+        import json
+
+        with open(path) as fh:
+            d = json.load(fh)
+        return cls(
+            feature_cols=d["feature_cols"],
+            label_col=d["label_col"],
+            selected_cols=d["selected_cols"],
+            selection_path=[tuple(p) for p in d["selection_path"]],
+            relevances=d["relevances"],
+        )
+
 
 class InfoThSelector:
     """Estimator. ``criterion`` ∈ {mim, mifs, jmi, mrmr, cmim, if, icap};
