@@ -88,6 +88,35 @@ def main() -> None:
     t, _ = timed(b7)
     results["b7_discretizer"] = round(t, 3)
 
+    # B8-B12 — extension operators (LLM-data-pipeline surface)
+    from flink_infotheoretic_feature_selection_spark.operators import dedup, multimodal, similarity, text
+    from flink_infotheoretic_feature_selection_spark.datasets import load_events
+    from pyspark.sql import functions as F
+
+    t, _ = timed(lambda: dedup.minhash_lsh_pairs(spark, SF_DIR).count())
+    results["b8_minhash_lsh"] = round(t, 3)
+
+    t, _ = timed(lambda: similarity.cosine_topk(spark, SF_DIR).count())
+    results["b9_cosine_topk"] = round(t, 3)
+
+    t, _ = timed(lambda: text.text_stats(spark, SF_DIR).count())
+    results["b10_text_stats"] = round(t, 3)
+
+    t, _ = timed(
+        lambda: load_events(spark, SF_DIR)
+        .groupBy(F.window("ts", "1 day"), "event_type")
+        .agg(F.count("*"), F.sum("value"))
+        .count()
+    )
+    results["b11_events_window"] = round(t, 3)
+
+    t, _ = timed(
+        lambda: multimodal.extract_features(
+            multimodal.attach_media(spark.read.parquet(f"{SF_DIR}/documents.parquet"))
+        ).count()
+    )
+    results["b12_media_features"] = round(t, 3)
+
     matrix.unpersist()
     total = round(sum(v for k, v in results.items() if not k.endswith(("per_iter", "per_sec"))), 3)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]

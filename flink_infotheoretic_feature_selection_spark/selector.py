@@ -120,6 +120,7 @@ class InfoThSelector:
         self.emit_f32 = emit_f32
 
     def fit(self, df: DataFrame) -> InfoThSelectorModel:
+        df = self._widen_vectors(df)
         feats = self.feature_cols or [c for c in df.columns if c != self.label_col]
         if self.n_to_select > len(feats):
             # reference: require(nToSelect < nFeatures), InfoSelector.scala:419
@@ -135,6 +136,25 @@ class InfoThSelector:
             matrix.unpersist()
 
     # -- internal ----------------------------------------------------------
+
+    def _widen_vectors(self, df: DataFrame) -> DataFrame:
+        """Accept (label, features: VectorUDT) rows directly — the
+        reference's ``LabeledVector`` API shape (``InfoSelector.scala:172``).
+        Auto-converts to the wide tinyint layout via the JVM-side bridge."""
+        if self.feature_cols is not None:
+            return df
+        vector_cols = [
+            f.name
+            for f in df.schema.fields
+            if f.dataType.typeName() in ("vector", "vectorudt")
+        ]
+        if len(vector_cols) == 1 and self.label_col in df.columns:
+            from flink_infotheoretic_feature_selection_spark.sources.libsvm import vectors_to_wide
+
+            return vectors_to_wide(
+                df, features_col=vector_cols[0], label_col=self.label_col
+            )
+        return df
 
     def _fit_cached(self, matrix: DataFrame, feats: list[str], label: str) -> InfoThSelectorModel:
         # one job: dims + count together (also materializes the cache)

@@ -59,6 +59,15 @@ def test_wide_and_long_selection_agree(libsvm_df):
     assert [c for c, _ in sm.selection_path] == [c for c, _ in dm.selection_path]
 
 
+def test_selector_accepts_vector_input_directly(libsvm_df):
+    # reference API shape: fit straight on (label, features: Vector) rows
+    model = InfoThSelector(n_to_select=2, criterion="mrmr", emit_f32=False).fit(libsvm_df)
+    wide_model = InfoThSelector(n_to_select=2, criterion="mrmr", emit_f32=False).fit(
+        vectors_to_wide(libsvm_df)
+    )
+    assert model.selection_path == wide_model.selection_path
+
+
 def test_slice_vectors_rebases_sparse(spark):
     df = spark.createDataFrame(
         [(SparseVector(6, {1: 5.0, 3: 7.0, 5: 9.0}),)], ["features"]
