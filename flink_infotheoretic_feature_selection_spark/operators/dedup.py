@@ -105,13 +105,25 @@ def _shingles_cte(duck: bool, n: int = 3) -> str:
     """
 
 
-def _jaccard_sql(duck: bool, threshold: float, n: int) -> str:
+def _jaccard_sql(duck: bool, threshold: float, n: int, max_df: int | None = None) -> str:
+    # Skew guard: a shingle appearing in > max_df docs contributes a
+    # quadratic pair burst at the join — cap its doc-frequency before the
+    # self-join (sizes stay uncapped so Jaccard denominators are exact;
+    # intersections through ultra-common shingles are deliberately
+    # dropped, the standard near-dup trade at scale).
+    cap_cte = (
+        f""",
+    df_cap AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= {max_df}),
+    shj AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN df_cap USING (shingle))"""
+        if max_df is not None
+        else ",\n    shj AS (SELECT * FROM sh)"
+    )
     return f"""
-    WITH {_shingles_cte(duck, n)},
+    WITH {_shingles_cte(duck, n)}{cap_cte},
     sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
     inter AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
-      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      FROM shj a JOIN shj b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
       GROUP BY a.doc_id, b.doc_id)
     SELECT doc_a, doc_b,
            round(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 5) AS jaccard
@@ -123,15 +135,28 @@ def _jaccard_sql(duck: bool, threshold: float, n: int) -> str:
 
 
 def shingle_jaccard_pairs(
-    spark: SparkSession, sf_dir: str, threshold: float = 0.2, n: int = 3
+    spark: SparkSession,
+    sf_dir: str,
+    threshold: float = 0.2,
+    n: int = 3,
+    max_shingle_df: int | None = None,
 ) -> DataFrame:
-    """Near-dup pairs by word-trigram Jaccard ≥ threshold."""
+    """Near-dup pairs by word-trigram Jaccard ≥ threshold.
+
+    ``max_shingle_df`` drops shingles shared by more than that many docs
+    before the self-join — the skew guard for 100 TB corpora where a
+    boilerplate trigram would otherwise join millions × millions of rows.
+    """
     _docs(spark, sf_dir)
-    return spark.sql(_jaccard_sql(duck=False, threshold=threshold, n=n))
+    return spark.sql(
+        _jaccard_sql(duck=False, threshold=threshold, n=n, max_df=max_shingle_df)
+    )
 
 
-def jaccard_pairs_oracle(threshold: float = 0.2, n: int = 3) -> str:
-    return _jaccard_sql(duck=True, threshold=threshold, n=n)
+def jaccard_pairs_oracle(
+    threshold: float = 0.2, n: int = 3, max_shingle_df: int | None = None
+) -> str:
+    return _jaccard_sql(duck=True, threshold=threshold, n=n, max_df=max_shingle_df)
 
 
 # ---------------------------------------------------------------------------
