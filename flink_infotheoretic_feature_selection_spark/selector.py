@@ -111,6 +111,7 @@ class InfoThSelector:
         label_col: str = "label",
         beta: float = 1.0,
         emit_f32: bool = True,
+        validate: bool = False,
     ) -> None:
         self.n_to_select = int(n_to_select)
         self.criterion = criterion
@@ -118,6 +119,7 @@ class InfoThSelector:
         self.label_col = label_col
         self.beta = beta
         self.emit_f32 = emit_f32
+        self.validate = validate
 
     def fit(self, df: DataFrame) -> InfoThSelectorModel:
         df = self._widen_vectors(df)
@@ -127,6 +129,8 @@ class InfoThSelector:
             raise ValueError(
                 f"n_to_select={self.n_to_select} exceeds n_features={len(feats)}"
             )
+        if self.validate:
+            self._validate_byte_range(df, feats)
         label = self.label_col
 
         matrix = df.select(*feats, label).persist(StorageLevel.MEMORY_AND_DISK)
@@ -136,6 +140,40 @@ class InfoThSelector:
             matrix.unpersist()
 
     # -- internal ----------------------------------------------------------
+
+    @staticmethod
+    def _validate_byte_range(df: DataFrame, feats: list[str]) -> None:
+        """Input validation (``InfoSelector.scala:404-416``).
+
+        Documented divergence: the reference's message says "[0, 255]"
+        while its code accepts −128..127 and only checks the sparse path
+        (SURVEY.md §1.2) — yet a negative value would crash its histogram
+        indexing just like ours.  We enforce what both engines actually
+        require — integers in [0, 255] — on every path, opt-in, as ONE
+        aggregation job (no extra pass per column).
+        """
+        from pyspark.sql import functions as F
+
+        bad = df.select(
+            *[
+                F.sum(
+                    (
+                        (F.col(c) < 0)
+                        | (F.col(c) > 255)
+                        | (F.col(c).cast("double") % 1 != 0)
+                    ).cast("long")
+                ).alias(c)
+                for c in feats
+            ]
+        ).collect()[0]
+        offenders = [c for c in feats if (bad[c] or 0) > 0]
+        if offenders:
+            raise ValueError(
+                "features must be integers in [0, 255] (the range the "
+                "histogram engine indexes by; cf. InfoSelector.scala:411-414 "
+                "whose −128..127 check contradicts its own [0,255] message); "
+                f"violating columns: {offenders}"
+            )
 
     def _widen_vectors(self, df: DataFrame) -> DataFrame:
         """Accept (label, features: VectorUDT) rows directly — the
