@@ -1,0 +1,71 @@
+"""Join strategies for scale: broadcast, salting, bucketing.
+
+The reference's only join is a hand-rolled broadcast (SURVEY.md §2.4 J1).
+At 100 TB the other two standard shapes matter just as much, so the
+engine ships them as utilities with plan-level tests:
+
+- :func:`broadcast_dim_join` — pin the small side to a broadcast hash
+  join (dimension tables, probability tables, split arrays).
+- :func:`salted_join` — split a skewed join key into ``n_salts``
+  sub-keys: the big side gets a deterministic salt, the small side is
+  replicated across all salts.  Turns one straggler task into
+  ``n_salts`` even ones.  (AQE's skew-join handles moderate skew on its
+  own; salting is for the pathological keys AQE can't split, e.g. a
+  single null-like key holding >50% of rows.)
+- :func:`write_bucketed` / :func:`read_bucketed` — persist both sides
+  bucketed by the join key so repeated joins are co-located:
+  zero-shuffle sort-merge joins across jobs, the batch analogue of
+  co-partitioned state.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+__all__ = ["broadcast_dim_join", "salted_join", "write_bucketed", "read_bucketed"]
+
+
+def broadcast_dim_join(
+    fact: DataFrame, dim: DataFrame, on: list[str] | str, how: str = "inner"
+) -> DataFrame:
+    """Fact ⋈ broadcast(dim) — never lets the dimension side shuffle."""
+    return fact.join(F.broadcast(dim), on, how)
+
+
+def salted_join(
+    skewed: DataFrame,
+    other: DataFrame,
+    on: str,
+    n_salts: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join where ``skewed[on]`` has pathological hot keys.
+
+    The skewed side gets ``salt = xxhash64(row) % n_salts`` (deterministic
+    per row content); ``other`` is exploded ``n_salts``× so every
+    (key, salt) bucket finds its match.  Result equals the plain join;
+    the hot key's rows now spread over ``n_salts`` tasks.
+    """
+    salt = F.pmod(F.xxhash64(*skewed.columns), F.lit(n_salts)).alias("__salt")
+    left = skewed.select("*", salt)
+    right = other.select(
+        "*", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1))).alias("__salt")
+    )
+    out = left.join(right, [on, "__salt"], how)
+    return out.drop("__salt")
+
+
+def write_bucketed(
+    df: DataFrame, table: str, key: str, n_buckets: int = 16, path: str | None = None
+) -> None:
+    """Persist bucketed-by-key: later joins on ``key`` between tables
+    bucketed the same way need no shuffle (co-located partitions)."""
+    writer = df.write.mode("overwrite").bucketBy(n_buckets, key).sortBy(key)
+    if path:
+        writer = writer.option("path", path)
+    writer.saveAsTable(table)
+
+
+def read_bucketed(spark: SparkSession, table: str) -> DataFrame:
+    return spark.table(table)
