@@ -173,6 +173,38 @@ def _q_events_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_stream_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Structured Streaming end-to-end in the correctness gate: file-source
+    # stream -> watermarked 1-day windows -> memory sink (availableNow);
+    # update mode emits every window once for a single batch, so the
+    # result must equal the batch/DuckDB aggregation exactly.
+    import shutil
+    import tempfile
+
+    from flink_infotheoretic_feature_selection_spark.streaming import (
+        read_events_stream,
+        windowed_event_agg,
+    )
+
+    d = tempfile.mkdtemp(prefix="events_stream_")
+    shutil.copy(f"{sf_dir}/events.parquet", f"{d}/part-0.parquet")
+    agg = windowed_event_agg(read_events_stream(spark, d), window="1 day").select(
+        F.col("window_start").cast("date").alias("window_start"),
+        "event_type",
+        "n_events",
+        F.round("sum_value", 4).alias("sum_value"),
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("q_stream_window_agg")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.table("q_stream_window_agg")
+
+
 def _q_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Multimodal: typed metadata over the synthetic binary media column.
     return multimodal.media_meta(spark.read.parquet(f"{sf_dir}/documents.parquet"))
@@ -222,6 +254,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": similarity.ivf_topk,
         "embedding_neardup": similarity.embedding_neardup_pairs,
         "events_window_agg": _q_events_window_agg,
+        "stream_window_agg": _q_stream_window_agg,
         "media_meta": _q_media_meta,
         "media_features": _q_media_features,
         "frame_sample": _q_frame_sample,
@@ -299,6 +332,13 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf_topk": similarity.ivf_topk_oracle(),
         "embedding_neardup": similarity.embedding_neardup_oracle(),
         "events_window_agg": """
+            SELECT date_trunc('day', ts) AS window_start,
+                   event_type,
+                   count(*) AS n_events,
+                   round(sum(value), 4) AS sum_value
+            FROM events GROUP BY 1, 2
+        """,
+        "stream_window_agg": """
             SELECT date_trunc('day', ts) AS window_start,
                    event_type,
                    count(*) AS n_events,
