@@ -17,7 +17,7 @@ from flink_infotheoretic_feature_selection_spark.datasets import (
     features_dense,
     features_select_duckdb,
 )
-from flink_infotheoretic_feature_selection_spark.operators import dedup, multimodal, similarity, text
+from flink_infotheoretic_feature_selection_spark.operators import dedup, multimodal, sessions, similarity, text
 from flink_infotheoretic_feature_selection_spark.operators.histogram import feature_dims, hist2d, hist3d
 from flink_infotheoretic_feature_selection_spark.selector import InfoThSelector
 
@@ -255,6 +255,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup": similarity.embedding_neardup_pairs,
         "events_window_agg": _q_events_window_agg,
         "stream_window_agg": _q_stream_window_agg,
+        "sessionize": sessions.sessionize_query,
         "media_meta": _q_media_meta,
         "media_features": _q_media_features,
         "frame_sample": _q_frame_sample,
@@ -345,6 +346,7 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(value), 4) AS sum_value
             FROM events GROUP BY 1, 2
         """,
+        "sessionize": sessions.SESSIONIZE_ORACLE,
         "media_meta": multimodal.MEDIA_META_ORACLE,
         # media_features / frame_sample: mapInPandas paths — rows-only check.
     }

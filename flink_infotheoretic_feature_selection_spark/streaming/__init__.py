@@ -1,5 +1,7 @@
 from flink_infotheoretic_feature_selection_spark.streaming.ops import (
     read_events_stream,
+    sessionize_stream,
+    stateful_user_stats,
     stream_feature_histogram,
     stream_text_stats,
     streaming_dedup,
@@ -8,6 +10,8 @@ from flink_infotheoretic_feature_selection_spark.streaming.ops import (
 
 __all__ = [
     "read_events_stream",
+    "sessionize_stream",
+    "stateful_user_stats",
     "stream_feature_histogram",
     "stream_text_stats",
     "streaming_dedup",

@@ -64,7 +64,7 @@ def read_events_stream(spark: SparkSession, path: str) -> DataFrame:
     return (
         spark.readStream.schema(EVENTS_SCHEMA)
         .parquet(path)
-        .withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     )
 
 
@@ -174,4 +174,84 @@ def stream_feature_histogram(
         .groupBy("w", "x", "y")
         .agg(F.count("*").alias("cnt"))
         .select(F.col("w.start").alias("window_start"), "x", "y", "cnt")
+    )
+
+
+def sessionize_stream(
+    events: DataFrame, gap: str = "12 hours", watermark: str = "0 seconds"
+) -> DataFrame:
+    """Streaming gap-based sessionization via native ``session_window``.
+
+    Built-in beats custom state here: the session-window operator merges
+    overlapping [ts, ts+gap) ranges JVM-side and evicts closed sessions
+    past the watermark — state is O(open sessions), not O(events).
+
+    Emitted ``session_end_us`` is ``last_event + gap`` (the window end);
+    the batch twin (``operators/sessions.py::sessionize``) emits the last
+    event itself — callers reconcile by subtracting ``gap``.  The merge
+    rule (new session iff ``ts - prev >= gap``) is identical.
+    """
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id", F.session_window("ts", gap).alias("w"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("value").alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.unix_micros("w.start").alias("session_start_us"),
+            F.unix_micros("w.end").alias("session_end_us"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def stateful_user_stats(events: DataFrame) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: running
+    per-user event count / value sum / last-seen, emitted every batch.
+
+    This is the escape hatch for stateful logic the built-in windowed
+    operators cannot express (arbitrary per-key accumulators, custom
+    eviction).  State is one fixed-width row per user — bounded by key
+    cardinality, never by stream length; Arrow batches keep the Python
+    hop vectorized.
+    """
+    import pandas as pd  # noqa: PLC0415 — worker-side import
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("n_events", LongType()),
+            StructField("sum_value", DoubleType()),
+            StructField("last_ts_us", LongType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("n", LongType()),
+            StructField("s", DoubleType()),
+            StructField("last", LongType()),
+        ]
+    )
+
+    def update(key: tuple, pdfs, state: GroupState):
+        n, s, last = state.get if state.exists else (0, 0.0, 0)
+        for pdf in pdfs:
+            n += len(pdf)
+            s += float(pdf["value"].sum())
+            last = max(last, int(pdf["ts_us"].max()))
+        state.update((n, s, last))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "sum_value": [s], "last_ts_us": [last]}
+        )
+
+    return (
+        events.select("user_id", F.unix_micros("ts").alias("ts_us"), "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+        )
     )

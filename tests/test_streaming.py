@@ -102,3 +102,74 @@ def test_stream_feature_histogram_counts(spark, sf_dir, events_dir):
     # y buckets bounded to 0..9 by construction
     ys = {r["y"] for r in got.select("y").distinct().collect()}
     assert ys <= set(range(10))
+
+
+def test_sessionize_stream_matches_batch(spark, sf_dir, events_dir):
+    from flink_infotheoretic_feature_selection_spark.operators.sessions import duration_us, sessionize
+    from flink_infotheoretic_feature_selection_spark.streaming import sessionize_stream
+
+    gap = "12 hours"
+    # session_window aggs support append/complete only; complete emits every
+    # session regardless of watermark, which is what the batch-parity check needs
+    stream = sessionize_stream(read_events_stream(spark, events_dir), gap=gap)
+    got = run_to_memory(stream, "sess_stream", output_mode="complete").collect()
+    exp = sessionize(load_events(spark, sf_dir), gap=gap).collect()
+
+    gap_us = duration_us(gap)
+    got_map = {
+        (r["user_id"], r["session_start_us"]): (r["n_events"], r["session_end_us"])
+        for r in got
+    }
+    # stream window end = last event + gap; batch emits the last event
+    exp_map = {
+        (r["user_id"], r["session_start_us"]): (r["n_events"], r["session_end_us"] + gap_us)
+        for r in exp
+    }
+    assert got_map == exp_map
+
+
+def test_stateful_user_stats_carries_state_across_batches(spark, sf_dir, tmp_path):
+    # two identical files + maxFilesPerTrigger=1 → two micro-batches; the
+    # final emitted totals per user must cover BOTH batches (state carried),
+    # i.e. equal 2× the batch aggregation of one file.
+    from flink_infotheoretic_feature_selection_spark.streaming import stateful_user_stats
+    from flink_infotheoretic_feature_selection_spark.streaming.ops import EVENTS_SCHEMA
+
+    d = tmp_path / "two_batches"
+    d.mkdir()
+    shutil.copy(f"{sf_dir}/events.parquet", d / "a.parquet")
+    shutil.copy(f"{sf_dir}/events.parquet", d / "b.parquet")
+    stream_src = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(d))
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    got = run_to_memory(stateful_user_stats(stream_src), "user_stats", output_mode="update")
+    rows = got.collect()
+    # update mode appends one row per user per batch → users seen in both
+    # batches appear twice; keep the max-count (final) row per user
+    final = {}
+    for r in rows:
+        if r["user_id"] not in final or r["n_events"] > final[r["user_id"]]["n_events"]:
+            final[r["user_id"]] = r
+
+    exp = {
+        r["user_id"]: r
+        for r in load_events(spark, sf_dir)
+        .groupBy("user_id")
+        .agg(
+            (F.count("*") * 2).alias("n_events"),
+            (F.sum("value") * 2).alias("sum_value"),
+            F.max(F.unix_micros("ts")).alias("last_ts_us"),
+        )
+        .collect()
+    }
+    assert set(final) == set(exp)
+    n_twice = 0
+    for uid, r in exp.items():
+        assert final[uid]["n_events"] == r["n_events"]
+        assert final[uid]["sum_value"] == pytest.approx(r["sum_value"], rel=1e-9)
+        assert final[uid]["last_ts_us"] == r["last_ts_us"]
+        n_twice += 1
+    assert n_twice > 0
