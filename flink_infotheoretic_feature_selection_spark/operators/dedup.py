@@ -230,9 +230,72 @@ def minhash_lsh_pairs(
     """LSH-banded candidate pairs verified by exact Jaccard.
 
     Scale path: candidates come from the band-bucket equi-join, so the
-    pair space is hash collisions, not n²."""
+    pair space is hash collisions, not n².
+
+    DataFrame pipeline rather than one SQL statement on purpose: Spark
+    inlines CTEs, so the SQL form recomputes the shingle explode+distinct
+    four times (sizes, signatures, both sides of the verify join).  Here
+    the per-doc shingle array is built ONCE and persisted; signatures and
+    bands derive from it, and verification is `array_intersect` on the
+    two arrays (order-independent, exact) instead of a second self-join
+    on the exploded shingle table.  AQE picks broadcast vs shuffle for
+    the verify join from the (small) array table's stats.
+    """
+    from pyspark.sql import functions as F
+
     _docs(spark, sf_dir)
-    return spark.sql(_lsh_sql(duck=False, threshold=threshold, n=n))
+    sh = spark.sql(f"WITH {_shingles_cte(duck=False, n=n)} SELECT doc_id, shingle FROM sh")
+    docs_arr = (
+        sh.groupBy("doc_id").agg(F.collect_list("shingle").alias("shingles")).persist()
+    )
+
+    rh = rolling_hash_expr_spark("s")
+    sig = docs_arr.select(
+        "doc_id", F.expr(f"transform(shingles, s -> {rh})").alias("hs")
+    ).select(
+        "doc_id",
+        *[
+            F.expr(f"array_min(transform(hs, h -> ({a} * h + {b}) % {MINHASH_P}))").alias(
+                f"mh{i}"
+            )
+            for i, (a, b) in enumerate(MINHASH_PARAMS)
+        ],
+    )
+
+    rows_per_band = len(MINHASH_PARAMS) // N_BANDS
+    band_structs = ", ".join(
+        "struct({band} AS band, concat_ws(',', {cols}) AS bkey)".format(
+            band=band,
+            cols=", ".join(f"mh{band * rows_per_band + r}" for r in range(rows_per_band)),
+        )
+        for band in range(N_BANDS)
+    )
+    bands = sig.select(
+        "doc_id", F.explode(F.expr(f"array({band_structs})")).alias("bb")
+    ).select("doc_id", "bb.band", "bb.bkey")
+
+    cand = (
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+    arr_a = docs_arr.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
+    arr_b = docs_arr.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
+    n_inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    jac = n_inter.cast("double") / (F.size("sh_a") + F.size("sh_b") - n_inter)
+    return (
+        cand.join(arr_a, "doc_a")
+        .join(arr_b, "doc_b")
+        .filter(jac >= threshold)
+        .select("doc_a", "doc_b", F.round(jac, 5).alias("jaccard"))
+    )
 
 
 def minhash_lsh_pairs_oracle(threshold: float = 0.2, n: int = 3) -> str:

@@ -269,8 +269,6 @@ class SparseInfoThSelector:
         self.emit_f32 = emit_f32
 
     def fit(self, nonzeros: DataFrame, labels: DataFrame) -> InfoThSelectorModel:
-        from flink_infotheoretic_feature_selection_spark.operators.sparse import sparse_hist2d, sparse_hist3d
-
         if self.n_to_select > self.n_features:
             raise ValueError(
                 f"n_to_select={self.n_to_select} exceeds n_features={self.n_features}"
@@ -278,27 +276,55 @@ class SparseInfoThSelector:
         import numpy as np
         from pyspark.sql import functions as F
 
-        nonzeros = nonzeros.persist(StorageLevel.MEMORY_AND_DISK)
-        labels = labels.persist(StorageLevel.MEMORY_AND_DISK)
+        # One data-sized join for the whole fit: attach the label to every
+        # nonzero cell, hash-partition by row_id, persist.  Every
+        # per-iteration join (remaining cells vs. the selected feature's
+        # column) then has BOTH sides co-partitioned on row_id — no
+        # further shuffle of the big table, k iterations reuse one layout.
+        # Zero-crediting (InfoTheory.scala:296-304, :377-384) moves to the
+        # driver: it only needs the dims-bounded y / (y,z) histograms.
+        # sortWithinPartitions: the cache advertises (partitioning, order)
+        # on row_id, so each iteration's sort-merge join runs with NO
+        # exchange and NO sort — a streaming zipper over the cached
+        # layout.  (Broadcasting the selected column instead would also
+        # avoid the sort but puts one full column on every executor —
+        # unbounded at scale; the zipper is safe at any row count.)
+        nzy = (
+            nonzeros.join(labels, "row_id")
+            .select("row_id", "feat", "x", "y")
+            .repartition("row_id")
+            .sortWithinPartitions("row_id")
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
         try:
-            n = labels.count()
             nf = self.n_features
+            y_hist = {
+                int(r["y"]): int(r["cnt"])
+                for r in labels.groupBy("y").agg(F.count("*").alias("cnt")).collect()
+            }
+            n = sum(y_hist.values())
             # dims: per-feature max+1 (≥1 so empty features still get x=0)
             drow = {
                 r["feat"]: int(r["d"])
-                for r in nonzeros.groupBy("feat").agg((F.max("x") + 1).alias("d")).collect()
+                for r in nzy.groupBy("feat").agg((F.max("x") + 1).alias("d")).collect()
             }
             dims = {i: max(drow.get(i, 1), 1) for i in range(nf)}
-            y_dim = int(labels.agg(F.max("y")).collect()[0][0]) + 1
+            y_dim = max(y_hist) + 1
+            n_y = np.zeros(y_dim, dtype=np.int64)
+            for y_, c_ in y_hist.items():
+                n_y[y_] = c_
 
-            def collect2d(hdf: DataFrame) -> dict[int, np.ndarray]:
+            def collect2d(hdf) -> dict[int, np.ndarray]:
                 out = {i: np.zeros((dims[i], y_dim), dtype=np.int64) for i in range(nf)}
                 pdf = hdf.toPandas()
                 for f_, x_, y_, c_ in pdf[["feat", "x", "y", "cnt"]].itertuples(index=False):
                     out[f_][x_, y_] = c_
+                # credited zeros: count(x=0, y) = N_y − Σ_{x≠0} count(x, y)
+                for i in range(nf):
+                    out[i][0] = n_y - out[i][1:].sum(axis=0)
                 return out
 
-            h2 = collect2d(sparse_hist2d(nonzeros, labels, nf))
+            h2 = collect2d(nzy.groupBy("feat", "x", "y").agg(F.count("*").alias("cnt")))
             relevances = {
                 i: mutual_info(h2[i], n, emit_f32=self.emit_f32) for i in range(nf)
             }
@@ -320,34 +346,48 @@ class SparseInfoThSelector:
                     remaining.remove(best)
                     if len(path) >= self.n_to_select or not remaining:
                         break
-                    # z column = selected feature's value per row (0 if absent)
-                    zcol = (
-                        labels.select("row_id")
-                        .join(
-                            nonzeros.filter(F.col("feat") == best).select(
-                                "row_id", F.col("x").alias("z")
-                            ),
-                            "row_id",
-                            "left",
-                        )
-                        .select("row_id", F.coalesce("z", F.lit(0)).alias("z"))
-                    )
-                    rem_nz = nonzeros.filter(F.col("feat").isin(remaining))
-                    h3df = sparse_hist3d(rem_nz, labels, zcol, nf)
                     sel_dim = dims[best]
+                    # z column = selected feature's nonzeros (absent ⇒ z=0);
+                    # same row_id partitioning as nzy, so the join below is
+                    # exchange-free (AQE may still elect broadcast).
+                    nz_best = nzy.filter(F.col("feat") == best).select(
+                        "row_id", F.col("x").alias("z")
+                    )
+                    # full (y, z) histogram: nonzero part counted from the
+                    # selected column, z=0 column credited from n_y
+                    n_yz = np.zeros((y_dim, sel_dim), dtype=np.int64)
+                    for r in (
+                        nzy.filter(F.col("feat") == best)
+                        .groupBy("y", F.col("x").alias("z"))
+                        .agg(F.count("*").alias("cnt"))
+                        .collect()
+                    ):
+                        n_yz[r["y"], r["z"]] = r["cnt"]
+                    n_yz[:, 0] = n_y - n_yz[:, 1:].sum(axis=1)
+
+                    h3df = (
+                        nzy.filter(F.col("feat").isin(remaining))
+                        .join(nz_best, "row_id", "left")
+                        .groupBy(
+                            "feat", "x", "y", F.coalesce("z", F.lit(0)).alias("z")
+                        )
+                        .agg(F.count("*").alias("cnt"))
+                    )
                     # mi_and_cmi convention: counts[x, y=selected, z=class]
-                    # (InfoTheory.scala:445-461) — hist3d's y is the class
-                    # and z the selected feature, so swap on fill.
+                    # (InfoTheory.scala:445-461) — our y is the class and z
+                    # the selected feature, so swap on fill.
                     out = {
                         i: np.zeros((dims[i], sel_dim, y_dim), dtype=np.int64)
                         for i in remaining
                     }
-                    pdf = h3df.filter(F.col("feat").isin(remaining)).toPandas()
+                    pdf = h3df.toPandas()
                     for f_, x_, y_, z_, c_ in pdf[
                         ["feat", "x", "y", "z", "cnt"]
                     ].itertuples(index=False):
                         out[f_][x_, z_, y_] = c_
+                    # credited zeros: count(x=0, z, y) = N_yz − Σ_{x≠0}
                     for i in remaining:
+                        out[i][0] = n_yz.T - out[i][1:].sum(axis=0)
                         mi, cmi = mi_and_cmi(out[i], n, emit_f32=self.emit_f32)
                         state[i].update(mi, cmi)
 
@@ -361,5 +401,4 @@ class SparseInfoThSelector:
                 relevances={names[i]: relevances[i] for i in range(nf)},
             )
         finally:
-            nonzeros.unpersist()
-            labels.unpersist()
+            nzy.unpersist()
