@@ -244,6 +244,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # M7 extensions — LLM-data-pipeline operators
         "text_stats": text.text_stats,
         "lang_id": text.lang_id,
+        "corpus_clean": text.corpus_clean,
         "doc_fingerprint": text.fingerprint,
         "dedup_exact": dedup.exact_dedup,
         "dedup_jaccard_pairs": dedup.shingle_jaccard_pairs,
@@ -324,6 +325,7 @@ def oracle_sql() -> dict[str, str]:
         "text_stats": text.TEXT_STATS_ORACLE,
         "lang_id": text.LANG_ID_ORACLE,
         "doc_fingerprint": text.FINGERPRINT_ORACLE,
+        "corpus_clean": text.CORPUS_CLEAN_ORACLE,
         "dedup_exact": dedup.EXACT_DEDUP_ORACLE,
         "dedup_jaccard_pairs": dedup.jaccard_pairs_oracle(),
         "minhash_signatures": dedup.minhash_signatures_oracle(),

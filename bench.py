@@ -102,6 +102,9 @@ def main() -> None:
     t, _ = timed(lambda: text.text_stats(spark, SF_DIR).count())
     results["b10_text_stats"] = round(t, 3)
 
+    t, _ = timed(lambda: text.corpus_clean(spark, SF_DIR).count())
+    results["b10b_corpus_clean"] = round(t, 3)
+
     t, _ = timed(
         lambda: load_events(spark, SF_DIR)
         .groupBy(F.window("ts", "1 day"), "event_type")
@@ -109,6 +112,11 @@ def main() -> None:
         .count()
     )
     results["b11_events_window"] = round(t, 3)
+
+    from flink_infotheoretic_feature_selection_spark.operators import sessions
+
+    t, _ = timed(lambda: sessions.sessionize(load_events(spark, SF_DIR)).count())
+    results["b11b_sessionize"] = round(t, 3)
 
     t, _ = timed(
         lambda: multimodal.extract_features(

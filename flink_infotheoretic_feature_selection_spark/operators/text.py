@@ -21,9 +21,11 @@ __all__ = [
     "text_stats",
     "lang_id",
     "fingerprint",
+    "corpus_clean",
     "TEXT_STATS_ORACLE",
     "LANG_ID_ORACLE",
     "FINGERPRINT_ORACLE",
+    "CORPUS_CLEAN_ORACLE",
 ]
 
 STOPWORDS_EN = ("the", "a", "and", "of", "to", "in", "is")
@@ -79,7 +81,8 @@ def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 TEXT_STATS_ORACLE = f"SELECT {_stats_select(duck=True)} FROM documents"
 
 
-def _lang_select(duck: bool) -> str:
+def _lang_case(duck: bool) -> str:
+    """Just the language-ID CASE expression (no doc_id, no alias)."""
     tokens = _TOKENS_DUCK if duck else _TOKENS
     size = "len" if duck else "size"
     flt = "list_filter" if duck else "filter"
@@ -87,14 +90,18 @@ def _lang_select(duck: bool) -> str:
         lang: f"{size}({flt}({tokens}, t -> t IN ({', '.join(repr(w) for w in words)})))"
         for lang, words in _LANG_WORDS.items()
     }
-    return f"""
-      doc_id,
-      CASE
+    return f"""CASE
         WHEN {hits['en']} = 0 AND {hits['es']} = 0 AND {hits['fr']} = 0 THEN 'und'
         WHEN {hits['en']} >= {hits['es']} AND {hits['en']} >= {hits['fr']} THEN 'en'
         WHEN {hits['es']} >= {hits['fr']} THEN 'es'
         ELSE 'fr'
-      END AS lang_pred
+      END"""
+
+
+def _lang_select(duck: bool) -> str:
+    return f"""
+      doc_id,
+      {_lang_case(duck)} AS lang_pred
     """
 
 
@@ -139,3 +146,47 @@ def fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 FINGERPRINT_ORACLE = (
     f"SELECT doc_id, {rolling_hash_expr_duckdb('lower(trim(text))')} AS fp FROM documents"
 )
+
+
+# ---------------------------------------------------------------------------
+# Composed pipeline: exact-dedup + quality + language filter in ONE pass
+# ---------------------------------------------------------------------------
+CORPUS_CLEAN_MIN_QUALITY = 0.5
+CORPUS_CLEAN_LANG = "en"
+
+
+def _corpus_clean_sql(duck: bool) -> str:
+    """The LLM-corpus cleaning pipeline as a single statement.
+
+    Everything per-row (token stats, quality score, language-ID) is
+    computed in the same projection as the dedup window's hash key, so
+    the plan is: one scan of documents → one shuffle on md5(text) for
+    the keeper window → filter.  No joins, no second scan — this is why
+    it's written as one enriched CTE rather than composing the three
+    standalone operators (Spark inlines CTEs; three would triple-scan).
+    """
+    return f"""
+    WITH enriched AS (
+      SELECT {_stats_select(duck)},
+             {_lang_case(duck)} AS lang_pred,
+             min(doc_id) OVER (PARTITION BY md5(text)) AS keep_id
+      FROM documents
+    )
+    SELECT doc_id, n_tokens, quality_score, lang_pred
+    FROM enriched
+    WHERE doc_id = keep_id
+      AND quality_score >= {CORPUS_CLEAN_MIN_QUALITY}
+      AND lang_pred = '{CORPUS_CLEAN_LANG}'
+    """
+
+
+def corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-corpus cleaner: drop exact duplicates (keep lowest
+    doc_id), low-quality docs, and non-English docs — composed from the
+    same fragments as ``text_stats``/``lang_id``/``exact_dedup`` but
+    planned as one scan + one window shuffle."""
+    spark.read.parquet(f"{sf_dir}/documents.parquet").createOrReplaceTempView("documents")
+    return spark.sql(_corpus_clean_sql(duck=False))
+
+
+CORPUS_CLEAN_ORACLE = _corpus_clean_sql(duck=True)
