@@ -71,3 +71,29 @@ def test_transform_is_shuffle_free(spark, sf_dir):
     df = features_dense(spark, sf_dir)
     model = InfoThSelector(n_to_select=3, criterion="mim").fit(df)
     assert exchange_count(model.transform(df)) == 0
+
+
+def test_sessionize_single_exchange(spark, sf_dir):
+    # Window partitionBy(user_id) then groupBy(user_id, sess_seq):
+    # hash(user_id) clusters the grouping keys too, so Catalyst must
+    # plan ONE exchange for the whole sessionization.
+    from flink_infotheoretic_feature_selection_spark.datasets import load_events
+    from flink_infotheoretic_feature_selection_spark.operators.sessions import sessionize
+
+    q = sessionize(load_events(spark, sf_dir))
+    assert exchange_count(q) == 1, formatted_plan(q)
+
+
+def test_corpus_clean_one_scan_one_exchange(spark, sf_dir):
+    # The composed cleaner must not re-scan documents per component:
+    # one parquet scan, one shuffle (the dedup keeper window).
+    from flink_infotheoretic_feature_selection_spark.operators.text import corpus_clean
+
+    q = corpus_clean(spark, sf_dir)
+    plan = formatted_plan(q)
+    # tree nodes render as "Scan parquet  (N)"; the details section
+    # repeats the name without the id-suffix form
+    import re
+
+    assert len(re.findall(r"Scan parquet\s+\(\d+\)", plan)) == 1, plan
+    assert exchange_count(q) == 1, plan
