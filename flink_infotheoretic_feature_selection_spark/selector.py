@@ -42,7 +42,7 @@ from flink_infotheoretic_feature_selection_spark.operators.histogram import (
     feature_dims,
     feature_dims_and_count,
     hist2d,
-    hist3d,
+    hist3d_arrow,
 )
 
 __all__ = ["InfoThSelector", "InfoThSelectorModel", "SparseInfoThSelector"]
@@ -223,8 +223,14 @@ class InfoThSelector:
                     break
                 # Redundancy pass: 3-D histograms of every remaining feature
                 # vs (selected=best, class) — InfoTheory.scala:445-461.
+                # Arrow route here, NOT the codegen route: each iteration
+                # builds a fresh plan (remaining shrinks, best changes), and
+                # the posexplode plan pays multi-second codegen compilation
+                # per fresh plan; the mapInArrow plan is opaque to codegen
+                # and re-plans in ~0.1 s.  One-shot passes (relevance init,
+                # the hist2d/hist3d queries) keep the codegen route.
                 h3 = collect_hist3d(
-                    hist3d(matrix, remaining, best, label, dims, dims[best], y_dim),
+                    hist3d_arrow(matrix, remaining, best, label, dims, dims[best], y_dim),
                     remaining,
                     dims,
                     dims[best],

@@ -97,3 +97,34 @@ def test_corpus_clean_one_scan_one_exchange(spark, sf_dir):
 
     assert len(re.findall(r"Scan parquet\s+\(\d+\)", plan)) == 1, plan
     assert exchange_count(q) == 1, plan
+
+
+def test_hist_routes_agree(spark, sf_dir):
+    # The codegen (posexplode) and Arrow (bincount) routes must produce
+    # identical cells — this is the cross-check that lets the codegen
+    # route be the default.
+    from flink_infotheoretic_feature_selection_spark.operators.histogram import (
+        hist2d_arrow,
+        hist3d,
+        hist3d_arrow,
+    )
+
+    df = features_dense(spark, sf_dir)
+    dims = feature_dims(df, FEATURE_NAMES + ["label"])
+    feats = FEATURE_NAMES[:6]
+
+    a = {tuple(r) for r in hist2d(df, feats, "label", dims, dims["label"]).collect()}
+    b = {tuple(r) for r in hist2d_arrow(df, feats, "label", dims, dims["label"]).collect()}
+    assert a == b
+
+    a3 = {
+        tuple(r)
+        for r in hist3d(df, feats, "f7", "label", dims, dims["f7"], dims["label"]).collect()
+    }
+    b3 = {
+        tuple(r)
+        for r in hist3d_arrow(
+            df, feats, "f7", "label", dims, dims["f7"], dims["label"]
+        ).collect()
+    }
+    assert a3 == b3
