@@ -139,6 +139,33 @@ def _q_sparse_hist2d(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sparse_hist2d(nonzeros, labels, _SPARSE_NF)
 
 
+def _q_sparse_hist3d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # A7 — sparse 3-D histograms with implicit-zero crediting, conditioned
+    # on f3 as the z column; must reproduce the dense (x, y, z) counts.
+    from flink_infotheoretic_feature_selection_spark.operators.sparse import sparse_hist3d
+
+    feats = FEATURE_NAMES[:_SPARSE_NF]
+    base = (
+        features_dense(spark, sf_dir)
+        .select(
+            F.monotonically_increasing_id().alias("row_id"),
+            *[F.col(c).cast("int").alias(c) for c in feats],
+            F.col("label").cast("int").alias("y"),
+        )
+        .persist()
+    )
+    nonzeros = (
+        base.select(
+            "row_id",
+            F.posexplode(F.array(*feats)).alias("feat", "x"),
+        )
+        .filter(F.col("x") != 0)
+    )
+    labels = base.select("row_id", "y")
+    zcol = base.select("row_id", F.col(feats[3]).alias("z"))
+    return sparse_hist3d(nonzeros, labels, zcol, _SPARSE_NF)
+
+
 def _q_selected_mrmr(spark: SparkSession, sf_dir: str) -> DataFrame:
     # I1 — greedy mRMR selection, k=5 (iterative; no SQL oracle → rows-only).
     df = features_dense(spark, sf_dir)
@@ -240,6 +267,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "projection": _q_projection,
         "equal_freq_bucket": _q_equal_freq_bucket,
         "sparse_hist2d": _q_sparse_hist2d,
+        "sparse_hist3d": _q_sparse_hist3d,
         "selected_mrmr": _q_selected_mrmr,
         # M7 extensions — LLM-data-pipeline operators
         "text_stats": text.text_stats,
@@ -319,6 +347,16 @@ def oracle_sql() -> dict[str, str]:
             f"WITH {_FM_CTE}, {_LONG_CTE} "
             "SELECT CAST(feat AS INT) AS feat, x, y, count(*) AS cnt "
             f"FROM long WHERE feat < {_SPARSE_NF} GROUP BY feat, x, y"
+        ),
+        "sparse_hist3d": (
+            f"WITH {_FM_CTE}, long3 AS ("
+            + " UNION ALL ".join(
+                f"SELECT {i} AS feat, CAST(f{i} AS INT) AS x, "
+                "CAST(label AS INT) AS y, CAST(f3 AS INT) AS z FROM fm"
+                for i in range(_SPARSE_NF)
+            )
+            + ") SELECT CAST(feat AS INT) AS feat, x, y, z, count(*) AS cnt "
+            "FROM long3 GROUP BY feat, x, y, z"
         ),
         # selected_mrmr: iterative greedy loop — intentionally no SQL oracle
         # (driver records rows-only check).
