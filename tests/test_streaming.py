@@ -173,3 +173,68 @@ def test_stateful_user_stats_carries_state_across_batches(spark, sf_dir, tmp_pat
         assert final[uid]["last_ts_us"] == r["last_ts_us"]
         n_twice += 1
     assert n_twice > 0
+
+
+def test_sessionize_stream_append_emits_only_watermark_closed(spark, tmp_path):
+    # Controlled two-batch fixture: batch A has a tight burst per user,
+    # batch B arrives 10 days later.  With gap=12h and watermark 0s, after
+    # both batches the watermark sits at B's max event time, so A's
+    # sessions (ended long before) MUST be emitted in append mode, while
+    # B's still-open sessions are withheld — the state-eviction contract
+    # that makes session state O(open sessions) at scale.
+    import time as _time
+
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    from flink_infotheoretic_feature_selection_spark.streaming import sessionize_stream
+
+    schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("ts", TimestampType()),
+            StructField("value", DoubleType()),
+        ]
+    )
+    d = tmp_path / "sessions_append"
+    d.mkdir()
+    t0 = 1_700_000_000  # epoch seconds
+    batch_a = [
+        (1, t0, 1.0),
+        (1, t0 + 600, 2.0),
+        (2, t0 + 60, 5.0),
+    ]
+    batch_b = [(1, t0 + 10 * 86400, 7.0), (2, t0 + 10 * 86400 + 30, 9.0)]
+
+    def write(rows, path):
+        spark.createDataFrame(
+            [(u, __import__("datetime").datetime.utcfromtimestamp(s), v) for u, s, v in rows],
+            schema,
+        ).coalesce(1).write.mode("overwrite").parquet(path)
+
+    write(batch_a, str(d / "a"))
+    _time.sleep(1.1)  # distinct mtimes => file source processes A before B
+    write(batch_b, str(d / "b"))
+
+    stream_src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(d / "*"))
+    )
+    out = run_to_memory(
+        sessionize_stream(stream_src, gap="12 hours", watermark="0 seconds"),
+        "sess_append",
+        output_mode="append",
+    ).collect()
+
+    got = {(r["user_id"], r["session_start_us"]): r["n_events"] for r in out}
+    # exactly batch A's sessions: user 1 (2 events), user 2 (1 event)
+    assert got == {
+        (1, t0 * 1_000_000): 2,
+        (2, (t0 + 60) * 1_000_000): 1,
+    }, out
