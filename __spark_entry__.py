@@ -285,6 +285,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_window_agg": _q_events_window_agg,
         "stream_window_agg": _q_stream_window_agg,
         "sessionize": sessions.sessionize_query,
+        "sessionize_skew": sessions.sessionize_skew_query,
         "media_meta": _q_media_meta,
         "media_features": _q_media_features,
         "frame_sample": _q_frame_sample,
@@ -387,6 +388,7 @@ def oracle_sql() -> dict[str, str]:
             FROM events GROUP BY 1, 2
         """,
         "sessionize": sessions.SESSIONIZE_ORACLE,
+        "sessionize_skew": sessions.SESSIONIZE_ORACLE,
         "media_meta": multimodal.MEDIA_META_ORACLE,
         # media_features / frame_sample: mapInPandas paths — rows-only check.
     }

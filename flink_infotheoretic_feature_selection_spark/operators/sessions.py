@@ -27,7 +27,15 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-__all__ = ["duration_us", "sessionize", "sessionize_query", "SESSIONIZE_GAP", "SESSIONIZE_ORACLE"]
+__all__ = [
+    "duration_us",
+    "sessionize",
+    "sessionize_query",
+    "sessionize_skew",
+    "sessionize_skew_query",
+    "SESSIONIZE_GAP",
+    "SESSIONIZE_ORACLE",
+]
 
 _UNIT_US = {
     "microsecond": 1,
@@ -123,3 +131,100 @@ SESSIONIZE_ORACLE = f"""
            round(sum(value), 4) AS sum_value
     FROM numbered GROUP BY user_id, sess_seq
 """
+
+
+def sessionize_skew(
+    events: DataFrame,
+    gap: str = "12 hours",
+    bucket: str = "30 days",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Skew-tolerant sessionize — identical output to :func:`sessionize`.
+
+    Plain sessionization serializes each user's full history through one
+    window partition; a hot user bounds the job.  Here:
+
+    - **phase 1** sessionizes within ``(user, time-bucket)`` partitions —
+      a hot user's history splits across ``range/bucket`` tasks;
+    - **phase 2** stitches sub-sessions whose boundary gap is < ``gap``
+      via ``applyInPandas`` per user over sub-session SUMMARIES — rows
+      are O(sessions + buckets) per user, never O(events).
+
+    The merge rule is exactly the single-pass rule: across a bucket
+    boundary the previous event is the prior sub-session's last event,
+    so stitch iff ``next.start − prev.end < gap``.
+    """
+    import pandas as pd
+
+    gap_ = duration_us(gap)
+    bucket_ = duration_us(bucket)
+    w = Window.partitionBy(user_col, "bkt").orderBy("ts_us")
+    sub = (
+        events.select(
+            F.col(user_col).alias("user_id"),
+            F.unix_micros(F.col(ts_col)).alias("ts_us"),
+            F.col(value_col).alias("value"),
+        )
+        .withColumn("bkt", F.expr(f"ts_us div {bucket_}"))
+        .withColumn("prev_us", F.lag("ts_us").over(w))
+        .withColumn(
+            "new_sub",
+            F.when(
+                F.col("prev_us").isNull()
+                | (F.col("ts_us") - F.col("prev_us") >= gap_),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn("sub_seq", F.sum("new_sub").over(w))
+        .groupBy("user_id", "bkt", "sub_seq")
+        .agg(
+            F.min("ts_us").alias("start_us"),
+            F.max("ts_us").alias("end_us"),
+            F.count("*").alias("n_events"),
+            F.sum("value").alias("sum_value"),
+        )
+    )
+
+    out_schema = (
+        "user_id long, sess_seq long, session_start_us long, "
+        "session_end_us long, n_events long, sum_value double"
+    )
+
+    def stitch(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("start_us").reset_index(drop=True)
+        rows = []
+        for r in pdf.itertuples(index=False):
+            if rows and r.start_us - rows[-1][2] < gap_:
+                prev = rows[-1]
+                rows[-1] = [
+                    prev[0],
+                    prev[1],
+                    max(prev[2], r.end_us),
+                    prev[3] + r.n_events,
+                    prev[4] + r.sum_value,
+                ]
+            else:
+                rows.append(
+                    [len(rows) + 1, r.start_us, r.end_us, r.n_events, r.sum_value]
+                )
+        return pd.DataFrame(
+            {
+                "user_id": [int(pdf["user_id"].iloc[0])] * len(rows),
+                "sess_seq": [r[0] for r in rows],
+                "session_start_us": [r[1] for r in rows],
+                "session_end_us": [r[2] for r in rows],
+                "n_events": [r[3] for r in rows],
+                "sum_value": [round(r[4], 4) for r in rows],
+            }
+        )
+
+    return sub.groupBy("user_id").applyInPandas(stitch, out_schema)
+
+
+def sessionize_skew_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``queries()`` wrapper — shares ``SESSIONIZE_ORACLE`` (same output)."""
+    from flink_infotheoretic_feature_selection_spark.datasets import load_events
+
+    return sessionize_skew(load_events(spark, sf_dir), gap=SESSIONIZE_GAP)

@@ -238,3 +238,25 @@ def test_sessionize_stream_append_emits_only_watermark_closed(spark, tmp_path):
         (1, t0 * 1_000_000): 2,
         (2, (t0 + 60) * 1_000_000): 1,
     }, out
+
+
+def test_sessionize_skew_equals_plain(spark, sf_dir):
+    # the skew-tolerant two-phase path must be value-identical to the
+    # single-window path, even with buckets small enough to force many
+    # boundary stitches
+    from flink_infotheoretic_feature_selection_spark.operators.sessions import (
+        sessionize,
+        sessionize_skew,
+    )
+
+    ev = load_events(spark, sf_dir)
+    key = lambda r: (r["user_id"], r["sess_seq"])
+    val = lambda r: (
+        r["session_start_us"],
+        r["session_end_us"],
+        r["n_events"],
+        r["sum_value"],
+    )
+    a = {key(r): val(r) for r in sessionize(ev).collect()}
+    b = {key(r): val(r) for r in sessionize_skew(ev, bucket="2 days").collect()}
+    assert a == b
