@@ -278,6 +278,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_jaccard_pairs": dedup.shingle_jaccard_pairs,
         "minhash_signatures": dedup.minhash_signatures,
         "minhash_lsh_pairs": dedup.minhash_lsh_pairs,
+        "neardup_groups": dedup.neardup_groups,
         "simhash": dedup.simhash,
         "cosine_topk": similarity.cosine_topk,
         "ann_ivf_topk": similarity.ivf_topk,
@@ -369,6 +370,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_jaccard_pairs": dedup.jaccard_pairs_oracle(),
         "minhash_signatures": dedup.minhash_signatures_oracle(),
         "minhash_lsh_pairs": dedup.minhash_lsh_pairs_oracle(),
+        "neardup_groups": dedup.neardup_groups_oracle(),
         "simhash": dedup.simhash_oracle(),
         "cosine_topk": similarity.cosine_topk_oracle(),
         "ann_ivf_topk": similarity.ivf_topk_oracle(),

@@ -38,11 +38,14 @@ __all__ = [
     "minhash_signatures",
     "minhash_lsh_pairs",
     "simhash",
+    "neardup_components",
+    "neardup_groups",
     "EXACT_DEDUP_ORACLE",
     "jaccard_pairs_oracle",
     "minhash_signatures_oracle",
     "minhash_lsh_pairs_oracle",
     "simhash_oracle",
+    "neardup_groups_oracle",
 ]
 
 # MinHash parameters: h_i(x) = (A_i * x + B_i) mod P over the shingle's
@@ -338,3 +341,96 @@ def simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def simhash_oracle() -> str:
     return _simhash_sql(duck=True)
+
+
+# ---------------------------------------------------------------------------
+# Near-dup groups: connected components over the LSH pair graph
+# ---------------------------------------------------------------------------
+def neardup_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
+    """Connected components of the near-dup pair graph → dedup groups.
+
+    Returns ``(doc_id, component)`` for every doc in ≥1 pair, where
+    ``component`` is the minimum doc_id of its group (the keeper).
+
+    Distributed min-label propagation: each pass every node adopts the
+    minimum label among itself and its neighbors, until a pass changes
+    nothing.  Converges in graph-diameter passes — near-dup components
+    are tiny/star-shaped, so a handful.  Each pass is one equi-join +
+    hash agg over the EDGE list (never the corpus); all driver-side
+    state is the single `changed` count.
+    """
+    from pyspark.sql import functions as F
+
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .union(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .withColumn("component", F.col("doc_id"))
+        .persist()
+    )
+    try:
+        for _ in range(max_iter):
+            nbr = (
+                edges.join(
+                    labels.select(
+                        F.col("doc_id").alias("dst"), F.col("component").alias("nbr_comp")
+                    ),
+                    "dst",
+                )
+                .groupBy("src")
+                .agg(F.min("nbr_comp").alias("nbr_min"))
+            )
+            new_labels = (
+                labels.join(nbr, labels["doc_id"] == nbr["src"], "left")
+                .select(
+                    "doc_id",
+                    F.least(
+                        F.col("component"), F.coalesce(F.col("nbr_min"), F.col("component"))
+                    ).alias("component"),
+                )
+                .persist()
+            )
+            changed = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), "doc_id")
+                .filter(F.col("n.component") != F.col("o.component"))
+                .count()
+            )
+            labels.unpersist()
+            labels = new_labels
+            if changed == 0:
+                break
+        return labels
+    finally:
+        edges.unpersist()
+
+
+def neardup_groups(
+    spark: SparkSession, sf_dir: str, threshold: float = 0.2, n: int = 3
+) -> DataFrame:
+    """LSH pairs → connected near-dup groups, one row per grouped doc."""
+    return neardup_components(minhash_lsh_pairs(spark, sf_dir, threshold, n))
+
+
+def neardup_groups_oracle(threshold: float = 0.2, n: int = 3) -> str:
+    # transitive closure via recursive CTE; component = min reachable id
+    return f"""
+    WITH RECURSIVE pairs AS ({_lsh_sql(duck=True, threshold=threshold, n=n)}),
+    edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION
+      SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(a, b) AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a WHERE e.b <> r.a
+    )
+    SELECT a AS doc_id, least(a, min(b)) AS component
+    FROM reach GROUP BY a
+    """
