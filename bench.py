@@ -12,6 +12,7 @@ import os
 import sys
 import time
 
+from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
 from flink_infotheoretic_feature_selection_spark.datasets import FEATURE_NAMES, features_dense
@@ -88,10 +89,35 @@ def main() -> None:
     t, _ = timed(b7)
     results["b7_discretizer"] = round(t, 3)
 
+    # B13 — sparse long-format selection (implicit-zero path), k=3 over
+    # the first 8 features of the matrix; runs with the other matrix-cache
+    # benches, before the documents caches accumulate
+    def b13():
+        from flink_infotheoretic_feature_selection_spark.selector import SparseInfoThSelector
+
+        nf = 8
+        feats = FEATURE_NAMES[:nf]
+        base = matrix.select(
+            F.monotonically_increasing_id().alias("row_id"),
+            *[F.col(c).cast("int").alias(c) for c in feats],
+            F.col("label").cast("int").alias("y"),
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        try:
+            nz = (
+                base.select("row_id", F.posexplode(F.array(*feats)).alias("feat", "x"))
+                .filter(F.col("x") != 0)
+            )
+            labels = base.select("row_id", "y")
+            return SparseInfoThSelector(n_features=nf, n_to_select=3).fit(nz, labels)
+        finally:
+            base.unpersist()
+
+    t, _ = timed(b13)
+    results["b13_sparse_mrmr_k3"] = round(t, 3)
+
     # B8-B12 — extension operators (LLM-data-pipeline surface)
     from flink_infotheoretic_feature_selection_spark.operators import dedup, multimodal, similarity, text
     from flink_infotheoretic_feature_selection_spark.datasets import load_events
-    from pyspark.sql import functions as F
 
     t, _ = timed(lambda: dedup.minhash_lsh_pairs(spark, SF_DIR).count())
     results["b8_minhash_lsh"] = round(t, 3)
@@ -125,30 +151,6 @@ def main() -> None:
     )
     results["b12_media_features"] = round(t, 3)
 
-    # B13 — sparse long-format selection (implicit-zero path), k=3 over
-    # the first 8 features of the matrix
-    def b13():
-        from flink_infotheoretic_feature_selection_spark.selector import SparseInfoThSelector
-
-        nf = 8
-        feats = FEATURE_NAMES[:nf]
-        base = matrix.select(
-            F.monotonically_increasing_id().alias("row_id"),
-            *[F.col(c).cast("int").alias(c) for c in feats],
-            F.col("label").cast("int").alias("y"),
-        ).persist(StorageLevel.MEMORY_AND_DISK)
-        try:
-            nz = (
-                base.select("row_id", F.posexplode(F.array(*feats)).alias("feat", "x"))
-                .filter(F.col("x") != 0)
-            )
-            labels = base.select("row_id", "y")
-            return SparseInfoThSelector(n_features=nf, n_to_select=3).fit(nz, labels)
-        finally:
-            base.unpersist()
-
-    t, _ = timed(b13)
-    results["b13_sparse_mrmr_k3"] = round(t, 3)
 
     matrix.unpersist()
     total = round(sum(v for k, v in results.items() if not k.endswith(("per_iter", "per_sec"))), 3)
