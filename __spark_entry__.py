@@ -81,11 +81,16 @@ def _q_relevance_mi(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_mim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # A13 — top-k features by relevance (MIM fast path), k=5.
+    # The gate emits 5-decimal MI, so the top-k boundary must be decided
+    # on the ROUNDED value (ties then by feat id) exactly like the oracle
+    # — otherwise two features whose raw MIs differ by <5e-6 but round
+    # equal (f1/f5 at sf0.01) rank differently across engines.
     df = features_dense(spark, sf_dir)
     model = InfoThSelector(n_to_select=5, criterion="mim", emit_f32=False).fit(df)
-    rows = [
-        (FEATURE_NAMES.index(c), round(s, 5)) for c, s in model.selection_path
-    ]
+    rows = sorted(
+        ((i, round(model.relevances[c], 5)) for i, c in enumerate(FEATURE_NAMES)),
+        key=lambda t: (-t[1], t[0]),
+    )[:5]
     return spark.createDataFrame(rows, "feat int, mi double")
 
 

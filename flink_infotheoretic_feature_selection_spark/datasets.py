@@ -18,6 +18,13 @@ shuffle, no UDF.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
 
 TABLES = (
     "region",
@@ -105,22 +112,34 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+# events.parquet stores ts as TIMESTAMP(NANOS), which Spark's reader
+# rejects unless either (a) the legacy nanosAsLong conf is set, or (b) an
+# explicit schema types the column as LONG.  (b) is the only option that
+# works in ANY session (the correctness harness builds its own), so every
+# events read goes through this schema.  Shared by the streaming reader.
+EVENTS_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", LongType()),  # TIMESTAMP(NANOS) scanned as long nanos
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+
 def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events with ``ts`` as a real timestamp.
 
-    The parquet stores TIMESTAMP(NANOS); with
-    ``spark.sql.legacy.parquet.nanosAsLong`` (set in session.get_spark)
-    it scans as long nanos, converted here via ``timestamp_micros`` —
-    still a narrow JVM-side expression.
+    Reads with the explicit :data:`EVENTS_SCHEMA` (``ts`` as long nanos),
+    then converts via ``timestamp_micros`` — a narrow JVM-side expression.
+    No session conf dependency.
     """
     from pyspark.sql import functions as F
 
-    df = load_table(spark, sf_dir, "events")
-    if dict(df.dtypes).get("ts") == "bigint":
-        df = df.withColumn(
-            "ts", F.timestamp_micros(F.expr("ts div 1000"))
-        )
-    return df
+    df = spark.read.schema(EVENTS_SCHEMA).parquet(f"{sf_dir}/events.parquet")
+    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
 
 def register_tables(spark: SparkSession, sf_dir: str) -> None:

@@ -26,10 +26,11 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import (
     DoubleType,
     LongType,
-    StringType,
     StructField,
     StructType,
 )
+
+from flink_infotheoretic_feature_selection_spark.datasets import EVENTS_SCHEMA
 
 __all__ = [
     "EVENTS_SCHEMA",
@@ -39,20 +40,6 @@ __all__ = [
     "stream_text_stats",
     "stream_feature_histogram",
 ]
-
-EVENTS_SCHEMA = StructType(
-    [
-        StructField("event_id", LongType()),
-        # TIMESTAMP(NANOS) parquet → long nanos under
-        # spark.sql.legacy.parquet.nanosAsLong (see session.get_spark)
-        StructField("ts", LongType()),
-        StructField("user_id", LongType()),
-        StructField("event_type", StringType()),
-        StructField("value", DoubleType()),
-        StructField("props", StringType()),
-    ]
-)
-
 
 def read_events_stream(spark: SparkSession, path: str) -> DataFrame:
     """File-source stream over an events parquet directory.

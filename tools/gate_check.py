@@ -1,0 +1,103 @@
+"""Replica of the driver's correctness gate, runnable per-query.
+
+Usage:  python tools/gate_check.py [sf_dir] [query ...]
+
+Builds a BARE SparkSession (deliberately NOT session.get_spark — the
+driver harness constructs its own session without our confs, so this
+catches any accidental dependency on session-level settings), runs each
+requested queries() entry and its oracle_sql() twin in DuckDB at the
+given sf_dir, and reports rows/schema/value-hash matches exactly like
+CORRECTNESS_r{N}.json.
+"""
+
+from __future__ import annotations
+
+import sys
+import traceback
+
+import duckdb
+from pyspark.sql import SparkSession
+
+sys.path.insert(0, "/root/repo")
+
+import __spark_entry__ as entry_mod  # noqa: E402
+from flink_infotheoretic_feature_selection_spark.datasets import TABLES  # noqa: E402
+
+
+def normalize(rows, columns):
+    order = sorted(range(len(columns)), key=lambda i: columns[i])
+    out = []
+    for row in rows:
+        vals = []
+        for i in order:
+            v = row[i]
+            if isinstance(v, float):
+                v = round(v, 6)
+                if v == -0.0:
+                    v = 0.0
+            vals.append(v)
+        out.append(tuple(vals))
+    return sorted(out, key=repr)
+
+
+def main() -> None:
+    args = sys.argv[1:]
+    sf_dir = args[0] if args and "/" in args[0] else "/root/testdata/sf0.01"
+    names = [a for a in args if "/" not in a]
+
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", "8g")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    duck = duckdb.connect()
+    for t in TABLES:
+        duck.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+    queries = entry_mod.queries()
+    oracles = entry_mod.oracle_sql()
+    names = names or sorted(queries)
+    failures = 0
+    for name in names:
+        try:
+            sdf = queries[name](spark, sf_dir)
+            spark_rows = [tuple(r) for r in sdf.collect()]
+            spark_cols = sdf.columns
+            if name not in oracles:
+                print(f"{name}: no_oracle rows={len(spark_rows)}")
+                continue
+            res = duck.execute(oracles[name])
+            duck_cols = [d[0] for d in res.description]
+            duck_rows = res.fetchall()
+            schema_ok = sorted(spark_cols) == sorted(duck_cols)
+            rows_ok = len(spark_rows) == len(duck_rows)
+            a = normalize(spark_rows, spark_cols)
+            b = normalize(duck_rows, duck_cols)
+            hash_ok = a == b
+            status = "PASS" if (schema_ok and rows_ok and hash_ok) else "FAIL"
+            if status == "FAIL":
+                failures += 1
+            print(
+                f"{name}: {status} rows={len(spark_rows)}/{len(duck_rows)} "
+                f"schema={schema_ok} hash={hash_ok}"
+            )
+            if not schema_ok:
+                print(f"  spark cols: {spark_cols}\n  duck cols:  {duck_cols}")
+            if schema_ok and not hash_ok:
+                diff = [(x, y) for x, y in zip(a, b) if x != y][:3]
+                only_a = [x for x in a if x not in set(b)][:3]
+                only_b = [y for y in b if y not in set(a)][:3]
+                print(f"  first diffs: {diff}\n  only-spark: {only_a}\n  only-duck: {only_b}")
+        except Exception:
+            failures += 1
+            print(f"{name}: ERROR")
+            traceback.print_exc(limit=5)
+    sys.exit(1 if failures else 0)
+
+
+if __name__ == "__main__":
+    main()
