@@ -172,14 +172,99 @@ def _q_sparse_hist3d(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_selected_mrmr(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # I1 — greedy mRMR selection, k=5 (iterative; no SQL oracle → rows-only).
+    # I1 — greedy mRMR selection, k=5.  emit_f32=False so scores stay
+    # float64 end-to-end and the DuckDB oracle (which unrolls the same
+    # greedy recursion) reproduces them bit-close; both sides round to 5.
     df = features_dense(spark, sf_dir)
-    model = InfoThSelector(n_to_select=5, criterion="mrmr").fit(df)
+    model = InfoThSelector(n_to_select=5, criterion="mrmr", emit_f32=False).fit(df)
     rows = [
         (step, FEATURE_NAMES.index(c), round(s, 5))
         for step, (c, s) in enumerate(model.selection_path)
     ]
     return spark.createDataFrame(rows, "step int, feat int, score double")
+
+
+def mrmr_oracle_sql(k: int = 5) -> str:
+    """DuckDB oracle for the flagship greedy mRMR selection (k steps).
+
+    Mirrors ``InfoSelector.scala:353-362`` + ``InfoThCriterion.scala:
+    143-164`` exactly: step 0 picks argmax relevance; step t picks argmax
+    of  rel(c) − (Σ_{s∈S} MI(c; s)) / |S|  over the remaining features,
+    ties broken by lowest feature id.  All MI terms are float64 (the
+    engine query passes emit_f32=False); only the emitted score rounds.
+
+    Shape notes: pairwise joint counts are computed straight off the wide
+    matrix (one GROUP BY per (i, j) pair, unioned) — no row-id self-join,
+    because the synthetic lineitem has no unique key (duplicate
+    (l_orderkey, l_linenumber) rows exist at sf0.01).  The greedy
+    recursion is k chained argmax CTE stages over the 32×32 MI matrix —
+    dims-bounded, exactly like the engine's driver loop.
+    """
+    n_feat = len(FEATURE_NAMES)
+    lng = " UNION ALL ".join(
+        f"SELECT {i} AS feat, CAST(f{i} AS INT) AS x FROM fm" for i in range(n_feat)
+    )
+    pair_joint = " UNION ALL ".join(
+        f"SELECT {i} AS i, {j} AS j, CAST(f{i} AS INT) AS xi,"
+        f" CAST(f{j} AS INT) AS xj, count(*) AS c FROM fm GROUP BY xi, xj"
+        for i in range(n_feat)
+        for j in range(i + 1, n_feat)
+    )
+    lab_lng = " UNION ALL ".join(
+        f"SELECT {i} AS feat, CAST(f{i} AS INT) AS x, CAST(label AS INT) AS y FROM fm"
+        for i in range(n_feat)
+    )
+    head = f"""
+    WITH fm AS MATERIALIZED (
+      SELECT {features_select_duckdb()}
+      FROM lineitem),
+    tot AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM fm),
+    lng AS MATERIALIZED ({lng}),
+    mx AS MATERIALIZED (
+      SELECT feat, x, CAST(count(*) AS DOUBLE) AS cx FROM lng GROUP BY feat, x),
+    my AS (SELECT CAST(label AS INT) AS y, CAST(count(*) AS DOUBLE) AS cy
+           FROM fm GROUP BY 1),
+    jl AS (SELECT feat, x, y, count(*) AS c FROM ({lab_lng}) GROUP BY feat, x, y),
+    relv AS MATERIALIZED (
+      SELECT jl.feat AS feat,
+             sum((CAST(c AS DOUBLE)/n) * log2(CAST(c AS DOUBLE)*n/(cx*cy))) AS rel
+      FROM jl JOIN tot ON true
+      JOIN mx ON mx.feat = jl.feat AND mx.x = jl.x
+      JOIN my ON my.y = jl.y
+      GROUP BY jl.feat),
+    pj AS MATERIALIZED ({pair_joint}),
+    pmi0 AS MATERIALIZED (
+      SELECT p.i, p.j,
+             sum((CAST(p.c AS DOUBLE)/n) * log2(CAST(p.c AS DOUBLE)*n/(ma.cx*mb.cx))) AS mi
+      FROM pj p JOIN tot ON true
+      JOIN mx ma ON ma.feat = p.i AND ma.x = p.xi
+      JOIN mx mb ON mb.feat = p.j AND mb.x = p.xj
+      GROUP BY p.i, p.j),
+    pmi AS MATERIALIZED (SELECT i, j, mi FROM pmi0 UNION ALL SELECT j, i, mi FROM pmi0),
+    s1 AS (SELECT feat, rel AS score FROM relv ORDER BY rel DESC, feat LIMIT 1),
+    sel1 AS (SELECT 0 AS step, feat, score FROM s1)"""
+    stages = []
+    for t in range(2, k + 1):
+        prev = f"sel{t - 1}"
+        stages.append(f"""
+    c{t} AS (
+      SELECT r.feat, r.rel - sum(p.mi) / count(*) AS score
+      FROM relv r JOIN pmi p ON p.i = r.feat
+      WHERE p.j IN (SELECT feat FROM {prev})
+        AND r.feat NOT IN (SELECT feat FROM {prev})
+      GROUP BY r.feat, r.rel),
+    s{t} AS (SELECT feat, score FROM c{t} ORDER BY score DESC, feat LIMIT 1),
+    sel{t} AS (SELECT * FROM {prev} UNION ALL SELECT {t - 1}, feat, score FROM s{t})""")
+    return (
+        head
+        + ","
+        + ",".join(stages)
+        + f"""
+    SELECT CAST(step AS INT) AS step, CAST(feat AS INT) AS feat,
+           round(score, 5) AS score
+    FROM sel{k}
+    """
+    )
 
 
 def _q_events_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -365,8 +450,7 @@ def oracle_sql() -> dict[str, str]:
             + ") SELECT CAST(feat AS INT) AS feat, x, y, z, count(*) AS cnt "
             "FROM long3 GROUP BY feat, x, y, z"
         ),
-        # selected_mrmr: iterative greedy loop — intentionally no SQL oracle
-        # (driver records rows-only check).
+        "selected_mrmr": mrmr_oracle_sql(k=5),
         "text_stats": text.TEXT_STATS_ORACLE,
         "lang_id": text.LANG_ID_ORACLE,
         "doc_fingerprint": text.FINGERPRINT_ORACLE,
