@@ -328,14 +328,15 @@ def _q_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Multimodal: Arrow-batched byte-histogram features (rows-only check —
-    # array<float> output, mapInPandas path).
+    # Multimodal: Arrow-batched byte-histogram features, long shape
+    # (doc_id, bin, cnt, val) so the harness can canonicalize and the
+    # DuckDB byte-histogram oracle checks values, not just rows.
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return multimodal.extract_features(multimodal.attach_media(docs), dim=16)
+    return multimodal.extract_features_long(multimodal.attach_media(docs), dim=16)
 
 
 def _q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Multimodal: every-4th fixed-size frame stats (rows-only check).
+    # Multimodal: every-4th fixed-size frame stats (frame-arithmetic oracle).
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return multimodal.frame_sample(multimodal.attach_media(docs), every_k=4)
 
@@ -481,5 +482,6 @@ def oracle_sql() -> dict[str, str]:
         "sessionize": sessions.SESSIONIZE_ORACLE,
         "sessionize_skew": sessions.SESSIONIZE_ORACLE,
         "media_meta": multimodal.MEDIA_META_ORACLE,
-        # media_features / frame_sample: mapInPandas paths — rows-only check.
+        "media_features": multimodal.MEDIA_FEATURES_ORACLE,
+        "frame_sample": multimodal.FRAME_SAMPLE_ORACLE,
     }

@@ -41,8 +41,11 @@ __all__ = [
     "decode_media",
     "fake_decode",
     "extract_features",
+    "extract_features_long",
     "frame_sample",
     "MEDIA_META_ORACLE",
+    "MEDIA_FEATURES_ORACLE",
+    "FRAME_SAMPLE_ORACLE",
 ]
 
 FRAME_BYTES = 64  # fixed frame size for the synthetic video layout
@@ -182,6 +185,75 @@ def extract_features(media: DataFrame, dim: int = 16) -> DataFrame:
     return media.select("doc_id", "media").mapInPandas(batches, _FEATURES_SCHEMA)
 
 
+_FEATURES_LONG_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("bin", IntegerType()),
+        StructField("cnt", LongType()),
+        StructField("n_bytes", LongType()),
+    ]
+)
+
+
+def extract_features_long(media: DataFrame, dim: int = 16) -> DataFrame:
+    """Byte-histogram features in long form: one (doc_id, bin, cnt,
+    n_bytes, val) row per histogram bin (all ``dim`` bins emitted, zeros
+    included, so row count is exactly docs×dim).
+
+    Same Arrow-batched kernel as :func:`extract_features`, but the
+    normalized value is computed as a JVM-side float64 division
+    (``cnt / n_bytes``) AFTER the UDF, so an SQL oracle doing the same
+    division is bit-identical — no float32 rounding at the boundary.
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out: dict[str, list] = {"doc_id": [], "bin": [], "cnt": [], "n_bytes": []}
+            for doc_id, buf in zip(pdf["doc_id"], pdf["media"]):
+                b = np.frombuffer(bytes(buf), dtype=np.uint8)
+                hist = np.bincount(b // (256 // dim), minlength=dim)[:dim]
+                out["doc_id"].extend([doc_id] * dim)
+                out["bin"].extend(range(dim))
+                out["cnt"].extend(int(c) for c in hist)
+                out["n_bytes"].extend([len(b)] * dim)
+            yield pd.DataFrame(out)
+
+    long = media.select("doc_id", "media").mapInPandas(batches, _FEATURES_LONG_SCHEMA)
+    return long.select(
+        "doc_id",
+        "bin",
+        "cnt",
+        F.when(F.col("n_bytes") == 0, F.lit(0.0))
+        .otherwise(F.col("cnt") / F.col("n_bytes"))
+        .alias("val"),
+    )
+
+
+# DuckDB oracle for extract_features_long (dim=16).  The synthetic media
+# payload is encode(text) and the corpus is pure ASCII (verified per-SF),
+# so byte values equal unicode code points — the oracle walks characters
+# with range()+substr and buckets code//16.  Zero bins come from a
+# doc×bin grid left-join.
+MEDIA_FEATURES_ORACLE = """
+    WITH pos AS (
+      SELECT doc_id, text, unnest(range(1, length(text) + 1)) AS i
+      FROM documents),
+    chars AS MATERIALIZED (
+      SELECT doc_id,
+             unicode(substr(text, CAST(i AS INT), 1)) // 16 AS bin
+      FROM pos),
+    cnts AS (SELECT doc_id, bin, count(*) AS c FROM chars GROUP BY 1, 2),
+    docs AS (SELECT doc_id, octet_length(encode(text)) AS n_bytes FROM documents),
+    grid AS (SELECT doc_id, n_bytes, r.range AS bin FROM docs, range(16) r)
+    SELECT g.doc_id,
+           CAST(g.bin AS INT) AS bin,
+           CAST(coalesce(c.c, 0) AS BIGINT) AS cnt,
+           CASE WHEN g.n_bytes = 0 THEN 0.0
+                ELSE CAST(coalesce(c.c, 0) AS DOUBLE) / g.n_bytes END AS val
+    FROM grid g LEFT JOIN cnts c ON c.doc_id = g.doc_id AND c.bin = g.bin
+"""
+
+
 def frame_sample(media: DataFrame, every_k: int = 4) -> DataFrame:
     """Sample every k-th fixed-size frame from a (synthetic) video blob.
 
@@ -213,3 +285,27 @@ def frame_sample(media: DataFrame, every_k: int = 4) -> DataFrame:
             yield pd.DataFrame(out)
 
     return media.select("doc_id", "media").mapInPandas(batches, schema)
+
+
+# DuckDB oracle for frame_sample (every_k=4, FRAME_BYTES=64).  Same
+# ASCII-bytes-as-code-points trick as MEDIA_FEATURES_ORACLE: walk
+# character positions, bucket into complete 64-byte frames, keep every
+# 4th frame, sum byte values.
+FRAME_SAMPLE_ORACLE = f"""
+    WITH pos AS (
+      SELECT doc_id, text, unnest(range(1, length(text) + 1)) AS i
+      FROM documents),
+    chars AS MATERIALIZED (
+      SELECT doc_id,
+             (CAST(i AS INT) - 1) // {FRAME_BYTES} AS frame_idx,
+             unicode(substr(text, CAST(i AS INT), 1)) AS byte,
+             length(text) // {FRAME_BYTES} AS n_frames
+      FROM pos)
+    SELECT doc_id,
+           CAST(frame_idx AS INT) AS frame_idx,
+           {FRAME_BYTES} AS frame_len,
+           CAST(sum(byte) AS BIGINT) AS frame_sum
+    FROM chars
+    WHERE frame_idx % 4 = 0 AND frame_idx < n_frames
+    GROUP BY doc_id, frame_idx
+"""
