@@ -1,11 +1,13 @@
 """Similarity search over the embeddings table (SURVEY.md §7.4/M7).
 
-- **brute-force cosine top-k** — the exactness baseline.  Engine path is a
-  vectorized Pandas iterator (`mapInPandas`): the corpus matrix is
-  broadcast once, each Arrow batch of queries does one NumPy matmul and an
-  ``argpartition`` top-k.  At 100 TB the corpus side no longer fits a
-  broadcast — that is what the IVF variant below is for; brute force
-  remains the per-bucket kernel.
+- **brute-force cosine top-k** — the exactness baseline, block-partitioned:
+  the *query* side (bounded by ``query_limit``, a parameter — never the
+  corpus) is collected and broadcast; the corpus stays distributed and is
+  scanned once by an Arrow-batched ``mapInPandas`` that emits each batch's
+  per-query top-k candidates (≤ batches×queries×k tiny rows); a global
+  window rank merges candidates into the exact top-k.  No corpus-sized
+  driver state at any scale — the corpus-side cost is one scan, embarrassingly
+  parallel over partitions.
 - **IVF/LSH-bucketed ANN** — sign-grid coarse quantizer (bucket = sign
   bits of the leading dimensions), candidates restricted to the query's
   bucket, ranked by exact cosine.  Pure DataFrame ops: the bucket id is a
@@ -49,6 +51,23 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Brute-force cosine top-k (Pandas-vectorized engine path)
 # ---------------------------------------------------------------------------
+def _collect_queries(df: DataFrame, query_limit: int) -> tuple[np.ndarray, np.ndarray]:
+    """Collect the bounded query side (vec_id < query_limit) to the driver.
+
+    This is the ONLY driver collect in the exact path, and it is bounded
+    by the ``query_limit`` parameter, never the corpus size: the filter
+    pushes into the parquet scan (pinned by test_plans).  Returns
+    (ids, row-normalized float64 matrix).
+    """
+    pdf = (
+        df.filter(df.vec_id < query_limit).select("vec_id", "embedding").toPandas()
+    )
+    ids = pdf["vec_id"].to_numpy()
+    q = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+    q /= np.linalg.norm(q, axis=1, keepdims=True)
+    return ids, q
+
+
 def cosine_topk(
     spark: SparkSession,
     sf_dir: str,
@@ -56,36 +75,49 @@ def cosine_topk(
     query_limit: int = 200,
 ) -> DataFrame:
     """Exact top-k cosine neighbors (excluding self) for the first
-    ``query_limit`` vec_ids.  Returns (query_id, neighbor_id, cos, rank)."""
+    ``query_limit`` vec_ids.  Returns (query_id, neighbor_id, cos, rank).
+
+    Block-partitioned: broadcast the (bounded) query matrix, stream the
+    corpus through ``mapInPandas`` — each Arrow batch does one NumPy
+    matmul and keeps its local per-query top-k — then a global window
+    rank over the tiny candidate set yields the exact answer.  Local
+    top-k truncation is lossless: within a batch candidates are kept in
+    the same (cos desc, neighbor_id asc) order the global rank uses, so
+    any dropped row is dominated by k kept rows from its own batch.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
     df = _emb(spark, sf_dir)
-    pdf = df.select("vec_id", "embedding").toPandas()
-    corpus_ids = pdf["vec_id"].to_numpy()
-    corpus = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
-    corpus /= np.linalg.norm(corpus, axis=1, keepdims=True)
-    bc = spark.sparkContext.broadcast((corpus_ids, corpus))
+    q_ids, q_mat = _collect_queries(df, query_limit)
+    bc = spark.sparkContext.broadcast((q_ids, q_mat))
 
-    queries = df.filter(df.vec_id < query_limit).select("vec_id", "embedding")
-
-    def topk_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        ids, mat = bc.value
-        for pdf_q in batches:
-            q = np.stack(pdf_q["embedding"].to_numpy()).astype(np.float64)
-            q /= np.linalg.norm(q, axis=1, keepdims=True)
-            sims = q @ mat.T  # (nq, N)
-            qids = pdf_q["vec_id"].to_numpy()
-            sims_r = np.round(sims, 5)
+    def block_topk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        qids, qmat = bc.value
+        for pdf_c in batches:
+            ids = pdf_c["vec_id"].to_numpy()
+            mat = np.stack(pdf_c["embedding"].to_numpy()).astype(np.float64)
+            mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+            sims = np.round(qmat @ mat.T, 5)  # (nq, nb)
             rows = []
+            kk = min(k, len(ids))
             for r, qid in enumerate(qids):
-                s = sims_r[r].copy()
+                s = sims[r].copy()
                 s[ids == qid] = -np.inf  # exclude self
-                # deterministic order: (-cos_rounded, neighbor_id)
-                order = np.lexsort((ids, -s))[:k]
-                for rank, j in enumerate(order, start=1):
-                    rows.append((int(qid), int(ids[j]), float(s[j]), rank))
-            yield pd.DataFrame(rows, columns=["query_id", "neighbor_id", "cos", "rank"])
+                order = np.lexsort((ids, -s))[:kk]
+                for j in order:
+                    if s[j] != -np.inf:
+                        rows.append((int(qid), int(ids[j]), float(s[j])))
+            yield pd.DataFrame(rows, columns=["query_id", "neighbor_id", "cos"])
 
-    return queries.mapInPandas(
-        topk_batches, "query_id long, neighbor_id long, cos double, rank int"
+    cand = df.select("vec_id", "embedding").mapInPandas(
+        block_topk, "query_id long, neighbor_id long, cos double"
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos", "rank")
     )
 
 

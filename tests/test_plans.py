@@ -128,3 +128,50 @@ def test_hist_routes_agree(spark, sf_dir):
         ).collect()
     }
     assert a3 == b3
+
+
+def test_cosine_topk_collects_only_query_side(spark, sf_dir):
+    # The exact top-k path must never collect corpus-sized state to the
+    # driver: the only collect is the query side, and its vec_id filter
+    # must push into the parquet scan.
+    from flink_infotheoretic_feature_selection_spark.operators.similarity import cosine_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter(emb.vec_id < 200).select("vec_id", "embedding")
+    pf = pushed_filters(q)
+    assert any("vec_id" in f for f in pf), pf
+
+    # The distributed side of the plan is a corpus scan -> mapInPandas ->
+    # single window rank; no corpus-wide collect node exists in the plan.
+    out = cosine_topk(spark, sf_dir, k=3, query_limit=20)
+    plan = formatted_plan(out)
+    assert "MapInPandas" in plan, plan
+    assert "Window" in plan, plan
+    assert "CollectLimit" not in plan, plan
+
+
+def test_cosine_topk_matches_bruteforce(spark, sf_dir):
+    # Block-partitioned merge must equal the single-matrix brute force.
+    import numpy as np
+
+    from flink_infotheoretic_feature_selection_spark.operators.similarity import cosine_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    pdf = emb.select("vec_id", "embedding").toPandas()
+    ids = pdf["vec_id"].to_numpy()
+    mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+
+    k, limit = 4, 25
+    expected = set()
+    for qi in np.where(ids < limit)[0]:
+        s = np.round(mat[qi] @ mat.T, 5)
+        s[ids == ids[qi]] = -np.inf
+        order = np.lexsort((ids, -s))[:k]
+        for rank, j in enumerate(order, start=1):
+            expected.add((int(ids[qi]), int(ids[j]), float(s[j]), rank))
+
+    # repartition the corpus so the local-topk + global-merge path is
+    # genuinely exercised across many blocks
+    got = {tuple(r) for r in cosine_topk(spark, sf_dir, k=k, query_limit=limit).collect()}
+    assert got == expected
