@@ -17,6 +17,7 @@ from flink_infotheoretic_feature_selection_spark.datasets import (
     features_dense,
     features_select_duckdb,
 )
+from flink_infotheoretic_feature_selection_spark.discretizer import equal_freq_bucket_oracle
 from flink_infotheoretic_feature_selection_spark.operators import dedup, multimodal, sessions, similarity, text
 from flink_infotheoretic_feature_selection_spark.operators.histogram import feature_dims, hist2d, hist3d
 from flink_infotheoretic_feature_selection_spark.selector import InfoThSelector
@@ -100,18 +101,23 @@ def _q_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_equal_freq_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # P2/M4 — deterministic rank-based equal-frequency bucketing of
-    # l_quantity into 8 buckets; returns the bucket histogram.
-    spark.read.parquet(f"{sf_dir}/lineitem.parquet").createOrReplaceTempView("lineitem")
-    return spark.sql(
-        """
-        WITH r AS (
-          SELECT CAST(least(7, floor((rank() OVER (ORDER BY l_quantity) - 1) * 8
-                     / count(*) OVER ())) AS INT) AS bucket
-          FROM lineitem)
-        SELECT bucket, count(*) AS cnt FROM r GROUP BY bucket
-        """
+    # P2/M4 — the REAL EqualFrequencyDiscretizer end-to-end: fit on
+    # part.p_retailprice (part ≤ the 10k sample floor at sf0.01, so the
+    # seeded sample has fraction 1.0 — the whole table, deterministic —
+    # and the oracle replays the identical sample→stride walk with a
+    # recursive CTE), transform via the JVM Bucketizer, return the
+    # bucket histogram.  No global sort anywhere in the plan.
+    from flink_infotheoretic_feature_selection_spark.discretizer import EqualFrequencyDiscretizer
+
+    part = (
+        spark.read.parquet(f"{sf_dir}/part.parquet")
+        .select(F.col("p_retailprice").cast("double").alias("p_retailprice"))
     )
+    model = EqualFrequencyDiscretizer(["p_retailprice"], num_buckets=8).fit(part)
+    out = model.transform(part)
+    return out.groupBy(
+        F.col("p_retailprice_bucket").cast("int").alias("bucket")
+    ).agg(F.count("*").alias("cnt"))
 
 
 _SPARSE_NF = 8  # first 8 features exercised through the sparse path
@@ -429,13 +435,9 @@ def oracle_sql() -> dict[str, str]:
         "mim_topk": mi_sql
         + " SELECT CAST(feat AS INT) AS feat, mi FROM mi ORDER BY mi DESC, feat LIMIT 5",
         "projection": f"WITH {_FM_CTE} SELECT f2, f5, f7, label FROM fm",
-        "equal_freq_bucket": """
-            WITH r AS (
-              SELECT CAST(least(7, floor((rank() OVER (ORDER BY l_quantity) - 1) * 8
-                         / count(*) OVER ())) AS INT) AS bucket
-              FROM lineitem)
-            SELECT bucket, count(*) AS cnt FROM r GROUP BY bucket
-        """,
+        "equal_freq_bucket": equal_freq_bucket_oracle(
+            "part", "p_retailprice", num_buckets=8
+        ),
         "sparse_hist2d": (
             f"WITH {_FM_CTE}, {_LONG_CTE} "
             "SELECT CAST(feat AS INT) AS feat, x, y, count(*) AS cnt "

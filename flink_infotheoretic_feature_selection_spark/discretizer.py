@@ -33,7 +33,11 @@ from pyspark.ml.feature import Bucketizer
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["EqualFrequencyDiscretizer", "EqualFrequencyDiscretizerModel"]
+__all__ = [
+    "EqualFrequencyDiscretizer",
+    "EqualFrequencyDiscretizerModel",
+    "equal_freq_bucket_oracle",
+]
 
 DEFAULT_SEED = 481366818  # reference default, FreqDisc:75
 MIN_SAMPLES_REQUIRED = 10000  # FreqDisc:166
@@ -167,3 +171,57 @@ class EqualFrequencyDiscretizer:
         return EqualFrequencyDiscretizerModel(
             splits=splits, output_suffix=self.output_suffix, as_bytes=self.as_bytes
         )
+
+
+def equal_freq_bucket_oracle(
+    table: str, col: str, num_buckets: int, n_rows_at_most: int = 10000
+) -> str:
+    """DuckDB oracle replaying fit+transform on a small table.
+
+    Valid only when the table has ≤ max(num_buckets², 10000) rows so the
+    engine's seeded Bernoulli sample has fraction 1.0 (the whole table,
+    deterministically) — then the sample→stride walk (``FreqDisc:185-225``)
+    is replayed exactly by a recursive CTE:  unique float32 values sorted
+    with a float32-max sentinel appended, cumulative counts, and the
+    "emit previous value when it is closer to the running target" rule
+    with target += stride per emission.  Bucket assignment mirrors the
+    JVM Bucketizer: bucket(v) = #{interior split s : s ≤ v} on float64.
+
+    (The reference's possible_splits ≤ num_splits shortcut is not
+    replayed — callers must pick a column with more distinct values than
+    buckets, as the gate query does.)
+    """
+    num_splits = num_buckets - 1
+    f32_max = float(np.finfo(np.float32).max)
+    return f"""
+    WITH RECURSIVE
+    vals AS (SELECT CAST(CAST({col} AS DOUBLE) AS FLOAT) AS v FROM {table}),
+    vc AS MATERIALIZED (
+      SELECT v, count(*) AS cnt FROM vals GROUP BY v
+      UNION ALL SELECT CAST({f32_max!r} AS FLOAT), 1),
+    params AS (SELECT ceil((SELECT count(*) FROM vals) * 1.0
+                           / {num_splits + 1}) AS stride),
+    u AS MATERIALIZED (
+      SELECT v, cnt,
+             row_number() OVER (ORDER BY v) AS idx,
+             sum(cnt)    OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum,
+             lag(v)      OVER (ORDER BY v) AS prev_v
+      FROM vc),
+    walk(idx, target, emit) AS (
+      SELECT 1, (SELECT stride FROM params), CAST(NULL AS FLOAT)
+      UNION ALL
+      SELECT u.idx,
+             CASE WHEN abs((u.cum - u.cnt) - w.target) < abs(u.cum - w.target)
+                  THEN w.target + p.stride ELSE w.target END,
+             CASE WHEN abs((u.cum - u.cnt) - w.target) < abs(u.cum - w.target)
+                  THEN u.prev_v ELSE CAST(NULL AS FLOAT) END
+      FROM walk w
+      JOIN u ON u.idx = w.idx + 1
+      CROSS JOIN params p),
+    splits AS (SELECT CAST(emit AS DOUBLE) AS s FROM walk WHERE emit IS NOT NULL),
+    bucketed AS (
+      SELECT (SELECT count(*) FROM splits WHERE s <= CAST(t.{col} AS DOUBLE)) AS bucket
+      FROM {table} t)
+    SELECT CAST(bucket AS INT) AS bucket, count(*) AS cnt
+    FROM bucketed GROUP BY bucket
+    """
