@@ -145,6 +145,12 @@ def criterion_factory(name: str, beta: float = 1.0) -> Criterion:
     """Construct a criterion by name (``InfoThCriterionFactory.scala:35-63``).
 
     ``beta`` only affects MIFS (``InfoThCriterionFactory.scala:54``).
+
+    DELIBERATE DIVERGENCE: the reference factory defaults ``beta = 0.0f``
+    (``InfoThCriterionFactory.scala:37``), which degenerates MIFS to MIM
+    (zero redundancy penalty).  This factory defaults ``beta = 1.0`` —
+    Battiti's original MIFS setting — so default MIFS selections differ
+    from the reference's; pass ``beta=0.0`` for byte-parity.
     """
     name = name.lower()
     if name == "mim":

@@ -142,13 +142,15 @@ def shingle_jaccard_pairs(
     sf_dir: str,
     threshold: float = 0.2,
     n: int = 3,
-    max_shingle_df: int | None = None,
+    max_shingle_df: int | None = 1000,
 ) -> DataFrame:
     """Near-dup pairs by word-trigram Jaccard ≥ threshold.
 
     ``max_shingle_df`` drops shingles shared by more than that many docs
     before the self-join — the skew guard for 100 TB corpora where a
     boilerplate trigram would otherwise join millions × millions of rows.
+    ON BY DEFAULT (1000): the gated path is the scale-safe path; pass
+    ``None`` to disable for exhaustive small-corpus runs.
     """
     _docs(spark, sf_dir)
     return spark.sql(
@@ -157,7 +159,7 @@ def shingle_jaccard_pairs(
 
 
 def jaccard_pairs_oracle(
-    threshold: float = 0.2, n: int = 3, max_shingle_df: int | None = None
+    threshold: float = 0.2, n: int = 3, max_shingle_df: int | None = 1000
 ) -> str:
     return _jaccard_sql(duck=True, threshold=threshold, n=n, max_df=max_shingle_df)
 
@@ -346,7 +348,9 @@ def simhash_oracle() -> str:
 # ---------------------------------------------------------------------------
 # Near-dup groups: connected components over the LSH pair graph
 # ---------------------------------------------------------------------------
-def neardup_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
+def neardup_components(
+    pairs: DataFrame, max_iter: int = 25, checkpoint_every: int = 5
+) -> DataFrame:
     """Connected components of the near-dup pair graph → dedup groups.
 
     Returns ``(doc_id, component)`` for every doc in ≥1 pair, where
@@ -358,6 +362,12 @@ def neardup_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
     are tiny/star-shaped, so a handful.  Each pass is one equi-join +
     hash agg over the EDGE list (never the corpus); all driver-side
     state is the single `changed` count.
+
+    Deep graphs: the label lineage grows one join per pass, so every
+    ``checkpoint_every`` passes the labels are ``localCheckpoint``-ed to
+    keep plan depth bounded.  If the loop exhausts ``max_iter`` without
+    converging, a RuntimeError is raised — unconverged labels are wrong
+    group assignments, never returned silently.
     """
     from pyspark.sql import functions as F
 
@@ -374,7 +384,8 @@ def neardup_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
         .persist()
     )
     try:
-        for _ in range(max_iter):
+        converged = False
+        for it in range(1, max_iter + 1):
             nbr = (
                 edges.join(
                     labels.select(
@@ -385,16 +396,17 @@ def neardup_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
                 .groupBy("src")
                 .agg(F.min("nbr_comp").alias("nbr_min"))
             )
-            new_labels = (
-                labels.join(nbr, labels["doc_id"] == nbr["src"], "left")
-                .select(
-                    "doc_id",
-                    F.least(
-                        F.col("component"), F.coalesce(F.col("nbr_min"), F.col("component"))
-                    ).alias("component"),
-                )
-                .persist()
+            new_labels = labels.join(nbr, labels["doc_id"] == nbr["src"], "left").select(
+                "doc_id",
+                F.least(
+                    F.col("component"), F.coalesce(F.col("nbr_min"), F.col("component"))
+                ).alias("component"),
             )
+            if it % checkpoint_every == 0:
+                # truncate lineage: the plan would otherwise be `it` joins deep
+                new_labels = new_labels.localCheckpoint(eager=True)
+            else:
+                new_labels = new_labels.persist()
             changed = (
                 new_labels.alias("n")
                 .join(labels.alias("o"), "doc_id")
@@ -404,7 +416,13 @@ def neardup_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
             labels.unpersist()
             labels = new_labels
             if changed == 0:
+                converged = True
                 break
+        if not converged:
+            raise RuntimeError(
+                f"neardup_components did not converge in {max_iter} passes; "
+                "the pair graph's diameter exceeds max_iter — raise max_iter"
+            )
         return labels
     finally:
         edges.unpersist()

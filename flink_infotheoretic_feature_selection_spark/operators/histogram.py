@@ -204,8 +204,21 @@ def collect_hist2d(
     x = pdf["x"].to_numpy()
     y = pdf["y"].to_numpy()
     cnt = pdf["cnt"].to_numpy()
+    # Cheap dims-bounded range check: a negative/oversized cell index
+    # would otherwise wrap through fancy indexing and silently corrupt
+    # the MI tables (the codegen route has no per-row validation).
+    if len(x) and (x.min() < 0 or y.min() < 0 or y.max() >= y_dim):
+        raise ValueError(
+            "histogram cell index out of range: features must be in "
+            f"[0, dim) and label in [0, {y_dim}); got x∈[{x.min()},{x.max()}], "
+            f"y∈[{y.min()},{y.max()}]"
+        )
     for fi, c in enumerate(feature_cols):
         m = feat == fi
+        if m.any() and x[m].max() >= dims[c]:
+            raise ValueError(
+                f"feature {c!r} value {int(x[m].max())} exceeds dim {dims[c]}"
+            )
         out[c][x[m], y[m]] = cnt[m]
     return out
 
@@ -225,8 +238,26 @@ def collect_hist3d(
     y = pdf["y"].to_numpy()
     z = pdf["z"].to_numpy()
     cnt = pdf["cnt"].to_numpy()
+    # Same dims-bounded range check as collect_hist2d — negative indices
+    # must error, never wrap.
+    if len(x) and (
+        x.min() < 0
+        or y.min() < 0
+        or z.min() < 0
+        or y.max() >= y_dim
+        or z.max() >= z_dim
+    ):
+        raise ValueError(
+            "histogram cell index out of range: got "
+            f"x∈[{x.min()},{x.max()}], y∈[{y.min()},{y.max()}], "
+            f"z∈[{z.min()},{z.max()}] vs y_dim={y_dim}, z_dim={z_dim}"
+        )
     for fi, c in enumerate(feature_cols):
         m = feat == fi
+        if m.any() and x[m].max() >= dims[c]:
+            raise ValueError(
+                f"feature {c!r} value {int(x[m].max())} exceeds dim {dims[c]}"
+            )
         out[c][x[m], y[m], z[m]] = cnt[m]
     return out
 

@@ -33,6 +33,9 @@ def broadcast_dim_join(
     return fact.join(F.broadcast(dim), on, how)
 
 
+_SALTED_JOIN_TYPES = {"inner", "left", "left_outer", "leftouter", "left_semi", "leftsemi", "left_anti", "leftanti"}
+
+
 def salted_join(
     skewed: DataFrame,
     other: DataFrame,
@@ -44,9 +47,19 @@ def salted_join(
 
     The skewed side gets ``salt = xxhash64(row) % n_salts`` (deterministic
     per row content); ``other`` is exploded ``n_salts``× so every
-    (key, salt) bucket finds its match.  Result equals the plain join;
-    the hot key's rows now spread over ``n_salts`` tasks.
+    (key, salt) bucket finds its match.  The hot key's rows now spread
+    over ``n_salts`` tasks.
+
+    Only join types that preserve the ``other`` side's row multiplicity
+    are allowed (inner/left/left_semi/left_anti): under right/full joins
+    the replicated ``other`` rows would emit each unmatched row
+    ``n_salts`` times, so those types raise.
     """
+    if how.lower().replace("_", "") not in {t.replace("_", "") for t in _SALTED_JOIN_TYPES}:
+        raise ValueError(
+            f"salted_join supports inner/left/left_semi/left_anti, not {how!r}: "
+            "replicating the non-skewed side breaks right/full multiplicity"
+        )
     salt = F.pmod(F.xxhash64(*skewed.columns), F.lit(n_salts)).alias("__salt")
     left = skewed.select("*", salt)
     right = other.select(

@@ -101,7 +101,12 @@ class InfoThSelectorModel:
 
 class InfoThSelector:
     """Estimator. ``criterion`` ∈ {mim, mifs, jmi, mrmr, cmim, if, icap};
-    default mrmr (``InfoSelector.scala:149``)."""
+    default mrmr (``InfoSelector.scala:149``).
+
+    ``beta`` (MIFS only) defaults to 1.0 — a deliberate divergence from
+    the reference's 0.0 default, which degenerates MIFS into MIM; pass
+    ``beta=0.0`` for reference parity.  See ``criterion_factory``.
+    """
 
     def __init__(
         self,

@@ -59,3 +59,18 @@ def test_icap():
     c.update(0.5, 0.2)  # +0.3
     c.update(0.1, 0.4)  # max(0, -0.3) = 0
     assert c.score == pytest.approx(0.7)
+
+
+def test_mifs_default_beta_documented_divergence():
+    # Reference factory defaults beta=0.0 (InfoThCriterionFactory.scala:37),
+    # which makes MIFS degenerate to MIM.  This repo deliberately defaults
+    # beta=1.0 (documented in criterion_factory); beta=0.0 restores parity.
+    default = criterion_factory("mifs").init(1.0)
+    default.update(0.4, 0.0)
+    assert default.score == pytest.approx(1.0 - 0.4)  # penalty active
+
+    parity = criterion_factory("mifs", beta=0.0).init(1.0)
+    parity.update(0.4, 0.0)
+    mim = criterion_factory("mim").init(1.0)
+    mim.update(0.4, 0.0)
+    assert parity.score == mim.score == 1.0

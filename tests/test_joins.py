@@ -66,3 +66,14 @@ def test_bucketed_join_is_shuffle_free(spark, sf_dir, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_salted_join_rejects_right_and_full(spark):
+    left = spark.createDataFrame([(1, "a")], "k int, v string")
+    right = spark.createDataFrame([(1, 10), (3, 30)], "k int, w int")
+    for how in ("right", "full", "outer", "right_outer", "full_outer"):
+        with pytest.raises(ValueError, match="salted_join supports"):
+            salted_join(left, right, "k", n_salts=4, how=how)
+    # left_anti stays legal and correct: unmatched left rows survive once
+    rows = salted_join(left, right.filter("k = 3"), "k", how="left_anti").collect()
+    assert [(r.k, r.v) for r in rows] == [(1, "a")]

@@ -109,3 +109,37 @@ def test_icap_monotone_nonincreasing_score(rel, seq):
         c.update(mi, cmi)
         assert c.score <= prev + 1e-12  # modifier only accumulates max(0, ·)
         prev = c.score
+
+
+def test_collect_hist2d_rejects_negative_values(spark):
+    # Without this, numpy fancy indexing would wrap a negative feature
+    # value to the last histogram row and silently corrupt MI.
+    import pytest as _pytest
+
+    from flink_infotheoretic_feature_selection_spark.operators.histogram import (
+        collect_hist2d,
+        hist2d,
+    )
+
+    df = spark.createDataFrame(
+        [(-1, 0), (2, 1), (3, 0)], "f0 tinyint, label tinyint"
+    )
+    h = hist2d(df, ["f0"], "label", {"f0": 4}, 2)
+    with _pytest.raises(ValueError, match="out of range"):
+        collect_hist2d(h, ["f0"], {"f0": 4}, 2)
+
+
+def test_collect_hist3d_rejects_negative_values(spark):
+    import pytest as _pytest
+
+    from flink_infotheoretic_feature_selection_spark.operators.histogram import (
+        collect_hist3d,
+        hist3d,
+    )
+
+    df = spark.createDataFrame(
+        [(1, -2, 0), (2, 1, 1)], "f0 tinyint, f1 tinyint, label tinyint"
+    )
+    h = hist3d(df, ["f0"], "f1", "label", {"f0": 4}, 4, 2)
+    with _pytest.raises(ValueError, match="out of range"):
+        collect_hist3d(h, ["f0"], {"f0": 4}, 4, 2)
