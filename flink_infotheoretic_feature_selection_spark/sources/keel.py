@@ -111,18 +111,43 @@ def read_keel(
     names = [a.name for a in header.attributes]
     # Text scan + header/comment filter (InfoSelectorTest.scala:110) —
     # csv inference would mis-shape on the in-file @header lines.
+    #
+    # Body dialects (both pure JVM expressions, decided per row):
+    # - dense CSV: ``v0, v1, ..., vn``
+    # - sparse ARFF-style: ``{idx value, idx value}`` — attributes not
+    #   listed default to 0 (numerics) / the first declared value
+    #   (nominals), Weka sparse semantics.  Mixed files work.
+    trimmed = F.trim("value")
+    sparse_entries = F.map_from_entries(
+        F.expr(
+            "transform("
+            "  filter(split(regexp_replace(trim(value), '^\\\\{|\\\\}$', ''), ','),"
+            "         t -> trim(t) != ''),"
+            "  t -> struct(TRY_CAST(element_at(split(trim(t), '\\\\s+'), 1) AS INT) AS k,"
+            "              element_at(split(trim(t), '\\\\s+'), 2) AS v))"
+        )
+    )
     raw = (
         spark.read.text(path)
-        .filter(~F.trim("value").startswith("@"))
-        .filter(F.trim("value") != "")
-        .select(F.split("value", ",").alias("parts"))
+        .filter(~trimmed.startswith("@"))
+        .filter(trimmed != "")
+        .select(
+            F.split("value", ",").alias("parts"),
+            trimmed.startswith("{").alias("is_sparse"),
+            # CASE WHEN short-circuits per row, so dense rows never
+            # evaluate the map (whose keys would be null there)
+            F.when(trimmed.startswith("{"), sparse_entries).alias("entries"),
+        )
     )
     cols = []
     feature_names = header.inputs or [n for n in names if n != header.label]
     for idx, attr in enumerate(header.attributes):
-        c = F.trim(F.col("parts").getItem(idx))
+        default = attr.values[0] if attr.kind == "nominal" else "0"
+        c = F.when(
+            F.col("is_sparse"),
+            F.coalesce(F.col("entries").getItem(idx), F.lit(default)),
+        ).otherwise(F.trim(F.col("parts").getItem(idx)))
         if attr.kind == "nominal":
-            expr = F.lit(None).cast("int")
             # declared-order index (KeelParser.scala:27-32)
             mapping = F.create_map(
                 *[x for i, v in enumerate(attr.values) for x in (F.lit(v), F.lit(i))]

@@ -130,3 +130,34 @@ def test_read_keel(spark, tmp_path):
     assert [r["a1"] for r in rows] == [1, 0, 2]  # green, red, blue by a2 order
     assert [r["a2"] for r in rows] == [0.0, 3.0, 7.0]
     assert [r["label"] for r in rows] == [0, 0, 1]
+
+
+KEEL_SPARSE_TEXT = """\
+@relation toysparse
+@attribute a1 {red, green, blue}
+@attribute a2 integer [0, 10]
+@attribute a3 real [0.0, 1.0]
+@attribute class {yes, no}
+@inputs a1, a2, a3
+@outputs class
+@data
+{0 blue, 1 7, 3 no}
+{1 3, 2 0.5}
+red, 9, 0.25, no
+"""
+
+
+def test_read_keel_sparse_body(spark, tmp_path):
+    # ARFF-style sparse rows: omitted attributes default to 0 (numeric) /
+    # first declared value (nominal); dense and sparse rows can mix.
+    p = tmp_path / "toysparse.dat"
+    p.write_text(KEEL_SPARSE_TEXT)
+    df = read_keel(spark, str(p)).orderBy("a2")
+    rows = df.collect()
+    assert [r["a2"] for r in rows] == [3.0, 7.0, 9.0]
+    # row with a2=3: a1 omitted -> 'red' (index 0), a3 given, class omitted -> 'yes' (0)
+    assert (rows[0]["a1"], rows[0]["a3"], rows[0]["label"]) == (0, 0.5, 0)
+    # row with a2=7: a1='blue' (2), a3 omitted -> 0.0, class='no' (1)
+    assert (rows[1]["a1"], rows[1]["a3"], rows[1]["label"]) == (2, 0.0, 1)
+    # dense row unchanged
+    assert (rows[2]["a1"], rows[2]["a3"], rows[2]["label"]) == (0, 0.25, 1)
