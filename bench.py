@@ -115,12 +115,19 @@ def main() -> None:
     t, _ = timed(b13)
     results["b13_sparse_mrmr_k3"] = round(t, 3)
 
-    # B8-B12 — extension operators (LLM-data-pipeline surface)
+    # B8-B12 — extension operators (LLM-data-pipeline surface).
+    # The matrix cache is dead weight from here on; drop it so the
+    # extension numbers aren't hostage to storage-memory pressure.
+    matrix.unpersist()
+
     from flink_infotheoretic_feature_selection_spark.operators import dedup, multimodal, similarity, text
     from flink_infotheoretic_feature_selection_spark.datasets import load_events
 
     t, _ = timed(lambda: dedup.minhash_lsh_pairs(spark, SF_DIR).count())
     results["b8_minhash_lsh"] = round(t, 3)
+    # minhash_lsh_pairs persists the shared shingle-array table for its
+    # own multi-use plan; done with it now.
+    spark.catalog.clearCache()
 
     t, _ = timed(lambda: similarity.cosine_topk(spark, SF_DIR).count())
     results["b9_cosine_topk"] = round(t, 3)
@@ -152,7 +159,6 @@ def main() -> None:
     results["b12_media_features"] = round(t, 3)
 
 
-    matrix.unpersist()
     total = round(sum(v for k, v in results.items() if not k.endswith(("per_iter", "per_sec"))), 3)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     print(
