@@ -177,35 +177,54 @@ def _q_sparse_hist3d(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sparse_hist3d(nonzeros, labels, zcol, _SPARSE_NF)
 
 
-def _q_selected_mrmr(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # I1 — greedy mRMR selection, k=5.  emit_f32=False so scores stay
-    # float64 end-to-end and the DuckDB oracle (which unrolls the same
-    # greedy recursion) reproduces them bit-close; both sides round to 5.
-    df = features_dense(spark, sf_dir)
-    model = InfoThSelector(n_to_select=5, criterion="mrmr", emit_f32=False).fit(df)
-    rows = [
-        (step, FEATURE_NAMES.index(c), round(s, 5))
-        for step, (c, s) in enumerate(model.selection_path)
-    ]
-    return spark.createDataFrame(rows, "step int, feat int, score double")
+def _selection_query(criterion: str):
+    # I1 — greedy selection, k=5.  emit_f32=False so scores stay float64
+    # end-to-end and the DuckDB oracle (which unrolls the same greedy
+    # recursion) reproduces them bit-close; both sides round to 5.
+    def q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        df = features_dense(spark, sf_dir)
+        model = InfoThSelector(n_to_select=5, criterion=criterion, emit_f32=False).fit(df)
+        rows = [
+            (step, FEATURE_NAMES.index(c), round(s, 5))
+            for step, (c, s) in enumerate(model.selection_path)
+        ]
+        return spark.createDataFrame(rows, "step int, feat int, score double")
+
+    return q
 
 
-def mrmr_oracle_sql(k: int = 5) -> str:
-    """DuckDB oracle for the flagship greedy mRMR selection (k steps).
+_q_selected_mrmr = _selection_query("mrmr")
+_q_selected_jmi = _selection_query("jmi")
+_q_selected_cmim = _selection_query("cmim")
 
-    Mirrors ``InfoSelector.scala:353-362`` + ``InfoThCriterion.scala:
-    143-164`` exactly: step 0 picks argmax relevance; step t picks argmax
-    of  rel(c) − (Σ_{s∈S} MI(c; s)) / |S|  over the remaining features,
-    ties broken by lowest feature id.  All MI terms are float64 (the
-    engine query passes emit_f32=False); only the emitted score rounds.
+
+def selection_oracle_sql(k: int = 5, criterion: str = "mrmr") -> str:
+    """DuckDB oracle for the greedy selection loop (k steps).
+
+    Mirrors ``InfoSelector.scala:353-362`` + the criterion algebra of
+    ``InfoThCriterion.scala`` exactly: step 0 picks argmax relevance;
+    step t picks argmax of the criterion score over remaining features,
+    ties broken by lowest feature id:
+
+    - mrmr:  rel − (Σ_s MI(c;s)) / |S|                 (:143-164)
+    - jmi:   rel − (Σ_s MI(c;s))/|S| + (Σ_s CMI(c;s|Y))/|S|   (:114-137)
+    - cmim:  rel − max_s (MI(c;s) − CMI(c;s|Y))        (:169-185)
+
+    All MI/CMI terms are float64 (the engine query passes emit_f32=False);
+    only the emitted score rounds.  CMI(X;Y|Z) reduces to
+    Σ (c3/n)·log2(c3·cz / (cxz·cyz)) over 3-way joint cells, matching
+    ``functions/infotheory.py::mi_and_cmi``.
 
     Shape notes: pairwise joint counts are computed straight off the wide
     matrix (one GROUP BY per (i, j) pair, unioned) — no row-id self-join,
     because the synthetic lineitem has no unique key (duplicate
     (l_orderkey, l_linenumber) rows exist at sf0.01).  The greedy
-    recursion is k chained argmax CTE stages over the 32×32 MI matrix —
-    dims-bounded, exactly like the engine's driver loop.
+    recursion is k chained argmax CTE stages over the 32×32 MI/CMI
+    matrices — dims-bounded, exactly like the engine's driver loop.
     """
+    if criterion not in ("mrmr", "jmi", "cmim"):
+        raise ValueError(f"no oracle for criterion {criterion!r}")
+    needs_cmi = criterion in ("jmi", "cmim")
     n_feat = len(FEATURE_NAMES)
     lng = " UNION ALL ".join(
         f"SELECT {i} AS feat, CAST(f{i} AS INT) AS x FROM fm" for i in range(n_feat)
@@ -213,6 +232,13 @@ def mrmr_oracle_sql(k: int = 5) -> str:
     pair_joint = " UNION ALL ".join(
         f"SELECT {i} AS i, {j} AS j, CAST(f{i} AS INT) AS xi,"
         f" CAST(f{j} AS INT) AS xj, count(*) AS c FROM fm GROUP BY xi, xj"
+        for i in range(n_feat)
+        for j in range(i + 1, n_feat)
+    )
+    pair_joint3 = " UNION ALL ".join(
+        f"SELECT {i} AS i, {j} AS j, CAST(f{i} AS INT) AS xi,"
+        f" CAST(f{j} AS INT) AS xj, CAST(label AS INT) AS z, count(*) AS c"
+        f" FROM fm GROUP BY xi, xj, z"
         for i in range(n_feat)
         for j in range(i + 1, n_feat)
     )
@@ -230,7 +256,8 @@ def mrmr_oracle_sql(k: int = 5) -> str:
       SELECT feat, x, CAST(count(*) AS DOUBLE) AS cx FROM lng GROUP BY feat, x),
     my AS (SELECT CAST(label AS INT) AS y, CAST(count(*) AS DOUBLE) AS cy
            FROM fm GROUP BY 1),
-    jl AS (SELECT feat, x, y, count(*) AS c FROM ({lab_lng}) GROUP BY feat, x, y),
+    jl AS MATERIALIZED (
+      SELECT feat, x, y, count(*) AS c FROM ({lab_lng}) GROUP BY feat, x, y),
     relv AS MATERIALIZED (
       SELECT jl.feat AS feat,
              sum((CAST(c AS DOUBLE)/n) * log2(CAST(c AS DOUBLE)*n/(cx*cy))) AS rel
@@ -246,15 +273,44 @@ def mrmr_oracle_sql(k: int = 5) -> str:
       JOIN mx ma ON ma.feat = p.i AND ma.x = p.xi
       JOIN mx mb ON mb.feat = p.j AND mb.x = p.xj
       GROUP BY p.i, p.j),
-    pmi AS MATERIALIZED (SELECT i, j, mi FROM pmi0 UNION ALL SELECT j, i, mi FROM pmi0),
+    {{pmi_ctes}}
     s1 AS (SELECT feat, rel AS score FROM relv ORDER BY rel DESC, feat LIMIT 1),
     sel1 AS (SELECT 0 AS step, feat, score FROM s1)"""
+    if needs_cmi:
+        head = head.format(
+            pmi_ctes=f"""pj3 AS MATERIALIZED ({pair_joint3}),
+    pcmi0 AS MATERIALIZED (
+      SELECT p.i, p.j,
+             sum((CAST(p.c AS DOUBLE)/n)
+                 * log2(CAST(p.c AS DOUBLE)*cy/(CAST(ja.c AS DOUBLE)*jb.c))) AS cmi
+      FROM pj3 p JOIN tot ON true
+      JOIN jl ja ON ja.feat = p.i AND ja.x = p.xi AND ja.y = p.z
+      JOIN jl jb ON jb.feat = p.j AND jb.x = p.xj AND jb.y = p.z
+      JOIN my ON my.y = p.z
+      GROUP BY p.i, p.j),
+    red0 AS (SELECT m.i, m.j, m.mi, coalesce(c.cmi, 0.0) AS cmi
+             FROM pmi0 m LEFT JOIN pcmi0 c ON c.i = m.i AND c.j = m.j),
+    pmi AS MATERIALIZED (
+      SELECT i, j, mi, cmi FROM red0
+      UNION ALL SELECT j, i, mi, cmi FROM red0),"""
+        )
+    else:
+        head = head.format(
+            pmi_ctes="""pmi AS MATERIALIZED (
+      SELECT i, j, mi, 0.0 AS cmi FROM pmi0
+      UNION ALL SELECT j, i, mi, 0.0 AS cmi FROM pmi0),"""
+        )
+    score_expr = {
+        "mrmr": "r.rel - sum(p.mi) / count(*)",
+        "jmi": "r.rel - sum(p.mi) / count(*) + sum(p.cmi) / count(*)",
+        "cmim": "r.rel - greatest(0.0, max(p.mi - p.cmi))",
+    }[criterion]
     stages = []
     for t in range(2, k + 1):
         prev = f"sel{t - 1}"
         stages.append(f"""
     c{t} AS (
-      SELECT r.feat, r.rel - sum(p.mi) / count(*) AS score
+      SELECT r.feat, {score_expr} AS score
       FROM relv r JOIN pmi p ON p.i = r.feat
       WHERE p.j IN (SELECT feat FROM {prev})
         AND r.feat NOT IN (SELECT feat FROM {prev})
@@ -366,6 +422,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sparse_hist2d": _q_sparse_hist2d,
         "sparse_hist3d": _q_sparse_hist3d,
         "selected_mrmr": _q_selected_mrmr,
+        "selected_jmi": _q_selected_jmi,
+        "selected_cmim": _q_selected_cmim,
         # M7 extensions — LLM-data-pipeline operators
         "text_stats": text.text_stats,
         "lang_id": text.lang_id,
@@ -453,7 +511,9 @@ def oracle_sql() -> dict[str, str]:
             + ") SELECT CAST(feat AS INT) AS feat, x, y, z, count(*) AS cnt "
             "FROM long3 GROUP BY feat, x, y, z"
         ),
-        "selected_mrmr": mrmr_oracle_sql(k=5),
+        "selected_mrmr": selection_oracle_sql(k=5, criterion="mrmr"),
+        "selected_jmi": selection_oracle_sql(k=5, criterion="jmi"),
+        "selected_cmim": selection_oracle_sql(k=5, criterion="cmim"),
         "text_stats": text.TEXT_STATS_ORACLE,
         "lang_id": text.LANG_ID_ORACLE,
         "doc_fingerprint": text.FINGERPRINT_ORACLE,
