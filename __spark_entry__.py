@@ -196,6 +196,8 @@ def _selection_query(criterion: str):
 _q_selected_mrmr = _selection_query("mrmr")
 _q_selected_jmi = _selection_query("jmi")
 _q_selected_cmim = _selection_query("cmim")
+_q_selected_icap = _selection_query("icap")
+_q_selected_mifs = _selection_query("mifs")
 
 
 def selection_oracle_sql(k: int = 5, criterion: str = "mrmr") -> str:
@@ -209,6 +211,10 @@ def selection_oracle_sql(k: int = 5, criterion: str = "mrmr") -> str:
     - mrmr:  rel − (Σ_s MI(c;s)) / |S|                 (:143-164)
     - jmi:   rel − (Σ_s MI(c;s))/|S| + (Σ_s CMI(c;s|Y))/|S|   (:114-137)
     - cmim:  rel − max_s (MI(c;s) − CMI(c;s|Y))        (:169-185)
+    - icap:  rel − Σ_s max(0, MI(c;s) − CMI(c;s|Y))    (:199-214)
+    - mifs:  rel − β·Σ_s MI(c;s), β = 1.0 (this repo's documented default)  (:92-108)
+
+    (IF is identical to CMIM, :191-193 — covered by the cmim oracle.)
 
     All MI/CMI terms are float64 (the engine query passes emit_f32=False);
     only the emitted score rounds.  CMI(X;Y|Z) reduces to
@@ -222,9 +228,9 @@ def selection_oracle_sql(k: int = 5, criterion: str = "mrmr") -> str:
     recursion is k chained argmax CTE stages over the 32×32 MI/CMI
     matrices — dims-bounded, exactly like the engine's driver loop.
     """
-    if criterion not in ("mrmr", "jmi", "cmim"):
+    if criterion not in ("mrmr", "jmi", "cmim", "icap", "mifs"):
         raise ValueError(f"no oracle for criterion {criterion!r}")
-    needs_cmi = criterion in ("jmi", "cmim")
+    needs_cmi = criterion in ("jmi", "cmim", "icap")
     n_feat = len(FEATURE_NAMES)
     lng = " UNION ALL ".join(
         f"SELECT {i} AS feat, CAST(f{i} AS INT) AS x FROM fm" for i in range(n_feat)
@@ -304,6 +310,8 @@ def selection_oracle_sql(k: int = 5, criterion: str = "mrmr") -> str:
         "mrmr": "r.rel - sum(p.mi) / count(*)",
         "jmi": "r.rel - sum(p.mi) / count(*) + sum(p.cmi) / count(*)",
         "cmim": "r.rel - greatest(0.0, max(p.mi - p.cmi))",
+        "icap": "r.rel - sum(greatest(0.0, p.mi - p.cmi))",
+        "mifs": "r.rel - 1.0 * sum(p.mi)",
     }[criterion]
     stages = []
     for t in range(2, k + 1):
@@ -424,6 +432,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "selected_mrmr": _q_selected_mrmr,
         "selected_jmi": _q_selected_jmi,
         "selected_cmim": _q_selected_cmim,
+        "selected_icap": _q_selected_icap,
+        "selected_mifs": _q_selected_mifs,
         # M7 extensions — LLM-data-pipeline operators
         "text_stats": text.text_stats,
         "lang_id": text.lang_id,
@@ -514,6 +524,8 @@ def oracle_sql() -> dict[str, str]:
         "selected_mrmr": selection_oracle_sql(k=5, criterion="mrmr"),
         "selected_jmi": selection_oracle_sql(k=5, criterion="jmi"),
         "selected_cmim": selection_oracle_sql(k=5, criterion="cmim"),
+        "selected_icap": selection_oracle_sql(k=5, criterion="icap"),
+        "selected_mifs": selection_oracle_sql(k=5, criterion="mifs"),
         "text_stats": text.TEXT_STATS_ORACLE,
         "lang_id": text.LANG_ID_ORACLE,
         "doc_fingerprint": text.FINGERPRINT_ORACLE,
