@@ -175,3 +175,16 @@ def test_cosine_topk_matches_bruteforce(spark, sf_dir):
     # genuinely exercised across many blocks
     got = {tuple(r) for r in cosine_topk(spark, sf_dir, k=k, query_limit=limit).collect()}
     assert got == expected
+
+
+def test_equal_freq_gate_has_no_global_sort(spark, sf_dir):
+    # The bucketize gate must run through the discretizer (sampled fit +
+    # JVM Bucketizer transform) — not a global-sort rank() stand-in.
+    import __spark_entry__ as entry_mod
+
+    out = entry_mod.queries()["equal_freq_bucket"](spark, sf_dir)
+    plan = formatted_plan(out)
+    # a rank()-style stand-in would show a Window over one partition;
+    # the discretizer path is a narrow bucketize + hash aggregate
+    assert "Window" not in plan, plan
+    assert "bucket" in plan.lower()
