@@ -447,6 +447,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": dedup.simhash,
         "cosine_topk": similarity.cosine_topk,
         "ann_ivf_topk": similarity.ivf_topk,
+        "ann_ivf_multiprobe": similarity.ivf_multiprobe_topk,
         "embedding_neardup": similarity.embedding_neardup_pairs,
         "events_window_agg": _q_events_window_agg,
         "stream_window_agg": _q_stream_window_agg,
@@ -538,6 +539,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash": dedup.simhash_oracle(),
         "cosine_topk": similarity.cosine_topk_oracle(),
         "ann_ivf_topk": similarity.ivf_topk_oracle(),
+        "ann_ivf_multiprobe": similarity.ivf_multiprobe_oracle(),
         "embedding_neardup": similarity.embedding_neardup_oracle(),
         "events_window_agg": """
             SELECT date_trunc('day', ts) AS window_start,
