@@ -199,8 +199,43 @@ _q_selected_cmim = _selection_query("cmim")
 _q_selected_icap = _selection_query("icap")
 _q_selected_mifs = _selection_query("mifs")
 
+_SPARSE_SEL_NF = 8
+_SPARSE_SEL_K = 3
 
-def selection_oracle_sql(k: int = 5, criterion: str = "mrmr") -> str:
+
+def _q_selected_sparse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # I1 (sparse) — SparseInfoThSelector over long-format implicit-zero
+    # input.  Zero-crediting makes its MI identical to the dense path on
+    # the same data, so the oracle is the dense greedy recursion
+    # restricted to the same feature subset.
+    from flink_infotheoretic_feature_selection_spark.selector import SparseInfoThSelector
+
+    feats = FEATURE_NAMES[:_SPARSE_SEL_NF]
+    base = features_dense(spark, sf_dir).select(
+        F.monotonically_increasing_id().alias("row_id"),
+        *[F.col(c).cast("int").alias(c) for c in feats],
+        F.col("label").cast("int").alias("y"),
+    )
+    nz = base.select(
+        "row_id", F.posexplode(F.array(*feats)).alias("feat", "x")
+    ).filter(F.col("x") != 0)
+    labels = base.select("row_id", "y")
+    model = SparseInfoThSelector(
+        n_features=_SPARSE_SEL_NF,
+        n_to_select=_SPARSE_SEL_K,
+        criterion="mrmr",
+        emit_f32=False,
+    ).fit(nz, labels)
+    rows = [
+        (step, FEATURE_NAMES.index(c), round(s, 5))
+        for step, (c, s) in enumerate(model.selection_path)
+    ]
+    return spark.createDataFrame(rows, "step int, feat int, score double")
+
+
+def selection_oracle_sql(
+    k: int = 5, criterion: str = "mrmr", feat_ids: list[int] | None = None
+) -> str:
     """DuckDB oracle for the greedy selection loop (k steps).
 
     Mirrors ``InfoSelector.scala:353-362`` + the criterion algebra of
@@ -231,26 +266,28 @@ def selection_oracle_sql(k: int = 5, criterion: str = "mrmr") -> str:
     if criterion not in ("mrmr", "jmi", "cmim", "icap", "mifs"):
         raise ValueError(f"no oracle for criterion {criterion!r}")
     needs_cmi = criterion in ("jmi", "cmim", "icap")
-    n_feat = len(FEATURE_NAMES)
+    ids = list(range(len(FEATURE_NAMES))) if feat_ids is None else list(feat_ids)
     lng = " UNION ALL ".join(
-        f"SELECT {i} AS feat, CAST(f{i} AS INT) AS x FROM fm" for i in range(n_feat)
+        f"SELECT {i} AS feat, CAST(f{i} AS INT) AS x FROM fm" for i in ids
     )
     pair_joint = " UNION ALL ".join(
         f"SELECT {i} AS i, {j} AS j, CAST(f{i} AS INT) AS xi,"
         f" CAST(f{j} AS INT) AS xj, count(*) AS c FROM fm GROUP BY xi, xj"
-        for i in range(n_feat)
-        for j in range(i + 1, n_feat)
+        for i in ids
+        for j in ids
+        if i < j
     )
     pair_joint3 = " UNION ALL ".join(
         f"SELECT {i} AS i, {j} AS j, CAST(f{i} AS INT) AS xi,"
         f" CAST(f{j} AS INT) AS xj, CAST(label AS INT) AS z, count(*) AS c"
         f" FROM fm GROUP BY xi, xj, z"
-        for i in range(n_feat)
-        for j in range(i + 1, n_feat)
+        for i in ids
+        for j in ids
+        if i < j
     )
     lab_lng = " UNION ALL ".join(
         f"SELECT {i} AS feat, CAST(f{i} AS INT) AS x, CAST(label AS INT) AS y FROM fm"
-        for i in range(n_feat)
+        for i in ids
     )
     head = f"""
     WITH fm AS MATERIALIZED (
@@ -434,6 +471,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "selected_cmim": _q_selected_cmim,
         "selected_icap": _q_selected_icap,
         "selected_mifs": _q_selected_mifs,
+        "selected_sparse_mrmr": _q_selected_sparse,
         # M7 extensions — LLM-data-pipeline operators
         "text_stats": text.text_stats,
         "lang_id": text.lang_id,
@@ -527,6 +565,9 @@ def oracle_sql() -> dict[str, str]:
         "selected_cmim": selection_oracle_sql(k=5, criterion="cmim"),
         "selected_icap": selection_oracle_sql(k=5, criterion="icap"),
         "selected_mifs": selection_oracle_sql(k=5, criterion="mifs"),
+        "selected_sparse_mrmr": selection_oracle_sql(
+            k=_SPARSE_SEL_K, criterion="mrmr", feat_ids=list(range(_SPARSE_SEL_NF))
+        ),
         "text_stats": text.TEXT_STATS_ORACLE,
         "lang_id": text.LANG_ID_ORACLE,
         "doc_fingerprint": text.FINGERPRINT_ORACLE,
