@@ -109,8 +109,12 @@ def _q_equal_freq_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     # bucket histogram.  No global sort anywhere in the plan.
     from flink_infotheoretic_feature_selection_spark.discretizer import EqualFrequencyDiscretizer
 
+    # Deterministic key filter keeps the fit input ≤ 2000 rows at ANY
+    # scale factor, so fraction = 1.0 (whole-table sample) and the
+    # oracle's walk replay stays valid if the gate ever runs above sf0.01.
     part = (
         spark.read.parquet(f"{sf_dir}/part.parquet")
+        .filter(F.col("p_partkey") <= 2000)
         .select(F.col("p_retailprice").cast("double").alias("p_retailprice"))
     )
     model = EqualFrequencyDiscretizer(["p_retailprice"], num_buckets=8).fit(part)
@@ -543,7 +547,9 @@ def oracle_sql() -> dict[str, str]:
         + " SELECT CAST(feat AS INT) AS feat, mi FROM mi ORDER BY mi DESC, feat LIMIT 5",
         "projection": f"WITH {_FM_CTE} SELECT f2, f5, f7, label FROM fm",
         "equal_freq_bucket": equal_freq_bucket_oracle(
-            "part", "p_retailprice", num_buckets=8
+            "(SELECT * FROM part WHERE p_partkey <= 2000)",
+            "p_retailprice",
+            num_buckets=8,
         ),
         "sparse_hist2d": (
             f"WITH {_FM_CTE}, {_LONG_CTE} "
