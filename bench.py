@@ -132,6 +132,9 @@ def main() -> None:
     t, _ = timed(lambda: similarity.cosine_topk(spark, SF_DIR).count())
     results["b9_cosine_topk"] = round(t, 3)
 
+    t, _ = timed(lambda: similarity.ivf_multiprobe_topk(spark, SF_DIR).count())
+    results["b9b_ann_multiprobe"] = round(t, 3)
+
     t, _ = timed(lambda: text.text_stats(spark, SF_DIR).count())
     results["b10_text_stats"] = round(t, 3)
 
