@@ -212,24 +212,20 @@ def _q_selected_sparse(spark: SparkSession, sf_dir: str) -> DataFrame:
     # input.  Zero-crediting makes its MI identical to the dense path on
     # the same data, so the oracle is the dense greedy recursion
     # restricted to the same feature subset.
+    from flink_infotheoretic_feature_selection_spark.operators.sparse import matrix_to_sparse_long
     from flink_infotheoretic_feature_selection_spark.selector import SparseInfoThSelector
 
     feats = FEATURE_NAMES[:_SPARSE_SEL_NF]
-    base = features_dense(spark, sf_dir).select(
-        F.monotonically_increasing_id().alias("row_id"),
-        *[F.col(c).cast("int").alias(c) for c in feats],
-        F.col("label").cast("int").alias("y"),
-    )
-    nz = base.select(
-        "row_id", F.posexplode(F.array(*feats)).alias("feat", "x")
-    ).filter(F.col("x") != 0)
-    labels = base.select("row_id", "y")
-    model = SparseInfoThSelector(
-        n_features=_SPARSE_SEL_NF,
-        n_to_select=_SPARSE_SEL_K,
-        criterion="mrmr",
-        emit_f32=False,
-    ).fit(nz, labels)
+    base, nz, labels = matrix_to_sparse_long(features_dense(spark, sf_dir), feats)
+    try:
+        model = SparseInfoThSelector(
+            n_features=_SPARSE_SEL_NF,
+            n_to_select=_SPARSE_SEL_K,
+            criterion="mrmr",
+            emit_f32=False,
+        ).fit(nz, labels)
+    finally:
+        base.unpersist()
     rows = [
         (step, FEATURE_NAMES.index(c), round(s, 5))
         for step, (c, s) in enumerate(model.selection_path)
@@ -366,10 +362,10 @@ def selection_oracle_sql(
       GROUP BY r.feat, r.rel),
     s{t} AS (SELECT feat, score FROM c{t} ORDER BY score DESC, feat LIMIT 1),
     sel{t} AS (SELECT * FROM {prev} UNION ALL SELECT {t - 1}, feat, score FROM s{t})""")
+    stage_sql = ("," + ",".join(stages)) if stages else ""
     return (
         head
-        + ","
-        + ",".join(stages)
+        + stage_sql
         + f"""
     SELECT CAST(step AS INT) AS step, CAST(feat AS INT) AS feat,
            round(score, 5) AS score

@@ -93,21 +93,12 @@ def main() -> None:
     # the first 8 features of the matrix; runs with the other matrix-cache
     # benches, before the documents caches accumulate
     def b13():
+        from flink_infotheoretic_feature_selection_spark.operators.sparse import matrix_to_sparse_long
         from flink_infotheoretic_feature_selection_spark.selector import SparseInfoThSelector
 
         nf = 8
-        feats = FEATURE_NAMES[:nf]
-        base = matrix.select(
-            F.monotonically_increasing_id().alias("row_id"),
-            *[F.col(c).cast("int").alias(c) for c in feats],
-            F.col("label").cast("int").alias("y"),
-        ).persist(StorageLevel.MEMORY_AND_DISK)
+        base, nz, labels = matrix_to_sparse_long(matrix, FEATURE_NAMES[:nf])
         try:
-            nz = (
-                base.select("row_id", F.posexplode(F.array(*feats)).alias("feat", "x"))
-                .filter(F.col("x") != 0)
-            )
-            labels = base.select("row_id", "y")
             return SparseInfoThSelector(n_features=nf, n_to_select=3).fit(nz, labels)
         finally:
             base.unpersist()

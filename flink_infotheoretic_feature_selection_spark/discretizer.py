@@ -178,9 +178,11 @@ def equal_freq_bucket_oracle(
 ) -> str:
     """DuckDB oracle replaying fit+transform on a small table.
 
-    Valid only when the table has ≤ max(num_buckets², 10000) rows so the
-    engine's seeded Bernoulli sample has fraction 1.0 (the whole table,
-    deterministically) — then the sample→stride walk (``FreqDisc:185-225``)
+    Valid only when the table has ≤ ``n_rows_at_most`` rows (the 10k
+    sample floor) so the engine's seeded Bernoulli sample has fraction
+    1.0 (the whole table, deterministically) — enforced in-query via
+    ``error()`` so a violation fails loudly instead of hash-mismatching —
+    then the sample→stride walk (``FreqDisc:185-225``)
     is replayed exactly by a recursive CTE:  unique float32 values sorted
     with a float32-max sentinel appended, cumulative counts, and the
     "emit previous value when it is closer to the running target" rule
@@ -199,8 +201,12 @@ def equal_freq_bucket_oracle(
     vc AS MATERIALIZED (
       SELECT v, count(*) AS cnt FROM vals GROUP BY v
       UNION ALL SELECT CAST({f32_max!r} AS FLOAT), 1),
-    params AS (SELECT ceil((SELECT count(*) FROM vals) * 1.0
-                           / {num_splits + 1}) AS stride),
+    params AS (
+      SELECT CASE WHEN (SELECT count(*) FROM vals) > {n_rows_at_most}
+                  THEN error('equal_freq oracle invalid: table exceeds the '
+                             'full-sample bound of {n_rows_at_most} rows')
+                  ELSE ceil((SELECT count(*) FROM vals) * 1.0
+                            / {num_splits + 1}) END AS stride),
     u AS MATERIALIZED (
       SELECT v, cnt,
              row_number() OVER (ORDER BY v) AS idx,

@@ -419,6 +419,7 @@ def neardup_components(
                 converged = True
                 break
         if not converged:
+            labels.unpersist()  # never returned — don't pin its cache
             raise RuntimeError(
                 f"neardup_components did not converge in {max_iter} passes; "
                 "the pair graph's diameter exceeds max_iter — raise max_iter"

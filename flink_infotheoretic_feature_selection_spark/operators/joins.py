@@ -33,7 +33,18 @@ def broadcast_dim_join(
     return fact.join(F.broadcast(dim), on, how)
 
 
-_SALTED_JOIN_TYPES = {"inner", "left", "left_outer", "leftouter", "left_semi", "leftsemi", "left_anti", "leftanti"}
+_SALTED_JOIN_TYPES = {
+    "inner",
+    "left",
+    "left_outer",
+    "leftouter",
+    "left_semi",
+    "leftsemi",
+    "semi",
+    "left_anti",
+    "leftanti",
+    "anti",
+}
 
 
 def salted_join(

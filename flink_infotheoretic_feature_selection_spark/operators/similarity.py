@@ -108,7 +108,11 @@ def cosine_topk(
                 s[ids == qid] = -np.inf  # exclude self
                 order = np.lexsort((ids, -s))[:kk]
                 for j in order:
-                    if s[j] != -np.inf:
+                    # isfinite drops both the self-marker (-inf) and any
+                    # NaN cosine from a zero-norm embedding — Spark's
+                    # window sort ranks NaN ABOVE all doubles, so a NaN
+                    # candidate must never reach the global merge.
+                    if np.isfinite(s[j]):
                         rows.append((int(qid), int(ids[j]), float(s[j])))
             yield pd.DataFrame(rows, columns=["query_id", "neighbor_id", "cos"])
 

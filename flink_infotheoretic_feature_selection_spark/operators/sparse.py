@@ -30,7 +30,34 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["sparse_hist2d", "sparse_hist3d"]
+__all__ = ["sparse_hist2d", "sparse_hist3d", "matrix_to_sparse_long"]
+
+
+def matrix_to_sparse_long(
+    matrix: DataFrame, feats: list[str], label_col: str = "label"
+):
+    """Derive the sparse long-format input from a wide matrix.
+
+    Returns ``(base, nonzeros, labels)`` where ``base`` is PERSISTED and
+    must be unpersisted by the caller after the fit: ``nonzeros`` and
+    ``labels`` are two separate subplans over the same
+    ``monotonically_increasing_id`` — without the persist each would
+    re-evaluate the nondeterministic id assignment independently (task
+    retry, partition-layout change) and could pair cells with the wrong
+    labels.
+    """
+    from pyspark.storagelevel import StorageLevel
+
+    base = matrix.select(
+        F.monotonically_increasing_id().alias("row_id"),
+        *[F.col(c).cast("int").alias(c) for c in feats],
+        F.col(label_col).cast("int").alias("y"),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    nonzeros = base.select(
+        "row_id", F.posexplode(F.array(*feats)).alias("feat", "x")
+    ).filter(F.col("x") != 0)
+    labels = base.select("row_id", "y")
+    return base, nonzeros, labels
 
 
 def sparse_hist2d(nonzeros: DataFrame, labels: DataFrame, n_features: int) -> DataFrame:

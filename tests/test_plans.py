@@ -171,9 +171,17 @@ def test_cosine_topk_matches_bruteforce(spark, sf_dir):
         for rank, j in enumerate(order, start=1):
             expected.add((int(ids[qi]), int(ids[j]), float(s[j]), rank))
 
-    # repartition the corpus so the local-topk + global-merge path is
-    # genuinely exercised across many blocks
-    got = {tuple(r) for r in cosine_topk(spark, sf_dir, k=k, query_limit=limit).collect()}
+    # shrink the Arrow batch size so the corpus streams as MANY blocks —
+    # the per-batch truncation + global window merge is genuinely
+    # exercised (at sf0.001 the default batch would hold all 500 rows)
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "64")
+    try:
+        got = {
+            tuple(r) for r in cosine_topk(spark, sf_dir, k=k, query_limit=limit).collect()
+        }
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
     assert got == expected
 
 
