@@ -442,6 +442,15 @@ def _q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.extract_features_long(multimodal.attach_media(docs), dim=16)
 
 
+def _q_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Multimodal: decode (deterministic stand-in) → average-pool resize.
+    # Exercises the full decode→resize plumbing; oracle replays the
+    # byte-fold + pool arithmetic from the text payload.
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    decoded = multimodal.fake_decode(multimodal.attach_media(docs), height=8, width=8)
+    return multimodal.resize_media(decoded, out_h=4, out_w=4)
+
+
 def _q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Multimodal: every-4th fixed-size frame stats (frame-arithmetic oracle).
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -493,6 +502,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize_skew": sessions.sessionize_skew_query,
         "media_meta": _q_media_meta,
         "media_features": _q_media_features,
+        "media_resize": _q_media_resize,
         "frame_sample": _q_frame_sample,
     }
 
@@ -602,5 +612,6 @@ def oracle_sql() -> dict[str, str]:
         "sessionize_skew": sessions.SESSIONIZE_ORACLE,
         "media_meta": multimodal.MEDIA_META_ORACLE,
         "media_features": multimodal.MEDIA_FEATURES_ORACLE,
+        "media_resize": multimodal.MEDIA_RESIZE_ORACLE,
         "frame_sample": multimodal.FRAME_SAMPLE_ORACLE,
     }

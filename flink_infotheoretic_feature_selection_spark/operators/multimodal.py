@@ -28,6 +28,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
+    DoubleType,
     FloatType,
     IntegerType,
     LongType,
@@ -43,9 +44,11 @@ __all__ = [
     "extract_features",
     "extract_features_long",
     "frame_sample",
+    "resize_media",
     "MEDIA_META_ORACLE",
     "MEDIA_FEATURES_ORACLE",
     "FRAME_SAMPLE_ORACLE",
+    "MEDIA_RESIZE_ORACLE",
 ]
 
 FRAME_BYTES = 64  # fixed frame size for the synthetic video layout
@@ -183,6 +186,83 @@ def extract_features(media: DataFrame, dim: int = 16) -> DataFrame:
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "features": feats})
 
     return media.select("doc_id", "media").mapInPandas(batches, _FEATURES_SCHEMA)
+
+
+_RESIZE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("oy", IntegerType()),
+        StructField("ox", IntegerType()),
+        StructField("val", DoubleType()),
+    ]
+)
+
+
+def resize_media(decoded: DataFrame, out_h: int = 4, out_w: int = 4) -> DataFrame:
+    """Average-pool resize of decoded h×w grids to out_h×out_w.
+
+    The resize slot of the pipeline (decode → resize → featurize).
+    Arrow-batched ``mapInPandas``; pooling accumulates in float64 over the
+    float32 pixels so an SQL oracle doing the same mean is bit-identical.
+    Output is long-form ``(doc_id, oy, ox, val)`` — canonicalizable and
+    bounded at docs × out_h × out_w rows.  Requires the input dims to be
+    divisible by the output dims.
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out: dict[str, list] = {"doc_id": [], "oy": [], "ox": [], "val": []}
+            for doc_id, h, w, pixels in zip(
+                pdf["doc_id"], pdf["height"], pdf["width"], pdf["pixels"]
+            ):
+                h, w = int(h), int(w)
+                if h % out_h or w % out_w:
+                    raise ValueError(
+                        f"grid {h}x{w} not divisible by output {out_h}x{out_w}"
+                    )
+                grid = np.asarray(pixels, dtype=np.float32).reshape(h, w)
+                by, bx = h // out_h, w // out_w
+                pooled = (
+                    grid.astype(np.float64)
+                    .reshape(out_h, by, out_w, bx)
+                    .mean(axis=(1, 3))
+                )
+                for oy in range(out_h):
+                    for ox in range(out_w):
+                        out["doc_id"].append(doc_id)
+                        out["oy"].append(oy)
+                        out["ox"].append(ox)
+                        out["val"].append(round(float(pooled[oy, ox]), 5))
+            yield pd.DataFrame(out)
+
+    return decoded.select("doc_id", "height", "width", "pixels").mapInPandas(
+        batches, _RESIZE_SCHEMA
+    )
+
+
+# DuckDB oracle for fake_decode(8x8) → resize_media(4x4) over the
+# synthetic ASCII payload: pixel i of the 64-cell grid is
+# float32(byte[(i mod n)] / 255), where byte values are unicode code
+# points (pure-ASCII corpus); the 2×2 average pool runs in float64 like
+# the engine.  Validates the full decode→resize plumbing end-to-end.
+MEDIA_RESIZE_ORACLE = """
+    WITH pix AS (
+      SELECT doc_id,
+             CAST(p.range AS INT) AS i,
+             CAST(CAST(unicode(substr(
+                 text, (CAST(p.range AS INT) % length(text)) + 1, 1)) AS FLOAT)
+               / CAST(255.0 AS FLOAT) AS FLOAT) AS v
+      FROM documents, range(64) p),
+    cells AS (
+      SELECT doc_id,
+             (i // 8) // 2 AS oy,
+             (i % 8) // 2 AS ox,
+             CAST(v AS DOUBLE) AS v
+      FROM pix)
+    SELECT doc_id, CAST(oy AS INT) AS oy, CAST(ox AS INT) AS ox,
+           round(avg(v), 5) AS val
+    FROM cells GROUP BY doc_id, oy, ox
+"""
 
 
 _FEATURES_LONG_SCHEMA = StructType(

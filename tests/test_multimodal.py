@@ -69,3 +69,44 @@ def test_frame_sample_exact(docs):
 def test_decode_media_is_stubbed(docs):
     with pytest.raises(NotImplementedError):
         mm.decode_media(mm.attach_media(docs))
+
+
+def test_resize_media_average_pools(docs):
+    from flink_infotheoretic_feature_selection_spark.operators.multimodal import (
+        attach_media,
+        fake_decode,
+        resize_media,
+    )
+    import numpy as np
+
+    decoded = fake_decode(attach_media(docs), height=8, width=8)
+    out = resize_media(decoded, out_h=4, out_w=4)
+    rows = out.collect()
+    # bounded long shape: docs × 4 × 4
+    n_docs = docs.count()
+    assert len(rows) == n_docs * 16
+
+    # spot-check one doc against a NumPy pool of the same decoded grid
+    one = decoded.filter("doc_id = %d" % rows[0].doc_id).collect()[0]
+    grid = np.asarray(one.pixels, dtype=np.float32).reshape(8, 8)
+    pooled = grid.astype(np.float64).reshape(4, 2, 4, 2).mean(axis=(1, 3))
+    got = {
+        (r.oy, r.ox): r.val for r in rows if r.doc_id == rows[0].doc_id
+    }
+    for oy in range(4):
+        for ox in range(4):
+            assert got[(oy, ox)] == round(float(pooled[oy, ox]), 5)
+
+
+def test_resize_media_rejects_indivisible(docs):
+    import pytest as _pytest
+
+    from flink_infotheoretic_feature_selection_spark.operators.multimodal import (
+        attach_media,
+        fake_decode,
+        resize_media,
+    )
+
+    decoded = fake_decode(attach_media(docs), height=8, width=8)
+    with _pytest.raises(Exception, match="not divisible"):
+        resize_media(decoded, out_h=3, out_w=4).collect()
