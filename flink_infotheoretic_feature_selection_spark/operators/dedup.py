@@ -40,12 +40,14 @@ __all__ = [
     "simhash",
     "neardup_components",
     "neardup_groups",
+    "decontaminate",
     "EXACT_DEDUP_ORACLE",
     "jaccard_pairs_oracle",
     "minhash_signatures_oracle",
     "minhash_lsh_pairs_oracle",
     "simhash_oracle",
     "neardup_groups_oracle",
+    "decontaminate_oracle",
 ]
 
 # MinHash parameters: h_i(x) = (A_i * x + B_i) mod P over the shingle's

@@ -22,10 +22,16 @@ __all__ = [
     "lang_id",
     "fingerprint",
     "corpus_clean",
+    "doc_repetition",
+    "tfidf_topk",
+    "stratified_sample",
     "TEXT_STATS_ORACLE",
     "LANG_ID_ORACLE",
     "FINGERPRINT_ORACLE",
     "CORPUS_CLEAN_ORACLE",
+    "DOC_REPETITION_ORACLE",
+    "TFIDF_TOPK_ORACLE",
+    "STRATIFIED_SAMPLE_ORACLE",
 ]
 
 STOPWORDS_EN = ("the", "a", "and", "of", "to", "in", "is")
@@ -190,3 +196,154 @@ def corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 CORPUS_CLEAN_ORACLE = _corpus_clean_sql(duck=True)
+
+
+# ---------------------------------------------------------------------------
+# Within-document repetition (Gopher-style quality signal)
+# ---------------------------------------------------------------------------
+REPETITION_NGRAM = 2
+REPETITION_MAX_DUP_FRAC = 0.2
+
+
+def _repetition_sql(duck: bool, n: int = REPETITION_NGRAM) -> str:
+    """Duplicate word n-gram fraction per doc — repeated boilerplate
+    (lorem-style loops, scraped nav bars) shows up as a high fraction of
+    non-distinct n-grams.  Pure per-row array expressions: no shuffle,
+    no UDF, runs at scan speed on both engines."""
+    if duck:
+        tokens = r"string_split_regex(trim(lower(text)), '\s+')"
+        grams = (
+            f"list_transform(range(1, len(ts) - {n - 2}), "
+            f"i -> array_to_string(ts[i : i + {n - 1}], ' '))"
+        )
+        size, distinct = "len", "list_distinct"
+    else:
+        tokens = r"split(trim(lower(text)), '\\s+')"
+        grams = (
+            f"transform(sequence(1, size(ts) - {n - 1}), "
+            f"i -> concat_ws(' ', slice(ts, i, {n})))"
+        )
+        size, distinct = "size", "array_distinct"
+    return f"""
+    WITH tok AS (SELECT doc_id, {tokens} AS ts FROM documents),
+    g AS (SELECT doc_id, {grams} AS gs FROM tok WHERE {size}(ts) >= {n})
+    SELECT doc_id,
+           {size}(gs) AS n_grams,
+           {size}({distinct}(gs)) AS n_distinct,
+           round(CAST(1.0 AS DOUBLE)
+                 - CAST({size}({distinct}(gs)) AS DOUBLE) / {size}(gs), 5) AS dup_frac,
+           CAST(CASE WHEN CAST(1.0 AS DOUBLE)
+                          - CAST({size}({distinct}(gs)) AS DOUBLE) / {size}(gs)
+                          > {REPETITION_MAX_DUP_FRAC}
+                THEN 1 ELSE 0 END AS INT) AS repetitive
+    FROM g
+    """
+
+
+def doc_repetition(spark: SparkSession, sf_dir: str, n: int = REPETITION_NGRAM) -> DataFrame:
+    """Per-doc duplicate-bigram fraction + repetitive flag (Gopher-style
+    repetition filter).  Docs shorter than ``n`` tokens are excluded
+    (no n-grams exist)."""
+    spark.read.parquet(f"{sf_dir}/documents.parquet").createOrReplaceTempView("documents")
+    return spark.sql(_repetition_sql(duck=False, n=n))
+
+
+DOC_REPETITION_ORACLE = _repetition_sql(duck=True)
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF top terms per document
+# ---------------------------------------------------------------------------
+TFIDF_TOP_TERMS = 3
+
+
+def _tfidf_sql(duck: bool, top: int = TFIDF_TOP_TERMS) -> str:
+    """Top terms per doc by TF-IDF.
+
+    Ranking key is the INTEGER triple (tf DESC, df ASC, term ASC), not
+    the float score — cross-engine float `ln` can differ in the last ulp
+    and flip a rank at a near-tie boundary (the mim_topk lesson).  The
+    tf-idf score itself is still emitted (rounded) so the oracle checks
+    the arithmetic; the rank is just decided on exact integers.
+
+    Plan at scale: explode words (map-side) → hash-agg on (doc_id, term)
+    with partial aggregation → tiny df/doc-count aggs → join on term
+    (AQE broadcasts the vocabulary side when it fits, plain shuffle join
+    otherwise) → per-doc window on doc_id.  No global sort.
+    """
+    if duck:
+        words = _WORDS_DUCK
+        explode = f"SELECT doc_id, unnest({words}) AS term FROM documents"
+    else:
+        words = _WORDS
+        explode = (
+            f"SELECT doc_id, term FROM documents "
+            f"LATERAL VIEW explode({words}) t AS term"
+        )
+    return f"""
+    WITH w AS ({explode}),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM w GROUP BY doc_id, term),
+    dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    nd AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+             round(tf.tf * ln(n_docs / dfreq.df), 5) AS tfidf,
+             row_number() OVER (PARTITION BY tf.doc_id
+                                ORDER BY tf.tf DESC, dfreq.df ASC, tf.term ASC) AS rnk
+      FROM tf JOIN dfreq ON tf.term = dfreq.term
+      CROSS JOIN nd)
+    SELECT doc_id, term, tf, df, tfidf, CAST(rnk AS INT) AS rnk
+    FROM scored WHERE rnk <= {top}
+    """
+
+
+def tfidf_topk(spark: SparkSession, sf_dir: str, top: int = TFIDF_TOP_TERMS) -> DataFrame:
+    """Top-``top`` distinctive terms per document by TF-IDF."""
+    spark.read.parquet(f"{sf_dir}/documents.parquet").createOrReplaceTempView("documents")
+    return spark.sql(_tfidf_sql(duck=False, top=top))
+
+
+TFIDF_TOPK_ORACLE = _tfidf_sql(duck=True)
+
+
+# ---------------------------------------------------------------------------
+# Deterministic stratified sampling (language-mix rebalancing)
+# ---------------------------------------------------------------------------
+# Per-language keep-rate out of 100: downsample dominant English, keep all
+# es/fr, thin undetermined.  The sampling key is the portable rolling hash
+# of the text (content-addressed: resharding or re-ingesting the corpus
+# yields the SAME sample — doc ids need not be stable at 100 TB).
+STRATA_RATES = {"en": 50, "es": 100, "fr": 100, "und": 10}
+
+
+def _stratified_sql(duck: bool) -> str:
+    rh = (
+        rolling_hash_expr_duckdb("lower(trim(text))")
+        if duck
+        else rolling_hash_expr_spark("lower(trim(text))")
+    )
+    rate_case = " ".join(
+        f"WHEN '{lang}' THEN {rate}" for lang, rate in STRATA_RATES.items()
+    )
+    return f"""
+    WITH tagged AS (
+      SELECT doc_id, {_lang_case(duck)} AS lang_pred, {rh} % 100 AS bucket
+      FROM documents)
+    SELECT doc_id, lang_pred, CAST(bucket AS INT) AS bucket
+    FROM tagged
+    WHERE bucket < CASE lang_pred {rate_case} ELSE 0 END
+    """
+
+
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-language stratified sample of the corpus.
+
+    A narrow filter over the scan (language tag + content-hash bucket are
+    per-row expressions) — no shuffle, no RNG, reproducible across
+    engines, partitionings, and reruns.
+    """
+    spark.read.parquet(f"{sf_dir}/documents.parquet").createOrReplaceTempView("documents")
+    return spark.sql(_stratified_sql(duck=False))
+
+
+STRATIFIED_SAMPLE_ORACLE = _stratified_sql(duck=True)
