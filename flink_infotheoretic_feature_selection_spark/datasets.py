@@ -24,6 +24,7 @@ from pyspark.sql.types import (
     StringType,
     StructField,
     StructType,
+    TimestampType,
 )
 
 TABLES = (
@@ -112,34 +113,77 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
-# events.parquet stores ts as TIMESTAMP(NANOS), which Spark's reader
-# rejects unless either (a) the legacy nanosAsLong conf is set, or (b) an
-# explicit schema types the column as LONG.  (b) is the only option that
-# works in ANY session (the correctness harness builds its own), so every
-# events read goes through this schema.  Shared by the streaming reader.
-EVENTS_SCHEMA = StructType(
-    [
-        StructField("event_id", LongType()),
-        StructField("ts", LongType()),  # TIMESTAMP(NANOS) scanned as long nanos
-        StructField("user_id", LongType()),
-        StructField("event_type", StringType()),
-        StructField("value", DoubleType()),
-        StructField("props", StringType()),
-    ]
-)
+# events.parquet's physical type for ``ts`` has varied across testdata
+# generations: TIMESTAMP(NANOS) (which Spark's scan rejects unless read
+# with an explicit LONG schema) and plain timestamp[us].  Hardcoding
+# either layout breaks when the data is regenerated, so every events
+# read — batch and streaming — probes the parquet footer and adapts.
+
+
+def _events_schema(ts_as_long: bool) -> StructType:
+    return StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField(
+                "ts", LongType() if ts_as_long else TimestampType()
+            ),
+            StructField("user_id", LongType()),
+            StructField("event_type", StringType()),
+            StructField("value", DoubleType()),
+            StructField("props", StringType()),
+        ]
+    )
+
+
+def events_read_plan(path: str) -> tuple[StructType, bool]:
+    """Probe the parquet footer of ``path`` (file or directory) and return
+    ``(schema, ts_is_nanos)``.
+
+    - ``ts`` stored as timestamp[us/ms/s] → read as ``TimestampType``
+      directly, no conversion.
+    - ``ts`` stored as int64 or timestamp[ns] (the TIMESTAMP(NANOS)
+      layout Spark cannot scan as a timestamp) → read as ``LongType``
+      and convert nanos → micros.
+
+    Driver-side footer read of ONE file — O(KB), no data scan; the
+    result is fixed for the lifetime of the read plan, so this is safe
+    for streaming file sources too (all files in a stream directory
+    share a layout by contract).
+    """
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+    import pyarrow.types as pat
+
+    probe = path
+    if os.path.isdir(probe):
+        files = sorted(
+            glob.glob(os.path.join(probe, "**", "*.parquet"), recursive=True)
+        )
+        if not files:
+            raise FileNotFoundError(f"no parquet files under {path}")
+        probe = files[0]
+    t = pq.read_schema(probe).field("ts").type
+    ts_is_nanos = (not pat.is_timestamp(t)) or t.unit == "ns"
+    return _events_schema(ts_as_long=ts_is_nanos), ts_is_nanos
 
 
 def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events with ``ts`` as a real timestamp.
+    """events with ``ts`` as a real timestamp, whatever the file layout.
 
-    Reads with the explicit :data:`EVENTS_SCHEMA` (``ts`` as long nanos),
-    then converts via ``timestamp_micros`` — a narrow JVM-side expression.
-    No session conf dependency.
+    Probes the footer via :func:`events_read_plan`; the nanos build gets
+    a narrow JVM-side ``timestamp_micros(ts div 1000)`` conversion, the
+    timestamp build is read as-is.  No session conf dependency.
     """
     from pyspark.sql import functions as F
 
-    df = spark.read.schema(EVENTS_SCHEMA).parquet(f"{sf_dir}/events.parquet")
-    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    path = f"{sf_dir}/events.parquet"
+    schema, ts_is_nanos = events_read_plan(path)
+    df = spark.read.schema(schema).parquet(path)
+    if ts_is_nanos:
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
 
 
 def register_tables(spark: SparkSession, sf_dir: str) -> None:

@@ -30,10 +30,6 @@ def get_spark(app_name: str = "flink_infotheoretic_feature_selection_spark", cpu
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.python.worker.reuse", "true")
-        # testdata events.parquet stores TIMESTAMP(NANOS) which Spark
-        # cannot read natively — surface nanos as long, converted to
-        # proper timestamps in datasets.load_events / streaming readers
-        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

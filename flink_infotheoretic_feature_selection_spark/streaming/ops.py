@@ -30,10 +30,9 @@ from pyspark.sql.types import (
     StructType,
 )
 
-from flink_infotheoretic_feature_selection_spark.datasets import EVENTS_SCHEMA
+from flink_infotheoretic_feature_selection_spark.datasets import events_read_plan
 
 __all__ = [
-    "EVENTS_SCHEMA",
     "read_events_stream",
     "windowed_event_agg",
     "streaming_dedup",
@@ -45,14 +44,16 @@ def read_events_stream(spark: SparkSession, path: str) -> DataFrame:
     """File-source stream over an events parquet directory.
 
     File sources need an explicit schema (no inference mid-stream); new
-    files under ``path`` become micro-batches.  ``ts`` arrives as long
-    nanos and is converted to a real timestamp here (narrow JVM expr).
+    files under ``path`` become micro-batches.  The schema is probed from
+    the existing files' footer (``datasets.events_read_plan``): a
+    timestamp ``ts`` streams as-is, the long-nanos layout gets a narrow
+    JVM-side nanos → micros conversion.
     """
-    return (
-        spark.readStream.schema(EVENTS_SCHEMA)
-        .parquet(path)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    )
+    schema, ts_is_nanos = events_read_plan(path)
+    df = spark.readStream.schema(schema).parquet(path)
+    if ts_is_nanos:
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
 
 
 def windowed_event_agg(

@@ -39,6 +39,29 @@ def run_to_memory(stream_df, name, output_mode="append"):
     return stream_df.sparkSession.table(name)
 
 
+def test_loaded_events_absolute_time_range(spark, sf_dir):
+    # Absolute-truth pin (round-2 lesson): stream-equals-batch checks both
+    # sides of a shared loader, so a decode error (e.g. the 1000×-off
+    # nanos-vs-micros bug) passes them clean.  The generator writes ~30
+    # days of 2024 events — assert the loaded range matches that fact, and
+    # that a 12h-gap sessionization yields strictly more sessions than
+    # users (a 1000×-shrunk timeline collapses to one session per user).
+    import datetime
+
+    from flink_infotheoretic_feature_selection_spark.operators.sessions import sessionize
+
+    ev = load_events(spark, sf_dir)
+    lo, hi = ev.agg(F.min("ts"), F.max("ts")).collect()[0]
+    assert lo >= datetime.datetime(2024, 1, 1)
+    assert hi <= datetime.datetime(2024, 12, 31)
+    span_days = (hi - lo).total_seconds() / 86400
+    assert 20 <= span_days <= 40, f"events span {span_days:.1f} days, expected ~30"
+
+    n_users = ev.select("user_id").distinct().count()
+    n_sessions = sessionize(ev).count()
+    assert n_sessions > n_users
+
+
 def test_windowed_event_agg_matches_batch(spark, sf_dir, events_dir):
     # update mode: append would (correctly) withhold windows still inside
     # the watermark horizon at end-of-input; update emits every window.
@@ -132,19 +155,23 @@ def test_stateful_user_stats_carries_state_across_batches(spark, sf_dir, tmp_pat
     # two identical files + maxFilesPerTrigger=1 → two micro-batches; the
     # final emitted totals per user must cover BOTH batches (state carried),
     # i.e. equal 2× the batch aggregation of one file.
+    from flink_infotheoretic_feature_selection_spark.datasets import events_read_plan
     from flink_infotheoretic_feature_selection_spark.streaming import stateful_user_stats
-    from flink_infotheoretic_feature_selection_spark.streaming.ops import EVENTS_SCHEMA
 
     d = tmp_path / "two_batches"
     d.mkdir()
     shutil.copy(f"{sf_dir}/events.parquet", d / "a.parquet")
     shutil.copy(f"{sf_dir}/events.parquet", d / "b.parquet")
+    schema, ts_is_nanos = events_read_plan(str(d))
     stream_src = (
-        spark.readStream.schema(EVENTS_SCHEMA)
+        spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1")
         .parquet(str(d))
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     )
+    if ts_is_nanos:
+        stream_src = stream_src.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))
+        )
     got = run_to_memory(stateful_user_stats(stream_src), "user_stats", output_mode="update")
     rows = got.collect()
     # update mode appends one row per user per batch → users seen in both
