@@ -492,6 +492,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_pairs": dedup.minhash_lsh_pairs,
         "neardup_groups": dedup.neardup_groups,
         "simhash": dedup.simhash,
+        "decontaminate": dedup.decontaminate_query,
+        "doc_repetition": text.doc_repetition,
+        "tfidf_topk": text.tfidf_topk,
+        "stratified_sample": text.stratified_sample,
         "cosine_topk": similarity.cosine_topk,
         "ann_ivf_topk": similarity.ivf_topk,
         "ann_ivf_multiprobe": similarity.ivf_multiprobe_topk,
@@ -590,6 +594,10 @@ def oracle_sql() -> dict[str, str]:
         "minhash_lsh_pairs": dedup.minhash_lsh_pairs_oracle(),
         "neardup_groups": dedup.neardup_groups_oracle(),
         "simhash": dedup.simhash_oracle(),
+        "decontaminate": dedup.decontaminate_oracle(),
+        "doc_repetition": text.DOC_REPETITION_ORACLE,
+        "tfidf_topk": text.TFIDF_TOPK_ORACLE,
+        "stratified_sample": text.STRATIFIED_SAMPLE_ORACLE,
         "cosine_topk": similarity.cosine_topk_oracle(),
         "ann_ivf_topk": similarity.ivf_topk_oracle(),
         "ann_ivf_multiprobe": similarity.ivf_multiprobe_oracle(),

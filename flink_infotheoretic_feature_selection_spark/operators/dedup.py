@@ -40,7 +40,9 @@ __all__ = [
     "simhash",
     "neardup_components",
     "neardup_groups",
+    "doc_shingles",
     "decontaminate",
+    "decontaminate_query",
     "EXACT_DEDUP_ORACLE",
     "jaccard_pairs_oracle",
     "minhash_signatures_oracle",
@@ -164,6 +166,117 @@ def jaccard_pairs_oracle(
     threshold: float = 0.2, n: int = 3, max_shingle_df: int | None = 1000
 ) -> str:
     return _jaccard_sql(duck=True, threshold=threshold, n=n, max_df=max_shingle_df)
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination
+# ---------------------------------------------------------------------------
+def doc_shingles(docs: DataFrame, n: int = 3) -> DataFrame:
+    """Distinct word ``n``-gram shingles per doc as a DataFrame —
+    the expression-form twin of :func:`_shingles_cte` for operators that
+    take arbitrary DataFrames instead of the ``documents`` view."""
+    from pyspark.sql import functions as F
+
+    return (
+        docs.select("doc_id", F.expr(r"split(trim(lower(text)), '\\s+')").alias("ts"))
+        .where(F.size("ts") >= n)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, size(ts) - {n - 1}),"
+                    f" i -> concat_ws(' ', slice(ts, i, {n})))"
+                )
+            ).alias("shingle"),
+        )
+        .distinct()
+    )
+
+
+def decontaminate(
+    train_docs: DataFrame,
+    eval_docs: DataFrame,
+    n: int = 3,
+    mode: str = "drop",
+    max_train_df: int | None = 1000,
+) -> DataFrame:
+    """Benchmark decontamination: remove (or flag) training docs sharing
+    any word ``n``-gram shingle with an eval/benchmark doc.
+
+    The canonical LLM-pipeline contamination check (n-gram overlap against
+    held-out benchmarks).  No reference analogue — extension surface.
+
+    Scale shape: the eval side is a benchmark (thousands of docs, not
+    TBs), so its distinct shingle set is explicitly ``broadcast`` — the
+    100 TB training corpus is scanned ONCE and never shuffled on text.
+    ``max_train_df`` is the boilerplate/skew guard: an eval shingle found
+    in more than that many training docs is treated as boilerplate (a
+    common phrase, not contamination) and excluded — the same
+    doc-frequency cap :func:`shingle_jaccard_pairs` uses.  Computing it
+    costs one hash-agg over the training shingles; pass ``None`` to skip.
+
+    - ``mode="drop"``: training docs with no contaminated shingle, all
+      original columns (left_anti join on doc_id).
+    - ``mode="flag"``: ``(doc_id, n_hits)`` for contaminated training
+      docs — n_hits = distinct shingles shared with the eval set.
+    """
+    from pyspark.sql import functions as F
+
+    if mode not in ("drop", "flag"):
+        raise ValueError(f"mode must be 'drop' or 'flag', got {mode!r}")
+    train_sh = doc_shingles(train_docs, n)
+    eval_sh = doc_shingles(eval_docs, n).select("shingle").distinct()
+    if max_train_df is not None:
+        common = (
+            train_sh.groupBy("shingle")
+            .count()
+            .where(F.col("count") <= max_train_df)
+            .select("shingle")
+        )
+        eval_sh = eval_sh.join(common, "shingle")
+    hits = (
+        train_sh.join(F.broadcast(eval_sh), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    if mode == "flag":
+        return hits
+    return train_docs.join(hits, "doc_id", "left_anti")
+
+
+# Gate fixture: eval set = every 20th doc (deterministic 5% split of the
+# documents table), train = the rest; flag-mode output.
+DECONTAMINATE_EVAL_PRED = "doc_id % 20 = 0"
+
+
+def decontaminate_query(
+    spark: SparkSession, sf_dir: str, n: int = 3, max_train_df: int | None = 1000
+) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    from pyspark.sql import functions as F
+
+    eval_docs = docs.where(F.expr(DECONTAMINATE_EVAL_PRED))
+    train_docs = docs.where(~F.expr(DECONTAMINATE_EVAL_PRED))
+    return decontaminate(train_docs, eval_docs, n=n, mode="flag", max_train_df=max_train_df)
+
+
+def decontaminate_oracle(n: int = 3, max_train_df: int | None = 1000) -> str:
+    cap = (
+        f""",
+    df_ok AS (SELECT shingle FROM train_sh GROUP BY shingle
+              HAVING count(*) <= {max_train_df}),
+    eval_sh AS (SELECT shingle FROM eval_sh0 JOIN df_ok USING (shingle))"""
+        if max_train_df is not None
+        else ",\n    eval_sh AS (SELECT shingle FROM eval_sh0)"
+    )
+    return f"""
+    WITH {_shingles_cte(duck=True, n=n)},
+    train_sh AS (SELECT * FROM sh WHERE NOT ({DECONTAMINATE_EVAL_PRED})),
+    eval_sh0 AS (SELECT DISTINCT shingle FROM sh WHERE {DECONTAMINATE_EVAL_PRED}){cap}
+    SELECT doc_id, count(*) AS n_hits
+    FROM train_sh JOIN eval_sh USING (shingle)
+    GROUP BY doc_id
+    """
 
 
 # ---------------------------------------------------------------------------

@@ -71,3 +71,62 @@ def test_neardup_components_raises_when_unconverged(spark):
     )
     with pytest.raises(RuntimeError, match="did not converge"):
         neardup_components(pairs, max_iter=2)
+
+
+def test_dedup_star_import_matches_all(spark):
+    # Round-2 regression: __all__ advertised names that didn't exist, so
+    # `from ...dedup import *` raised ImportError. Pin that every __all__
+    # entry resolves.
+    ns = {}
+    exec("from flink_infotheoretic_feature_selection_spark.operators.dedup import *", ns)
+    import flink_infotheoretic_feature_selection_spark.operators.dedup as d
+
+    missing = [n for n in d.__all__ if n not in ns]
+    assert not missing, missing
+
+
+def test_decontaminate_drop_and_flag(spark):
+    # train doc 10 shares the trigram "alpha beta gamma" with eval doc 1;
+    # train doc 11 shares nothing; train doc 12 is too short for trigrams.
+    from flink_infotheoretic_feature_selection_spark.operators.dedup import decontaminate
+
+    train = spark.createDataFrame(
+        [
+            (10, "the alpha beta gamma sequence appears here"),
+            (11, "completely unrelated training content goes here"),
+            (12, "too short"),
+        ],
+        "doc_id long, text string",
+    )
+    ev = spark.createDataFrame(
+        [(1, "benchmark question alpha beta gamma answer")],
+        "doc_id long, text string",
+    )
+
+    flagged = {(r.doc_id, r.n_hits) for r in decontaminate(train, ev, mode="flag").collect()}
+    assert flagged == {(10, 1)}
+
+    kept = {r.doc_id for r in decontaminate(train, ev, mode="drop").collect()}
+    assert kept == {11, 12}
+
+    with pytest.raises(ValueError, match="mode"):
+        decontaminate(train, ev, mode="bogus")
+
+
+def test_decontaminate_boilerplate_cap(spark):
+    # A shingle present in MANY training docs is boilerplate, not
+    # contamination: with the cap below its train doc-frequency no doc is
+    # flagged through it; without the cap all of them are.
+    from flink_infotheoretic_feature_selection_spark.operators.dedup import decontaminate
+
+    train = spark.createDataFrame(
+        [(i, f"click here now unique{i} tail{i}") for i in range(20)],
+        "doc_id long, text string",
+    )
+    ev = spark.createDataFrame(
+        [(1, "eval doc also says click here now")], "doc_id long, text string"
+    )
+    capped = decontaminate(train, ev, mode="flag", max_train_df=10)
+    assert capped.count() == 0
+    uncapped = decontaminate(train, ev, mode="flag", max_train_df=None)
+    assert uncapped.count() == 20
