@@ -410,12 +410,20 @@ def minhash_lsh_pairs(
     arr_b = docs_arr.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
     n_inter = F.size(F.array_intersect("sh_a", "sh_b"))
     jac = n_inter.cast("double") / (F.size("sh_a") + F.size("sh_b") - n_inter)
-    return (
+    pairs = (
         cand.join(arr_a, "doc_a")
         .join(arr_b, "doc_b")
         .filter(jac >= threshold)
         .select("doc_a", "doc_b", F.round(jac, 5).alias("jaccard"))
     )
+    # Cache lifecycle: the verified pair set is a tiny fraction of the
+    # corpus, so materialize IT (distributed, auto-cleaned when the
+    # returned DF is garbage-collected) and release the big per-doc
+    # shingle-array cache before returning — no stray corpus-sized cache
+    # outlives the call.
+    pairs = pairs.localCheckpoint(eager=True)
+    docs_arr.unpersist()
+    return pairs
 
 
 def minhash_lsh_pairs_oracle(threshold: float = 0.2, n: int = 3) -> str:

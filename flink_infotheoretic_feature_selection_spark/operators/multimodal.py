@@ -7,11 +7,12 @@ the frame/patch layout keeps each batch bounded regardless of total
 scale.  Partitioning is inherited from the source scan — no shuffle is
 introduced by any operator here.
 
-The container has no image/audio codecs, so the *decode* step is stubbed
-(SURVEY-brief mandate): ``decode_media`` raises ``NotImplementedError``
-unless a real decoder is importable, while ``fake_decode`` is a
-deterministic stand-in (byte-fold "pixels") that keeps every downstream
-schema, batch shape, and test real.
+The container has no image/audio codecs, so the *decode* step is a
+pluggable extension point (SURVEY-brief mandate): ``decode_media`` takes
+a ``decoder(bytes, h, w) -> ndarray`` callback, defaulting to the
+deterministic byte-fold stand-in (:func:`byte_fold_decoder`) — a real
+codec wires in without editing the operator, and every downstream
+schema, batch shape, and test stays real either way.
 
 Testdata has no binary column; :func:`attach_media` synthesizes one
 deterministically from ``documents.text`` so the plumbing runs against
@@ -20,7 +21,7 @@ driver-provided tables only.
 
 from __future__ import annotations
 
-from collections.abc import Iterator
+from collections.abc import Callable, Iterator
 
 import numpy as np
 import pandas as pd
@@ -40,6 +41,7 @@ __all__ = [
     "attach_media",
     "media_meta",
     "decode_media",
+    "byte_fold_decoder",
     "fake_decode",
     "extract_features",
     "extract_features_long",
@@ -97,28 +99,6 @@ MEDIA_META_ORACLE = f"""
 """
 
 
-def decode_media(df: DataFrame, media_col: str = "media") -> DataFrame:
-    """Real decode — requires an image/audio codec library.
-
-    STUB: the container ships no codecs (``PIL``/``cv2``/``soundfile``);
-    importable decoders would slot in here.  Until then this raises, and
-    :func:`fake_decode` provides the deterministic stand-in with the same
-    output schema.
-    """
-    for mod in ("PIL.Image", "cv2", "soundfile"):
-        try:
-            __import__(mod)
-            break
-        except ImportError:
-            continue
-    else:
-        raise NotImplementedError(
-            "no codec library available in this environment; "
-            "use fake_decode() — same schema, deterministic payload"
-        )
-    raise NotImplementedError("real decode path not wired yet")
-
-
 _DECODED_SCHEMA = StructType(
     [
         StructField("doc_id", LongType()),
@@ -129,25 +109,49 @@ _DECODED_SCHEMA = StructType(
 )
 
 
-def fake_decode(media: DataFrame, height: int = 8, width: int = 8) -> DataFrame:
-    """Deterministic decoder stand-in: fold bytes into an h×w float grid.
-
-    Exercises the exact plumbing a real decoder needs — binary in via
-    Arrow batch, fixed-shape float array out — with output fully
-    determined by the input bytes (pixel[i] = byte[i mod n]/255).
-    """
+def byte_fold_decoder(buf: bytes, height: int, width: int) -> "np.ndarray":
+    """Default decoder stand-in: fold bytes into an h×w float grid,
+    pixel[i] = byte[i mod n]/255.  Deterministic, codec-free — keeps the
+    whole decode pipeline testable in environments without image/audio
+    libraries."""
     npix = height * width
+    b = np.frombuffer(bytes(buf), dtype=np.uint8)
+    if len(b) == 0:
+        b = np.zeros(1, dtype=np.uint8)
+    reps = int(np.ceil(npix / len(b)))
+    return (np.tile(b, reps)[:npix].astype(np.float32) / 255.0).reshape(height, width)
+
+
+def decode_media(
+    media: DataFrame,
+    height: int = 8,
+    width: int = 8,
+    decoder: "Callable[[bytes, int, int], np.ndarray] | None" = None,
+) -> DataFrame:
+    """Decode binary media to an h×w float grid via a pluggable decoder.
+
+    ``decoder(buf, height, width) -> np.ndarray[height, width]`` is the
+    extension point: a real codec (``PIL``/``cv2``/``soundfile`` — not
+    shipped in this container) plugs in without editing the operator;
+    the default is :func:`byte_fold_decoder`, a deterministic stand-in.
+
+    The Spark-side plumbing is real either way: binary column in via
+    Arrow-batched ``mapInPandas``, fixed-shape float array out — the
+    decoder runs once per row inside the batch loop, so swapping it never
+    changes partitioning, schema, or batch shape.
+    """
+    decoder = decoder or byte_fold_decoder
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             pixels = []
             for buf in pdf["media"]:
-                b = np.frombuffer(bytes(buf), dtype=np.uint8)
-                if len(b) == 0:
-                    b = np.zeros(1, dtype=np.uint8)
-                reps = int(np.ceil(npix / len(b)))
-                grid = np.tile(b, reps)[:npix].astype(np.float32) / 255.0
-                pixels.append(grid.tolist())
+                grid = np.asarray(decoder(bytes(buf), height, width), dtype=np.float32)
+                if grid.shape != (height, width):
+                    raise ValueError(
+                        f"decoder returned shape {grid.shape}, expected {(height, width)}"
+                    )
+                pixels.append(grid.reshape(-1).tolist())
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
@@ -158,6 +162,12 @@ def fake_decode(media: DataFrame, height: int = 8, width: int = 8) -> DataFrame:
             )
 
     return media.select("doc_id", "media").mapInPandas(batches, _DECODED_SCHEMA)
+
+
+def fake_decode(media: DataFrame, height: int = 8, width: int = 8) -> DataFrame:
+    """Back-compat alias: :func:`decode_media` with the default
+    byte-fold decoder."""
+    return decode_media(media, height=height, width=width)
 
 
 _FEATURES_SCHEMA = StructType(

@@ -73,6 +73,23 @@ def test_neardup_components_raises_when_unconverged(spark):
         neardup_components(pairs, max_iter=2)
 
 
+def _persistent_rdd_ids(spark):
+    return {int(k) for k in spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray()}
+
+
+def test_minhash_lsh_pairs_releases_shingle_cache(spark, sf_dir):
+    # Cache lifecycle: the big per-doc shingle-array cache must not
+    # outlive the call — only the materialized (tiny) pair result may
+    # remain, and it is auto-cleaned when the DF is dropped.
+    from flink_infotheoretic_feature_selection_spark.operators.dedup import minhash_lsh_pairs
+
+    before = _persistent_rdd_ids(spark)
+    pairs = minhash_lsh_pairs(spark, sf_dir)
+    assert pairs.count() > 0
+    new = _persistent_rdd_ids(spark) - before
+    assert len(new) <= 1, f"stray cached RDDs beyond the result: {new}"
+
+
 def test_dedup_star_import_matches_all(spark):
     # Round-2 regression: __all__ advertised names that didn't exist, so
     # `from ...dedup import *` raised ImportError. Pin that every __all__

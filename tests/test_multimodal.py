@@ -66,9 +66,27 @@ def test_frame_sample_exact(docs):
             assert r["frame_sum"] == int(frame.sum())
 
 
-def test_decode_media_is_stubbed(docs):
-    with pytest.raises(NotImplementedError):
-        mm.decode_media(mm.attach_media(docs))
+def test_decode_media_accepts_injected_decoder(docs):
+    # the extension point: a toy codec plugs in without editing the
+    # operator; output reflects the injected decode rule exactly
+    def toy(buf, h, w):
+        return np.full((h, w), (len(buf) % 7) / 10.0, dtype=np.float32)
+
+    rows = mm.decode_media(mm.attach_media(docs), height=2, width=3, decoder=toy).collect()
+    bufs = {r["doc_id"]: bytes(r["media"]) for r in mm.attach_media(docs).collect()}
+    assert rows
+    for r in rows:
+        assert (r["height"], r["width"]) == (2, 3)
+        expect = (len(bufs[r["doc_id"]]) % 7) / 10.0
+        assert r["pixels"] == pytest.approx([expect] * 6)
+
+
+def test_decode_media_rejects_wrong_shape(docs):
+    from py4j.protocol import Py4JJavaError
+
+    bad = lambda buf, h, w: np.zeros((h + 1, w), dtype=np.float32)
+    with pytest.raises((Py4JJavaError, Exception), match="shape"):
+        mm.decode_media(mm.attach_media(docs), decoder=bad).collect()
 
 
 def test_resize_media_average_pools(docs):
