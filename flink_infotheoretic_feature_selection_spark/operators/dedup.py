@@ -41,6 +41,7 @@ __all__ = [
     "neardup_components",
     "neardup_groups",
     "doc_shingles",
+    "doc_shingle_arrays",
     "decontaminate",
     "decontaminate_query",
     "EXACT_DEDUP_ORACLE",
@@ -100,14 +101,28 @@ def _shingles_cte(duck: bool, n: int = 3) -> str:
           FROM tok WHERE len(ts) >= {n}),
         sh AS (SELECT DISTINCT doc_id, shingle FROM sh_all)
         """
+    # Spark dialect: per-doc dedup via array_distinct BEFORE the explode —
+    # a narrow per-row expression, vs SELECT DISTINCT's full shuffle of
+    # the exploded shingle set (identical result, one less exchange; at
+    # corpus scale the exploded-distinct shuffle is the pipeline's
+    # largest and this removes it).  The CASE guard makes the expression
+    # total: Spark's InferFiltersFromGenerate hoists the generator expr
+    # into a predicate evaluated on EVERY row, and on a doc shorter than
+    # ``n`` tokens sequence() runs descending into slice(start=0), which
+    # throws.  Conditional branches are exempt from that hoisting.
     tokens = r"split(trim(lower(text)), '\\s+')"
+    grams = (
+        f"CASE WHEN size(ts) >= {n} THEN "
+        f"array_distinct(transform(sequence(1, size(ts) - {n - 1}), "
+        f"i -> concat_ws(' ', slice(ts, i, {n})))) "
+        f"ELSE array() END"
+    )
     return f"""
     tok AS (SELECT doc_id, {tokens} AS ts FROM documents),
     sh AS (
-      SELECT DISTINCT doc_id, shingle
+      SELECT doc_id, shingle
       FROM tok
-      LATERAL VIEW explode(transform(sequence(1, size(ts) - {n - 1}),
-                   i -> concat_ws(' ', slice(ts, i, {n})))) t AS shingle
+      LATERAL VIEW explode({grams}) t AS shingle
       WHERE size(ts) >= {n})
     """
 
@@ -171,25 +186,40 @@ def jaccard_pairs_oracle(
 # ---------------------------------------------------------------------------
 # Benchmark decontamination
 # ---------------------------------------------------------------------------
-def doc_shingles(docs: DataFrame, n: int = 3) -> DataFrame:
-    """Distinct word ``n``-gram shingles per doc as a DataFrame —
-    the expression-form twin of :func:`_shingles_cte` for operators that
-    take arbitrary DataFrames instead of the ``documents`` view."""
+def doc_shingle_arrays(docs: DataFrame, n: int = 3) -> DataFrame:
+    """``(doc_id, shingles array<string>)``: the distinct word ``n``-gram
+    set per doc as ONE array row — a narrow per-row expression chain
+    (split → transform → array_distinct), so it runs at scan speed with
+    zero shuffle.  The array form feeds MinHash/LSH directly; explode it
+    (:func:`doc_shingles`) when a long key table is needed."""
     from pyspark.sql import functions as F
 
+    # CASE guard: keeps the expression total so optimizer rules that
+    # evaluate it ahead of the size filter (InferFiltersFromGenerate,
+    # subexpression hoisting) can't hit slice(start=0) on short docs.
     return (
         docs.select("doc_id", F.expr(r"split(trim(lower(text)), '\\s+')").alias("ts"))
         .where(F.size("ts") >= n)
         .select(
             "doc_id",
-            F.explode(
-                F.expr(
-                    f"transform(sequence(1, size(ts) - {n - 1}),"
-                    f" i -> concat_ws(' ', slice(ts, i, {n})))"
-                )
-            ).alias("shingle"),
+            F.expr(
+                f"CASE WHEN size(ts) >= {n} THEN "
+                f"array_distinct(transform(sequence(1, size(ts) - {n - 1}),"
+                f" i -> concat_ws(' ', slice(ts, i, {n})))) ELSE array() END"
+            ).alias("shingles"),
         )
-        .distinct()
+    )
+
+
+def doc_shingles(docs: DataFrame, n: int = 3) -> DataFrame:
+    """Distinct word ``n``-gram shingles per doc, long format — the
+    expression-form twin of :func:`_shingles_cte` for operators that take
+    arbitrary DataFrames.  Per-doc dedup happens inside the array before
+    the explode, so there is no DISTINCT shuffle."""
+    from pyspark.sql import functions as F
+
+    return doc_shingle_arrays(docs, n).select(
+        "doc_id", F.explode("shingles").alias("shingle")
     )
 
 
@@ -353,21 +383,22 @@ def minhash_lsh_pairs(
     pair space is hash collisions, not n².
 
     DataFrame pipeline rather than one SQL statement on purpose: Spark
-    inlines CTEs, so the SQL form recomputes the shingle explode+distinct
-    four times (sizes, signatures, both sides of the verify join).  Here
-    the per-doc shingle array is built ONCE and persisted; signatures and
-    bands derive from it, and verification is `array_intersect` on the
-    two arrays (order-independent, exact) instead of a second self-join
-    on the exploded shingle table.  AQE picks broadcast vs shuffle for
-    the verify join from the (small) array table's stats.
+    inlines CTEs, so the SQL form recomputes the shingle build four
+    times (sizes, signatures, both sides of the verify join).  Here the
+    per-doc shingle array is built ONCE — as a narrow per-row
+    ``array_distinct(transform(...))`` chain with ZERO shuffle
+    (:func:`doc_shingle_arrays`; the explode → DISTINCT → collect_list
+    route would shuffle the full shingle set twice) — and persisted;
+    signatures and bands derive from it, and verification is
+    `array_intersect` on the two arrays (order-independent, exact)
+    instead of a second self-join on the exploded shingle table.  AQE
+    picks broadcast vs shuffle for the verify join from the (small)
+    array table's stats.
     """
     from pyspark.sql import functions as F
 
-    _docs(spark, sf_dir)
-    sh = spark.sql(f"WITH {_shingles_cte(duck=False, n=n)} SELECT doc_id, shingle FROM sh")
-    docs_arr = (
-        sh.groupBy("doc_id").agg(F.collect_list("shingle").alias("shingles")).persist()
-    )
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs_arr = doc_shingle_arrays(docs, n).persist()
 
     rh = rolling_hash_expr_spark("s")
     sig = docs_arr.select(
