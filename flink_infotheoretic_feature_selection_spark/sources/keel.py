@@ -32,7 +32,7 @@ __all__ = ["KeelHeader", "KeelAttribute", "parse_keel_header", "read_keel"]
 
 _ATTR_RE = re.compile(
     r"@attribute\s+(?P<name>[^\s{\[]+)\s*"
-    r"(?:(?P<nominal>\{[^}]*\})|(?P<type>integer|real)\s*(?:\[[^\]]*\])?)?",
+    r"(?:(?P<nominal>\{[^}]*\})|(?P<type>integer|real)\s*(?:\[(?P<range>[^\]]*)\])?)?",
     re.IGNORECASE,
 )
 
@@ -42,6 +42,8 @@ class KeelAttribute:
     name: str
     kind: str  # 'nominal' | 'integer' | 'real'
     values: list[str] = field(default_factory=list)  # nominal declared order
+    lo: float | None = None  # declared [lo, hi] range (numeric kinds)
+    hi: float | None = None
 
 
 @dataclass
@@ -75,7 +77,12 @@ def parse_keel_header(lines: list[str]) -> KeelHeader:
                 attributes.append(KeelAttribute(m.group("name"), "nominal", vals))
             else:
                 kind = (m.group("type") or "real").lower()
-                attributes.append(KeelAttribute(m.group("name"), kind))
+                lo = hi = None
+                if m.group("range"):
+                    bounds = [b.strip() for b in m.group("range").split(",")]
+                    if len(bounds) == 2:
+                        lo, hi = float(bounds[0]), float(bounds[1])
+                attributes.append(KeelAttribute(m.group("name"), kind, lo=lo, hi=hi))
         elif low.startswith("@inputs"):
             inputs = [c.strip() for c in line.split(None, 1)[1].split(",")]
         elif low.startswith("@outputs"):
@@ -92,12 +99,28 @@ def read_keel(
     path: str,
     header_path: str | None = None,
     label_as: str = "label",
+    normalize: bool = False,
 ) -> DataFrame:
     """Read a KEEL file into (features..., label) with nominals indexed.
 
     ``header_path`` defaults to the data file itself (headers usually
     precede ``@data`` in the same file).  Only the header is read on the
     driver (bounded); the body scan is distributed.
+
+    Feature columns come out in ``@inputs`` declared order (real KEEL
+    files reorder inputs relative to the attribute declarations), falling
+    back to declaration order when ``@inputs`` is absent.
+
+    ``normalize=True`` applies the reference's min-max rule
+    (``keel/Dataset/Attribute.java:600-606``): nominal → index unchanged,
+    integer → ``val − min``, real → ``(val − min)/(max − min)``.  Bounds
+    come from the header's ``[lo, hi]`` declarations; attributes without
+    declared bounds fall back to data-derived min/max (the reference
+    grows bounds while parsing).  Default False — the reference's own
+    ``KeelParser.parseLabeledPoint`` ships with normalization commented
+    out (``KeelParser.scala:47-53``).  A degenerate real range
+    (max == min) emits 0.0 where the reference would divide by zero —
+    documented divergence.
     """
     header_src = header_path or path
     head_lines = []
@@ -139,8 +162,9 @@ def read_keel(
             F.when(trimmed.startswith("{"), sparse_entries).alias("entries"),
         )
     )
-    cols = []
     feature_names = header.inputs or [n for n in names if n != header.label]
+    exprs: dict[str, F.Column] = {}
+    needs_bounds: list[tuple[str, KeelAttribute]] = []
     for idx, attr in enumerate(header.attributes):
         default = attr.values[0] if attr.kind == "nominal" else "0"
         c = F.when(
@@ -155,7 +179,41 @@ def read_keel(
             expr = mapping.getItem(c).cast("int")
         else:
             expr = c.cast("double")
-        out_name = label_as if attr.name == header.label else attr.name
-        if attr.name == header.label or attr.name in feature_names:
-            cols.append(expr.alias(out_name))
+            if normalize and (attr.lo is None or attr.hi is None):
+                needs_bounds.append((attr.name, attr))
+        exprs[attr.name] = expr
+
+    if normalize and needs_bounds:
+        # data-derived bounds for undeclared ranges — one distributed agg
+        # over the body (the reference grows bounds during its parse,
+        # InstanceSet/Attribute enlargeBounds); result is 2 doubles per
+        # attribute, driver-bounded.
+        aggs = []
+        for name, _ in needs_bounds:
+            aggs.append(F.min(exprs[name]).alias(f"__lo_{name}"))
+            aggs.append(F.max(exprs[name]).alias(f"__hi_{name}"))
+        row = raw.agg(*aggs).collect()[0]
+        for name, attr in needs_bounds:
+            attr.lo = row[f"__lo_{name}"] if attr.lo is None else attr.lo
+            attr.hi = row[f"__hi_{name}"] if attr.hi is None else attr.hi
+
+    if normalize:
+        for attr in header.attributes:
+            if attr.kind == "integer":
+                exprs[attr.name] = exprs[attr.name] - F.lit(float(attr.lo))
+            elif attr.kind == "real":
+                span = (attr.hi or 0.0) - (attr.lo or 0.0)
+                if span == 0:
+                    exprs[attr.name] = F.lit(0.0)
+                else:
+                    exprs[attr.name] = (exprs[attr.name] - F.lit(float(attr.lo))) / F.lit(
+                        float(span)
+                    )
+
+    cols = [
+        exprs[name].alias(name)
+        for name in feature_names
+        if name != header.label and name in exprs
+    ]
+    cols.append(exprs[header.label].alias(label_as))
     return raw.select(*cols)

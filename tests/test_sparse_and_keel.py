@@ -147,6 +147,66 @@ red, 9, 0.25, no
 """
 
 
+KEEL_REORDERED_TEXT = """\
+@relation realworld
+@attribute class {yes, no}
+@attribute a2 integer [2, 12]
+@attribute a1 {red, green, blue}
+@attribute a3 real [0.0, 2.0]
+@inputs a3, a1, a2
+@outputs class
+@data
+yes, 3, red, 0.5
+no, 7, blue, 1.5
+"""
+
+
+def test_read_keel_inputs_reordering(spark, tmp_path):
+    # Real KEEL files declare @inputs in an order different from the
+    # attribute declarations (and the label first!); feature columns must
+    # follow @inputs order, label always last, body parsed by declaration
+    # position.
+    p = tmp_path / "reorder.dat"
+    p.write_text(KEEL_REORDERED_TEXT)
+    df = read_keel(spark, str(p)).orderBy("a2")
+    assert df.columns == ["a3", "a1", "a2", "label"]
+    rows = df.collect()
+    assert [r["a2"] for r in rows] == [3.0, 7.0]
+    assert [(r["a1"], r["a3"], r["label"]) for r in rows] == [(0, 0.5, 0), (2, 1.5, 1)]
+
+
+def test_read_keel_normalize_declared_bounds(spark, tmp_path):
+    # Attribute.java:600-606: nominal unchanged, integer val-min,
+    # real (val-min)/(max-min) — bounds from the header declarations.
+    p = tmp_path / "norm.dat"
+    p.write_text(KEEL_REORDERED_TEXT)
+    rows = read_keel(spark, str(p), normalize=True).orderBy("a2").collect()
+    assert [r["a2"] for r in rows] == [1.0, 5.0]  # val - 2
+    assert [r["a3"] for r in rows] == [0.25, 0.75]  # (val - 0)/2
+    assert [r["a1"] for r in rows] == [0, 2]  # nominal untouched
+    assert [r["label"] for r in rows] == [0, 1]
+
+
+def test_read_keel_normalize_data_derived_bounds(spark, tmp_path):
+    # No [lo, hi] in the header → bounds grown from the data, like the
+    # reference's parse-time enlargeBounds.
+    text = """\
+@relation nobounds
+@attribute a1 integer
+@attribute a2 real
+@attribute class {yes, no}
+@data
+2, 1.0, yes
+6, 3.0, no
+4, 2.0, yes
+"""
+    p = tmp_path / "nobounds.dat"
+    p.write_text(text)
+    rows = read_keel(spark, str(p), normalize=True).orderBy("a1").collect()
+    assert [r["a1"] for r in rows] == [0.0, 2.0, 4.0]  # val - min(2)
+    assert [r["a2"] for r in rows] == [0.0, 0.5, 1.0]  # (val-1)/(3-1)
+
+
 def test_read_keel_sparse_body(spark, tmp_path):
     # ARFF-style sparse rows: omitted attributes default to 0 (numeric) /
     # first declared value (nominal); dense and sparse rows can mix.
