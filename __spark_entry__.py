@@ -493,9 +493,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "neardup_groups": dedup.neardup_groups,
         "simhash": dedup.simhash,
         "decontaminate": dedup.decontaminate_query,
+        "simhash_pairs": dedup.simhash_pairs,
         "doc_repetition": text.doc_repetition,
         "tfidf_topk": text.tfidf_topk,
         "stratified_sample": text.stratified_sample,
+        "corpus_rollup": text.corpus_rollup,
         "cosine_topk": similarity.cosine_topk,
         "ann_ivf_topk": similarity.ivf_topk,
         "ann_ivf_multiprobe": similarity.ivf_multiprobe_topk,
@@ -595,9 +597,11 @@ def oracle_sql() -> dict[str, str]:
         "neardup_groups": dedup.neardup_groups_oracle(),
         "simhash": dedup.simhash_oracle(),
         "decontaminate": dedup.decontaminate_oracle(),
+        "simhash_pairs": dedup.simhash_pairs_oracle(),
         "doc_repetition": text.DOC_REPETITION_ORACLE,
         "tfidf_topk": text.TFIDF_TOPK_ORACLE,
         "stratified_sample": text.STRATIFIED_SAMPLE_ORACLE,
+        "corpus_rollup": text.CORPUS_ROLLUP_ORACLE,
         "cosine_topk": similarity.cosine_topk_oracle(),
         "ann_ivf_topk": similarity.ivf_topk_oracle(),
         "ann_ivf_multiprobe": similarity.ivf_multiprobe_oracle(),

@@ -38,6 +38,7 @@ __all__ = [
     "minhash_signatures",
     "minhash_lsh_pairs",
     "simhash",
+    "simhash_pairs",
     "neardup_components",
     "neardup_groups",
     "doc_shingles",
@@ -49,6 +50,7 @@ __all__ = [
     "minhash_signatures_oracle",
     "minhash_lsh_pairs_oracle",
     "simhash_oracle",
+    "simhash_pairs_oracle",
     "neardup_groups_oracle",
     "decontaminate_oracle",
 ]
@@ -497,6 +499,65 @@ def simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def simhash_oracle() -> str:
     return _simhash_sql(duck=True)
+
+
+# SimHash Hamming pairs: 16-bit signatures split into 4 chunks of 4 bits;
+# by pigeonhole any pair within Hamming distance 3 agrees on >= 1 chunk,
+# so the candidate join on (chunk_idx, chunk_value) is exact for k <= 3.
+SIMHASH_CHUNKS = 4
+SIMHASH_CHUNK_BITS = SIMHASH_BITS // SIMHASH_CHUNKS
+
+
+def _simhash_pairs_sql(duck: bool, max_hamming: int = 3) -> str:
+    if max_hamming >= SIMHASH_CHUNKS:
+        raise ValueError(
+            f"chunk banding is only exact for max_hamming < {SIMHASH_CHUNKS}"
+        )
+    if duck:
+        chunk_src = f"SELECT unnest(range(0, {SIMHASH_CHUNKS})) AS c"
+        chunk_val = f"(simhash >> (c * {SIMHASH_CHUNK_BITS})) & {(1 << SIMHASH_CHUNK_BITS) - 1}"
+        ham = "bit_count(xor(CAST(sim_a AS BIGINT), CAST(sim_b AS BIGINT)))"
+    else:
+        chunk_src = f"SELECT explode(sequence(0, {SIMHASH_CHUNKS - 1})) AS c"
+        chunk_val = (
+            f"shiftright(simhash, c * {SIMHASH_CHUNK_BITS}) & {(1 << SIMHASH_CHUNK_BITS) - 1}"
+        )
+        ham = "bit_count(CAST(sim_a AS BIGINT) ^ CAST(sim_b AS BIGINT))"
+    return f"""
+    WITH sig AS ({_simhash_sql(duck).strip()}),
+    chunk_ids AS ({chunk_src}),
+    chunks AS (
+      SELECT doc_id, simhash, c AS chunk_idx, {chunk_val} AS chunk_val
+      FROM sig CROSS JOIN chunk_ids),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.simhash AS sim_a, b.simhash AS sim_b
+      FROM chunks a JOIN chunks b
+        ON a.chunk_idx = b.chunk_idx AND a.chunk_val = b.chunk_val
+       AND a.doc_id < b.doc_id)
+    SELECT doc_a, doc_b, CAST({ham} AS INT) AS hamming
+    FROM cand
+    WHERE {ham} <= {max_hamming}
+    """
+
+
+def simhash_pairs(
+    spark: SparkSession, sf_dir: str, max_hamming: int = 3
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance ≤ ``max_hamming``.
+
+    Scale shape: candidates come from the 4-bit-chunk equi-join
+    (pigeonhole guarantees exactness for ``max_hamming`` < 4), so the
+    pair space is bucket collisions, never n² — the same banding idea as
+    MinHash-LSH but over the 16-bit fingerprint, one scan + one keyed
+    join.  No reference analogue (extension mandate).
+    """
+    _docs(spark, sf_dir)
+    return spark.sql(_simhash_pairs_sql(duck=False, max_hamming=max_hamming))
+
+
+def simhash_pairs_oracle(max_hamming: int = 3) -> str:
+    return _simhash_pairs_sql(duck=True, max_hamming=max_hamming)
 
 
 # ---------------------------------------------------------------------------

@@ -25,6 +25,8 @@ __all__ = [
     "doc_repetition",
     "tfidf_topk",
     "stratified_sample",
+    "corpus_rollup",
+    "CORPUS_ROLLUP_ORACLE",
     "TEXT_STATS_ORACLE",
     "LANG_ID_ORACLE",
     "FINGERPRINT_ORACLE",
@@ -118,6 +120,36 @@ def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 LANG_ID_ORACLE = f"SELECT {_lang_select(duck=True)} FROM documents"
+
+
+# ---------------------------------------------------------------------------
+# Corpus rollup over (source, lang) grouping sets
+# ---------------------------------------------------------------------------
+# One SQL string, valid verbatim in Spark SQL and DuckDB.  Plan shape at
+# scale: a single scan expanded 4× into one partial+final hash agg — the
+# grouping-sets Expand happens map-side, so the shuffle carries only
+# (source, lang) group cells, not rows.
+_ROLLUP_SQL = """
+SELECT coalesce(source, '(all)') AS source,
+       coalesce(lang, '(all)') AS lang,
+       count(*) AS n_docs,
+       sum(n_chars) AS total_chars,
+       round(avg(CAST(n_chars AS DOUBLE)), 5) AS avg_chars
+FROM documents
+GROUP BY GROUPING SETS ((source, lang), (source), (lang), ())
+"""
+
+
+def corpus_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Doc counts / char totals per source, per lang, per (source, lang),
+    and grand total — the monitoring rollup every corpus pipeline keeps.
+    Grouping sets were ABSENT from the reference (SURVEY §2.8); extension
+    surface."""
+    spark.read.parquet(f"{sf_dir}/documents.parquet").createOrReplaceTempView("documents")
+    return spark.sql(_ROLLUP_SQL)
+
+
+CORPUS_ROLLUP_ORACLE = _ROLLUP_SQL
 
 
 ROLLING_MOD = 1_000_000_007

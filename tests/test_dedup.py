@@ -90,6 +90,31 @@ def test_minhash_lsh_pairs_releases_shingle_cache(spark, sf_dir):
     assert len(new) <= 1, f"stray cached RDDs beyond the result: {new}"
 
 
+def test_simhash_pairs_banding_is_exact(spark, sf_dir):
+    # Pigeonhole exactness: chunk-banded candidates + Hamming filter must
+    # equal brute-force all-pairs Hamming <= 3 over the signatures.
+    from flink_infotheoretic_feature_selection_spark.operators.dedup import simhash, simhash_pairs
+
+    sigs = {r["doc_id"]: r["simhash"] for r in simhash(spark, sf_dir).collect()}
+    ids = sorted(sigs)
+    expect = {
+        (a, b, bin(sigs[a] ^ sigs[b]).count("1"))
+        for i, a in enumerate(ids)
+        for b in ids[i + 1 :]
+        if bin(sigs[a] ^ sigs[b]).count("1") <= 3
+    }
+    got = {(r["doc_a"], r["doc_b"], r["hamming"]) for r in simhash_pairs(spark, sf_dir).collect()}
+    assert got == expect
+    assert len(got) > 0
+
+
+def test_simhash_pairs_rejects_unbandable_threshold(spark):
+    from flink_infotheoretic_feature_selection_spark.operators.dedup import _simhash_pairs_sql
+
+    with pytest.raises(ValueError, match="max_hamming"):
+        _simhash_pairs_sql(duck=False, max_hamming=4)
+
+
 def test_dedup_star_import_matches_all(spark):
     # Round-2 regression: __all__ advertised names that didn't exist, so
     # `from ...dedup import *` raised ImportError. Pin that every __all__
