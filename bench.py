@@ -120,6 +120,12 @@ def main() -> None:
     # own multi-use plan; done with it now.
     spark.catalog.clearCache()
 
+    t, _ = timed(lambda: dedup.simhash_pairs(spark, SF_DIR).count())
+    results["b8b_simhash_pairs"] = round(t, 3)
+
+    t, _ = timed(lambda: dedup.decontaminate_query(spark, SF_DIR).count())
+    results["b8c_decontaminate"] = round(t, 3)
+
     t, _ = timed(lambda: similarity.cosine_topk(spark, SF_DIR).count())
     results["b9_cosine_topk"] = round(t, 3)
 

@@ -60,7 +60,12 @@ __all__ = [
 MINHASH_P = 2_147_483_647  # 2^31 - 1 (Mersenne prime)
 MINHASH_PARAMS = [(2 * i + 1, 7919 * (i + 1)) for i in range(8)]
 N_BANDS = 4  # 8 hashes / 4 bands = 2 rows per band
-SIMHASH_BITS = 16
+# 28-bit SimHash: at 16 bits the signature space saturates on any real
+# corpus (measured: 60% of ALL doc pairs within Hamming 3 at 5k docs →
+# 7M meaningless "near-dup" pairs).  28 keeps Hamming ≤ 3 selective and
+# every bit live — the rolling hash is mod 1e9+7 < 2^30, so bits ≥ 30
+# of the token hashes are constant and 28 divides evenly into 4 chunks.
+SIMHASH_BITS = 28
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> None:
@@ -119,12 +124,17 @@ def _shingles_cte(duck: bool, n: int = 3) -> str:
         f"i -> concat_ws(' ', slice(ts, i, {n})))) "
         f"ELSE array() END"
     )
+    # OUTER explode: InferFiltersFromGenerate only fires on inner
+    # explode, and its inferred size(...)>0 predicate re-evaluates the
+    # whole (non-codegen, higher-order) gram expression per row in an
+    # interpreted Filter — measured 6× slower.  The gram array is never
+    # empty after the size(ts) filter, so OUTER is semantically identical.
     return f"""
     tok AS (SELECT doc_id, {tokens} AS ts FROM documents),
     sh AS (
       SELECT doc_id, shingle
       FROM tok
-      LATERAL VIEW explode({grams}) t AS shingle
+      LATERAL VIEW OUTER explode({grams}) t AS shingle
       WHERE size(ts) >= {n})
     """
 
@@ -217,11 +227,17 @@ def doc_shingles(docs: DataFrame, n: int = 3) -> DataFrame:
     """Distinct word ``n``-gram shingles per doc, long format — the
     expression-form twin of :func:`_shingles_cte` for operators that take
     arbitrary DataFrames.  Per-doc dedup happens inside the array before
-    the explode, so there is no DISTINCT shuffle."""
+    the explode, so there is no DISTINCT shuffle.
+
+    ``explode_outer`` on purpose: inner explode triggers
+    InferFiltersFromGenerate, whose inferred predicate re-evaluates the
+    whole higher-order gram expression per row in an interpreted Filter
+    (measured 6×).  The array is never empty past the size filter, so
+    outer ≡ inner here."""
     from pyspark.sql import functions as F
 
     return doc_shingle_arrays(docs, n).select(
-        "doc_id", F.explode("shingles").alias("shingle")
+        "doc_id", F.explode_outer("shingles").alias("shingle")
     )
 
 
@@ -549,11 +565,60 @@ def simhash_pairs(
     Scale shape: candidates come from the 4-bit-chunk equi-join
     (pigeonhole guarantees exactness for ``max_hamming`` < 4), so the
     pair space is bucket collisions, never n² — the same banding idea as
-    MinHash-LSH but over the 16-bit fingerprint, one scan + one keyed
-    join.  No reference analogue (extension mandate).
+    MinHash-LSH but over the 16-bit fingerprint.  No reference analogue
+    (extension mandate).
+
+    DataFrame pipeline rather than the one-statement SQL form (which the
+    oracle uses) because Spark inlines CTEs: the SQL form computes the
+    corpus signature pass twice, once per self-join side.  Here the tiny
+    ``(doc_id, simhash)`` table is computed ONCE and persisted, chunks
+    derive from it, and — like :func:`minhash_lsh_pairs` — the verified
+    pair set is materialized so the cache never outlives the call.
     """
+    if max_hamming >= SIMHASH_CHUNKS:
+        raise ValueError(
+            f"chunk banding is only exact for max_hamming < {SIMHASH_CHUNKS}"
+        )
+    from pyspark.sql import functions as F
+
     _docs(spark, sf_dir)
-    return spark.sql(_simhash_pairs_sql(duck=False, max_hamming=max_hamming))
+    sig = spark.sql(_simhash_sql(duck=False)).persist()
+    mask = (1 << SIMHASH_CHUNK_BITS) - 1
+    chunks = sig.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {SIMHASH_CHUNKS - 1}), c -> struct("
+                f"c AS chunk_idx, "
+                f"shiftright(simhash, c * {SIMHASH_CHUNK_BITS}) & {mask} AS chunk_val))"
+            )
+        ).alias("cc"),
+    ).select("doc_id", "simhash", "cc.chunk_idx", "cc.chunk_val")
+    cand = (
+        chunks.alias("a")
+        .join(
+            chunks.alias("b"),
+            (F.col("a.chunk_idx") == F.col("b.chunk_idx"))
+            & (F.col("a.chunk_val") == F.col("b.chunk_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("sim_a"),
+            F.col("b.simhash").alias("sim_b"),
+        )
+        .distinct()
+    )
+    ham = F.expr("bit_count(CAST(sim_a AS BIGINT) ^ CAST(sim_b AS BIGINT))")
+    pairs = (
+        cand.filter(ham <= max_hamming)
+        .select("doc_a", "doc_b", ham.cast("int").alias("hamming"))
+        .localCheckpoint(eager=True)
+    )
+    sig.unpersist()
+    return pairs
 
 
 def simhash_pairs_oracle(max_hamming: int = 3) -> str:
