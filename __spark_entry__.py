@@ -498,6 +498,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_topk": text.tfidf_topk,
         "stratified_sample": text.stratified_sample,
         "corpus_rollup": text.corpus_rollup,
+        "pack_sequences": text.pack_sequences,
         "cosine_topk": similarity.cosine_topk,
         "ann_ivf_topk": similarity.ivf_topk,
         "ann_ivf_multiprobe": similarity.ivf_multiprobe_topk,
@@ -602,6 +603,7 @@ def oracle_sql() -> dict[str, str]:
         "tfidf_topk": text.TFIDF_TOPK_ORACLE,
         "stratified_sample": text.STRATIFIED_SAMPLE_ORACLE,
         "corpus_rollup": text.CORPUS_ROLLUP_ORACLE,
+        "pack_sequences": text.pack_sequences_oracle(),
         "cosine_topk": similarity.cosine_topk_oracle(),
         "ann_ivf_topk": similarity.ivf_topk_oracle(),
         "ann_ivf_multiprobe": similarity.ivf_multiprobe_oracle(),

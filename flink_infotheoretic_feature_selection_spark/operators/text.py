@@ -26,6 +26,9 @@ __all__ = [
     "tfidf_topk",
     "stratified_sample",
     "corpus_rollup",
+    "pack_sequences",
+    "pack_sequences_oracle",
+    "scrub_pii",
     "CORPUS_ROLLUP_ORACLE",
     "TEXT_STATS_ORACLE",
     "LANG_ID_ORACLE",
@@ -150,6 +153,105 @@ def corpus_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 CORPUS_ROLLUP_ORACLE = _ROLLUP_SQL
+
+
+# ---------------------------------------------------------------------------
+# Training-sequence packing
+# ---------------------------------------------------------------------------
+PACK_BUDGET = 2048  # tokens per training sequence
+PACK_SHARDS = 8
+
+
+def _pack_sql(duck: bool, budget: int = PACK_BUDGET, shards: int = PACK_SHARDS) -> str:
+    """Deterministic doc → (shard, seq_id) assignment for sequence packing.
+
+    Offset-based first-fit: docs are hash-sharded (content-addressed, so
+    resharding the corpus reproduces the SAME packing), ordered by doc_id
+    within the shard, and a running token cumsum places each doc at
+    ``floor(tokens_before / budget)``.  A sequence may overflow ``budget``
+    by at most one doc (training-side truncation handles the tail) — the
+    standard scalable approximation of greedy packing, since exact
+    first-fit is inherently sequential.
+
+    Plan at scale: ONE shuffle on the shard key, then a per-shard window
+    cumsum — shards are hash-uniform so the window never sees skew, and
+    parallelism = number of shards (thousands at 100 TB).
+    """
+    tokens = _TOKENS_DUCK if duck else _TOKENS
+    size = "len" if duck else "size"
+    rh = (
+        rolling_hash_expr_duckdb("lower(trim(text))")
+        if duck
+        else rolling_hash_expr_spark("lower(trim(text))")
+    )
+    return f"""
+    WITH t AS (
+      SELECT doc_id, {size}({tokens}) AS n_tokens, {rh} % {shards} AS shard
+      FROM documents),
+    c AS (
+      SELECT doc_id, shard, n_tokens,
+             sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens
+               AS tok_before
+      FROM t)
+    SELECT doc_id, CAST(shard AS INT) AS shard,
+           CAST(floor(tok_before / {budget}.0) AS INT) AS seq_id,
+           CAST(n_tokens AS INT) AS n_tokens,
+           CAST(tok_before AS BIGINT) AS tok_before
+    FROM c
+    """
+
+
+def pack_sequences(
+    spark: SparkSession, sf_dir: str, budget: int = PACK_BUDGET, shards: int = PACK_SHARDS
+) -> DataFrame:
+    """Assign every document to a (shard, training-sequence) slot under a
+    token budget — the packing step that turns a cleaned corpus into
+    fixed-length training sequences."""
+    spark.read.parquet(f"{sf_dir}/documents.parquet").createOrReplaceTempView("documents")
+    return spark.sql(_pack_sql(duck=False, budget=budget, shards=shards))
+
+
+def pack_sequences_oracle(
+    budget: int = PACK_BUDGET, shards: int = PACK_SHARDS
+) -> str:
+    # function, not a module constant: _pack_sql needs the rolling-hash
+    # helpers defined further down the module
+    return _pack_sql(duck=True, budget=budget, shards=shards)
+
+
+# ---------------------------------------------------------------------------
+# PII / boilerplate scrubbing
+# ---------------------------------------------------------------------------
+_PII_PATTERNS = [
+    ("email", r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}", "<EMAIL>"),
+    ("url", r"https?://[^\s]+", "<URL>"),
+    ("longnum", r"[0-9]{6,}", "<NUM>"),
+]
+
+
+def scrub_pii(docs: DataFrame) -> DataFrame:
+    """Redact emails, URLs and long digit runs; emit per-doc hit counts.
+
+    Chained JVM-side ``regexp_replace`` / ``regexp_extract_all`` — a
+    narrow projection fused into the scan, no UDF, no shuffle.  The
+    testdata corpus contains no PII, so this op is verified by a crafted
+    fixture test rather than the DuckDB gate (a zero-hit oracle would
+    check nothing).
+    """
+    from pyspark.sql import functions as F
+
+    counts = []
+    scrubbed = F.col("text")
+    for name, pat, repl in _PII_PATTERNS:
+        # SQL string literals eat one level of backslash; the Column API
+        # (regexp_replace) takes the pattern verbatim
+        sql_pat = pat.replace("\\", "\\\\")
+        counts.append(
+            F.size(F.expr(f"regexp_extract_all(text, '{sql_pat}', 0)")).alias(f"n_{name}")
+        )
+        scrubbed = F.regexp_replace(scrubbed, pat, repl)
+    return docs.select("doc_id", scrubbed.alias("text"), *counts)
 
 
 ROLLING_MOD = 1_000_000_007

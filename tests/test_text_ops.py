@@ -1,0 +1,83 @@
+"""Unit tests for text operators whose behavior the DuckDB gate can't
+fully pin: PII scrubbing (testdata has no PII — crafted fixture here) and
+sequence-packing invariants."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from flink_infotheoretic_feature_selection_spark.operators.text import (
+    PACK_BUDGET,
+    pack_sequences,
+    scrub_pii,
+)
+
+
+def test_scrub_pii_redacts_and_counts(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "contact alice.smith+x@example.com or bob@sub.example.org today"),
+            (2, "see https://example.com/a?b=1 and http://test.io/path now"),
+            (3, "card 1234567890 pin 99 zip 12345 serial 000111222333"),
+            (4, "nothing sensitive here at all"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in scrub_pii(docs).collect()}
+    assert rows[1]["n_email"] == 2
+    assert rows[1]["text"] == "contact <EMAIL> or <EMAIL> today"
+    assert rows[2]["n_url"] == 2
+    assert rows[2]["text"] == "see <URL> and <URL> now"
+    # 6+ digit runs only: 99 and 12345 survive
+    assert rows[3]["n_longnum"] == 2
+    assert rows[3]["text"] == "card <NUM> pin 99 zip 12345 serial <NUM>"
+    assert rows[4]["text"] == "nothing sensitive here at all"
+    assert (rows[4]["n_email"], rows[4]["n_url"], rows[4]["n_longnum"]) == (0, 0, 0)
+
+
+def test_pack_sequences_invariants(spark, sf_dir):
+    out = pack_sequences(spark, sf_dir).collect()
+    docs_n = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    # every doc assigned exactly once
+    assert len(out) == docs_n
+    assert len({r["doc_id"] for r in out}) == docs_n
+
+    # within a (shard, seq), docs start below the budget (overflow allowed
+    # only past the LAST doc's start — offset-based first-fit contract)
+    for r in out:
+        assert r["tok_before"] - r["seq_id"] * PACK_BUDGET < PACK_BUDGET
+        assert r["tok_before"] >= 0
+
+    # per-shard sequence ids are dense from 0
+    by_shard = {}
+    for r in out:
+        by_shard.setdefault(r["shard"], set()).add(r["seq_id"])
+    for shard, seqs in by_shard.items():
+        assert seqs == set(range(max(seqs) + 1)), shard
+
+    # sequences are actually filled: average fill of non-final sequences
+    # is near the budget
+    tok_by_seq = {}
+    for r in out:
+        k = (r["shard"], r["seq_id"])
+        tok_by_seq[k] = tok_by_seq.get(k, 0) + r["n_tokens"]
+    non_final = [
+        v
+        for (sh, sq), v in tok_by_seq.items()
+        if sq < max(q for s, q in tok_by_seq if s == sh)
+    ]
+    assert non_final and min(non_final) >= PACK_BUDGET * 0.9
+
+
+def test_pack_sequences_deterministic_under_repartition(spark, sf_dir):
+    # content-addressed sharding + doc_id ordering: the assignment must
+    # not depend on the physical partitioning of the input
+    a = {(r["doc_id"], r["shard"], r["seq_id"]) for r in pack_sequences(spark, sf_dir).collect()}
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").repartition(13)
+    docs.createOrReplaceTempView("documents")
+    from flink_infotheoretic_feature_selection_spark.operators.text import _pack_sql
+
+    b = {
+        (r["doc_id"], r["shard"], r["seq_id"])
+        for r in spark.sql(_pack_sql(duck=False)).collect()
+    }
+    assert a == b
