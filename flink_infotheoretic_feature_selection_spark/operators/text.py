@@ -410,9 +410,12 @@ def _tfidf_sql(duck: bool, top: int = TFIDF_TOP_TERMS) -> str:
         explode = f"SELECT doc_id, unnest({words}) AS term FROM documents"
     else:
         words = _WORDS
+        # OUTER: skips InferFiltersFromGenerate (which would re-evaluate
+        # the regexp per row in an extra predicate); a letter-free doc's
+        # NULL term is dropped by the tf⋈dfreq equi-join anyway.
         explode = (
             f"SELECT doc_id, term FROM documents "
-            f"LATERAL VIEW explode({words}) t AS term"
+            f"LATERAL VIEW OUTER explode({words}) t AS term"
         )
     return f"""
     WITH w AS ({explode}),
