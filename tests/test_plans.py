@@ -185,6 +185,46 @@ def test_cosine_topk_matches_bruteforce(spark, sf_dir):
     assert got == expected
 
 
+def test_shingle_arrays_shuffle_free(spark, sf_dir):
+    # The per-doc distinct shingle set must be a narrow expression chain
+    # (the round-3 rewrite removed an explode -> DISTINCT -> collect_list
+    # double shuffle); a regression re-introducing an exchange fails here.
+    from flink_infotheoretic_feature_selection_spark.operators.dedup import doc_shingle_arrays
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    assert exchange_count(doc_shingle_arrays(docs)) == 0
+
+
+def test_decontaminate_broadcasts_eval_side(spark, sf_dir):
+    # The 100 TB contract: the training corpus is never shuffled on text;
+    # every join is broadcast (eval shingles + the df-cap semi-join).
+    from flink_infotheoretic_feature_selection_spark.operators.dedup import decontaminate_query
+
+    q = decontaminate_query(spark, sf_dir)
+    plan = formatted_plan(q)
+    assert broadcast_join_count(q) >= 1, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_corpus_rollup_is_one_agg_pass(spark, sf_dir):
+    # GROUPING SETS must plan as Expand + partial/final hash agg over ONE
+    # scan — one exchange carrying only group cells.
+    from flink_infotheoretic_feature_selection_spark.operators.text import corpus_rollup
+
+    q = corpus_rollup(spark, sf_dir)
+    plan = formatted_plan(q)
+    assert "Expand" in plan, plan
+    assert exchange_count(q) == 1, plan
+
+
+def test_pack_sequences_single_shuffle(spark, sf_dir):
+    # One hash exchange on the shard key; the window cumsum reuses it.
+    from flink_infotheoretic_feature_selection_spark.operators.text import pack_sequences
+
+    q = pack_sequences(spark, sf_dir)
+    assert exchange_count(q) == 1, formatted_plan(q)
+
+
 def test_equal_freq_gate_has_no_global_sort(spark, sf_dir):
     # The bucketize gate must run through the discretizer (sampled fit +
     # JVM Bucketizer transform) — not a global-sort rank() stand-in.
