@@ -429,6 +429,73 @@ def _q_stream_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table("q_stream_window_agg")
 
 
+def _q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Streaming dedup with bounded state, rows-only gate (the stream
+    # machinery — dropDuplicatesWithinWatermark over a watermarked file
+    # source — has no DuckDB analogue; unit tests pin the values): two
+    # copies of the events file in one stream directory must dedup back
+    # to exactly the original event_ids.
+    import shutil
+    import tempfile
+
+    from flink_infotheoretic_feature_selection_spark.streaming import (
+        read_events_stream,
+        streaming_dedup,
+    )
+
+    d = tempfile.mkdtemp(prefix="events_dedup_")
+    shutil.copy(f"{sf_dir}/events.parquet", f"{d}/a.parquet")
+    shutil.copy(f"{sf_dir}/events.parquet", f"{d}/b.parquet")
+    dd = streaming_dedup(read_events_stream(spark, d)).select("event_id")
+    q = (
+        dd.writeStream.format("memory")
+        .queryName("q_stream_dedup")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.table("q_stream_dedup")
+
+
+def _q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Native session_window sessionization, complete mode; emitted
+    # window end = last event + gap, reconciled to the batch twin's
+    # convention so the DuckDB sessionize oracle can value-check the
+    # streaming operator end-to-end.
+    import shutil
+    import tempfile
+
+    from flink_infotheoretic_feature_selection_spark.operators.sessions import (
+        SESSIONIZE_GAP,
+        duration_us,
+    )
+    from flink_infotheoretic_feature_selection_spark.streaming import (
+        read_events_stream,
+        sessionize_stream,
+    )
+
+    d = tempfile.mkdtemp(prefix="events_sess_")
+    shutil.copy(f"{sf_dir}/events.parquet", f"{d}/part-0.parquet")
+    s = sessionize_stream(read_events_stream(spark, d), gap=SESSIONIZE_GAP)
+    q = (
+        s.writeStream.format("memory")
+        .queryName("q_stream_sessionize")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    gap_us = duration_us(SESSIONIZE_GAP)
+    return spark.table("q_stream_sessionize").select(
+        "user_id",
+        "session_start_us",
+        (F.col("session_end_us") - F.lit(gap_us)).alias("session_end_us"),
+        "n_events",
+        F.round("sum_value", 4).alias("sum_value"),
+    )
+
+
 def _q_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Multimodal: typed metadata over the synthetic binary media column.
     return multimodal.media_meta(spark.read.parquet(f"{sf_dir}/documents.parquet"))
@@ -505,6 +572,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup": similarity.embedding_neardup_pairs,
         "events_window_agg": _q_events_window_agg,
         "stream_window_agg": _q_stream_window_agg,
+        "stream_dedup": _q_stream_dedup,
+        "stream_sessionize": _q_stream_sessionize,
         "sessionize": sessions.sessionize_query,
         "sessionize_skew": sessions.sessionize_skew_query,
         "media_meta": _q_media_meta,
@@ -624,6 +693,34 @@ def oracle_sql() -> dict[str, str]:
         """,
         "sessionize": sessions.SESSIONIZE_ORACLE,
         "sessionize_skew": sessions.SESSIONIZE_ORACLE,
+        # stream_dedup: two copies of the events file streamed through
+        # dropDuplicatesWithinWatermark must yield exactly the original ids
+        "stream_dedup": "SELECT event_id FROM events",
+        # stream_sessionize: native session_window, reconciled to the batch
+        # convention (end = last event), = the batch oracle minus sess_seq
+        "stream_sessionize": f"""
+    WITH e AS (
+      SELECT user_id, epoch_us(ts) AS ts_us, value FROM events
+    ),
+    flagged AS (
+      SELECT user_id, ts_us, value,
+             CASE WHEN lag(ts_us) OVER w IS NULL
+                    OR ts_us - lag(ts_us) OVER w >= {sessions.duration_us(sessions.SESSIONIZE_GAP)}
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us)
+    ),
+    numbered AS (
+      SELECT user_id, ts_us, value,
+             sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us) AS sess_seq
+      FROM flagged
+    )
+    SELECT user_id,
+           min(ts_us) AS session_start_us,
+           max(ts_us) AS session_end_us,
+           count(*) AS n_events,
+           round(sum(value), 4) AS sum_value
+    FROM numbered GROUP BY user_id, sess_seq
+""",
         "media_meta": multimodal.MEDIA_META_ORACLE,
         "media_features": multimodal.MEDIA_FEATURES_ORACLE,
         "media_resize": multimodal.MEDIA_RESIZE_ORACLE,
