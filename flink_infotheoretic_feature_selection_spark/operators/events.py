@@ -1,0 +1,61 @@
+"""Event-payload (JSON) operators.
+
+The events table carries a JSON ``props`` column; these operators parse
+it with built-in JSON expressions (``get_json_object`` — JVM-side,
+codegen) rather than a UDF, so payload extraction fuses into the scan.
+JSON functions are ABSENT from the reference (SURVEY §2.8) — extension
+surface.
+
+Scale shape: parse is a narrow per-row expression; the aggregate
+shuffles only (event_type) group cells.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+__all__ = [
+    "parse_props",
+    "events_props_agg",
+    "EVENTS_PROPS_AGG_ORACLE",
+]
+
+
+def parse_props(events: DataFrame) -> DataFrame:
+    """events + ``k`` extracted from the JSON props payload (int, null on
+    malformed/missing)."""
+    from pyspark.sql import functions as F
+
+    return events.withColumn(
+        "k", F.get_json_object("props", "$.k").cast("int")
+    )
+
+
+def events_props_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per event_type stats over the JSON payload field ``k``."""
+    from pyspark.sql import functions as F
+
+    from flink_infotheoretic_feature_selection_spark.datasets import load_events
+
+    ev = parse_props(load_events(spark, sf_dir))
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.sum("k").alias("sum_k"),
+        F.min("k").alias("min_k"),
+        F.max("k").alias("max_k"),
+        F.count(F.when(F.col("k").isNull(), 1)).alias("n_bad"),
+    )
+
+
+EVENTS_PROPS_AGG_ORACLE = """
+SELECT event_type,
+       count(*) AS n_events,
+       sum(k) AS sum_k,
+       min(k) AS min_k,
+       max(k) AS max_k,
+       count(CASE WHEN k IS NULL THEN 1 END) AS n_bad
+FROM (SELECT event_type,
+             TRY_CAST(json_extract_string(props, '$.k') AS INT) AS k
+      FROM events)
+GROUP BY event_type
+"""
