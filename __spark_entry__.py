@@ -572,6 +572,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": similarity.ivf_topk,
         "ann_ivf_multiprobe": similarity.ivf_multiprobe_topk,
         "embedding_neardup": similarity.embedding_neardup_pairs,
+        "label_centroids": similarity.label_centroids,
         "events_window_agg": _q_events_window_agg,
         "stream_window_agg": _q_stream_window_agg,
         "stream_dedup": _q_stream_dedup,
@@ -681,6 +682,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf_topk": similarity.ivf_topk_oracle(),
         "ann_ivf_multiprobe": similarity.ivf_multiprobe_oracle(),
         "embedding_neardup": similarity.embedding_neardup_oracle(),
+        "label_centroids": similarity.LABEL_CENTROIDS_ORACLE,
         "events_window_agg": """
             SELECT date_trunc('day', ts) AS window_start,
                    event_type,

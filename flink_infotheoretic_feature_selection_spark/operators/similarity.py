@@ -35,6 +35,8 @@ __all__ = [
     "ivf_topk",
     "ivf_multiprobe_topk",
     "embedding_neardup_pairs",
+    "label_centroids",
+    "LABEL_CENTROIDS_ORACLE",
     "cosine_topk_oracle",
     "ivf_topk_oracle",
     "ivf_multiprobe_oracle",
@@ -286,6 +288,38 @@ def embedding_neardup_pairs(
         WHERE {dot} / ({_norm_expr_spark('a.emb')} * {_norm_expr_spark('b.emb')}) >= {threshold}
         """
     )
+
+
+def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid of the embedding column, long shape
+    ``(label, dim, centroid)`` — the seed step for classifier sanity
+    checks / clustering over a labeled embedding table.
+
+    Scale shape: posexplode is map-side (rows × dims long format built
+    inside the scan stage); the single hash aggregate shuffles only
+    (label, dim) cells — cardinality labels × dims, independent of row
+    count.
+    """
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return (
+        emb.select("label", F.posexplode("embedding").alias("pos", "val"))
+        .select("label", (F.col("pos") + 1).alias("dim"), "val")
+        .groupBy("label", "dim")
+        .agg(F.round(F.avg("val"), 5).alias("centroid"))
+    )
+
+
+LABEL_CENTROIDS_ORACLE = """
+WITH x AS (
+  SELECT label,
+         unnest(list_transform(generate_series(1, len(embedding)),
+                i -> struct_pack(dim := i, val := embedding[i]))) AS u
+  FROM embeddings)
+SELECT label, CAST(u.dim AS INT) AS dim, round(avg(u.val), 5) AS centroid
+FROM x GROUP BY label, u.dim
+"""
 
 
 def embedding_neardup_oracle(threshold: float = 0.35) -> str:
