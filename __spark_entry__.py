@@ -20,6 +20,7 @@ from flink_infotheoretic_feature_selection_spark.datasets import (
 from flink_infotheoretic_feature_selection_spark.discretizer import equal_freq_bucket_oracle
 from flink_infotheoretic_feature_selection_spark.operators import dedup, multimodal, sessions, similarity, text
 from flink_infotheoretic_feature_selection_spark.operators import events as events_ops
+from flink_infotheoretic_feature_selection_spark.operators import pipeline as pipeline_ops
 from flink_infotheoretic_feature_selection_spark.operators import profile as profile_ops
 from flink_infotheoretic_feature_selection_spark.operators.histogram import feature_dims, hist2d, hist3d
 from flink_infotheoretic_feature_selection_spark.selector import InfoThSelector
@@ -579,6 +580,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_sessionize": _q_stream_sessionize,
         "events_props_agg": events_ops.events_props_agg,
         "profile_lineitem": profile_ops.profile_lineitem,
+        "pipeline_clean_pack": pipeline_ops.pipeline_clean_pack,
         "sessionize": sessions.sessionize_query,
         "sessionize_skew": sessions.sessionize_skew_query,
         "media_meta": _q_media_meta,
@@ -701,6 +703,7 @@ def oracle_sql() -> dict[str, str]:
         "sessionize_skew": sessions.SESSIONIZE_ORACLE,
         "events_props_agg": events_ops.EVENTS_PROPS_AGG_ORACLE,
         "profile_lineitem": profile_ops.PROFILE_LINEITEM_ORACLE,
+        "pipeline_clean_pack": pipeline_ops.pipeline_oracle(),
         # stream_dedup: two copies of the events file streamed through
         # dropDuplicatesWithinWatermark must yield exactly the original ids
         "stream_dedup": "SELECT event_id FROM events",

@@ -95,18 +95,22 @@ EXACT_DEDUP_ORACLE = _EXACT_SQL
 # ---------------------------------------------------------------------------
 # Word n-gram shingles (shared fragment)
 # ---------------------------------------------------------------------------
-def _shingles_cte(duck: bool, n: int = 3) -> str:
-    """CTE `sh(doc_id, shingle)` = distinct word n-grams per doc."""
+def _shingles_cte(
+    duck: bool, n: int = 3, table: str = "documents", prefix: str = ""
+) -> str:
+    """CTE `{prefix}sh(doc_id, shingle)` = distinct word n-grams per doc
+    of ``table``; ``prefix`` disambiguates when one statement needs
+    shingles of two doc sets."""
     if duck:
         tokens = r"string_split_regex(trim(lower(text)), '\s+')"
         return f"""
-        tok AS (SELECT doc_id, {tokens} AS ts FROM documents),
-        sh_all AS (
+        {prefix}tok AS (SELECT doc_id, {tokens} AS ts FROM {table}),
+        {prefix}sh_all AS (
           SELECT doc_id,
                  unnest(list_transform(range(1, len(ts) - {n - 2}),
                         i -> array_to_string(ts[i : i + {n - 1}], ' '))) AS shingle
-          FROM tok WHERE len(ts) >= {n}),
-        sh AS (SELECT DISTINCT doc_id, shingle FROM sh_all)
+          FROM {prefix}tok WHERE len(ts) >= {n}),
+        {prefix}sh AS (SELECT DISTINCT doc_id, shingle FROM {prefix}sh_all)
         """
     # Spark dialect: per-doc dedup via array_distinct BEFORE the explode —
     # a narrow per-row expression, vs SELECT DISTINCT's full shuffle of
@@ -130,10 +134,10 @@ def _shingles_cte(duck: bool, n: int = 3) -> str:
     # interpreted Filter — measured 6× slower.  The gram array is never
     # empty after the size(ts) filter, so OUTER is semantically identical.
     return f"""
-    tok AS (SELECT doc_id, {tokens} AS ts FROM documents),
-    sh AS (
+    {prefix}tok AS (SELECT doc_id, {tokens} AS ts FROM {table}),
+    {prefix}sh AS (
       SELECT doc_id, shingle
-      FROM tok
+      FROM {prefix}tok
       LATERAL VIEW OUTER explode({grams}) t AS shingle
       WHERE size(ts) >= {n})
     """

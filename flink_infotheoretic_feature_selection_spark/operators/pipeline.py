@@ -1,0 +1,101 @@
+"""The composed LLM training-data pipeline, end to end, as ONE statement:
+
+    clean (quality + language + repetition + exact-dedup)
+      → decontaminate (drop docs sharing a trigram with the eval split)
+      → pack (token-budget training sequences)
+
+Each stage is gated individually elsewhere; this query proves the stages
+compose — same fragments, one verifiable result.
+
+Plan shape (Spark): the clean stage is one scan + one window shuffle
+(per-row stats fused into the dedup window's projection); the
+contamination check is a shingle equi-join against the (small) eval
+side — AQE broadcasts it; packing is one shuffle on the hash-shard key.
+CTE inlining re-derives the clean set for the shingle branch rather than
+re-using a materialization — at production scale you'd persist the clean
+set between stages (as `corpus_clean` consumers do); the single
+statement exists to make the composition oracle-verifiable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from flink_infotheoretic_feature_selection_spark.operators.dedup import (
+    DECONTAMINATE_EVAL_PRED,
+    _shingles_cte,
+)
+from flink_infotheoretic_feature_selection_spark.operators.text import (
+    CORPUS_CLEAN_LANG,
+    CORPUS_CLEAN_MIN_QUALITY,
+    PACK_BUDGET,
+    PACK_SHARDS,
+    REPETITION_MAX_DUP_FRAC,
+    _lang_case,
+    _stats_select,
+    dup_frac_expr,
+    rolling_hash_expr_duckdb,
+    rolling_hash_expr_spark,
+)
+
+__all__ = ["pipeline_clean_pack", "pipeline_oracle"]
+
+
+def _pipeline_sql(duck: bool) -> str:
+    rh = (
+        rolling_hash_expr_duckdb("lower(trim(text))")
+        if duck
+        else rolling_hash_expr_spark("lower(trim(text))")
+    )
+    return f"""
+    WITH enriched AS (
+      SELECT {_stats_select(duck)},
+             text,
+             {_lang_case(duck)} AS lang_pred,
+             {dup_frac_expr(duck)} AS dup_frac,
+             min(doc_id) OVER (PARTITION BY md5(text)) AS keep_id
+      FROM documents
+    ),
+    clean AS (
+      SELECT doc_id, text, n_tokens
+      FROM enriched
+      WHERE doc_id = keep_id
+        AND quality_score >= {CORPUS_CLEAN_MIN_QUALITY}
+        AND lang_pred = '{CORPUS_CLEAN_LANG}'
+        AND dup_frac <= {REPETITION_MAX_DUP_FRAC}
+        AND NOT ({DECONTAMINATE_EVAL_PRED})
+    ),
+    eval_docs AS (SELECT doc_id, text FROM documents WHERE {DECONTAMINATE_EVAL_PRED}),
+    {_shingles_cte(duck, table="eval_docs", prefix="ev_")},
+    eval_sh AS (SELECT DISTINCT shingle FROM ev_sh),
+    {_shingles_cte(duck, table="clean", prefix="cl_")},
+    contaminated AS (
+      SELECT DISTINCT cl_sh.doc_id FROM cl_sh JOIN eval_sh USING (shingle)
+    ),
+    kept AS (
+      SELECT doc_id, n_tokens, {rh} % {PACK_SHARDS} AS shard
+      FROM clean
+      WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
+    ),
+    cum AS (
+      SELECT doc_id, shard, n_tokens,
+             sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens
+               AS tok_before
+      FROM kept
+    )
+    SELECT doc_id, CAST(shard AS INT) AS shard,
+           CAST(floor(tok_before / {PACK_BUDGET}.0) AS INT) AS seq_id,
+           CAST(n_tokens AS INT) AS n_tokens
+    FROM cum
+    """
+
+
+def pipeline_clean_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """clean → decontaminate → pack over the documents table."""
+    spark.read.parquet(f"{sf_dir}/documents.parquet").createOrReplaceTempView("documents")
+    return spark.sql(_pipeline_sql(duck=False))
+
+
+def pipeline_oracle() -> str:
+    return _pipeline_sql(duck=True)

@@ -374,6 +374,31 @@ def _repetition_sql(duck: bool, n: int = REPETITION_NGRAM) -> str:
     """
 
 
+def dup_frac_expr(duck: bool, n: int = REPETITION_NGRAM) -> str:
+    """Standalone duplicate-n-gram-fraction expression over ``text``
+    (0.0 for docs shorter than ``n`` tokens) — reusable in composed
+    statements where the CTE form doesn't fit."""
+    if duck:
+        tokens = r"string_split_regex(trim(lower(text)), '\s+')"
+        grams = (
+            f"list_transform(range(1, len({tokens}) - {n - 2}), "
+            f"i -> array_to_string({tokens}[i : i + {n - 1}], ' '))"
+        )
+        size, distinct = "len", "list_distinct"
+    else:
+        tokens = r"split(trim(lower(text)), '\\s+')"
+        grams = (
+            f"transform(sequence(1, size({tokens}) - {n - 1}), "
+            f"i -> concat_ws(' ', slice({tokens}, i, {n})))"
+        )
+        size, distinct = "size", "array_distinct"
+    return (
+        f"CASE WHEN {size}({tokens}) >= {n} THEN "
+        f"CAST(1.0 AS DOUBLE) - CAST({size}({distinct}({grams})) AS DOUBLE) / {size}({grams}) "
+        f"ELSE CAST(0.0 AS DOUBLE) END"
+    )
+
+
 def doc_repetition(spark: SparkSession, sf_dir: str, n: int = REPETITION_NGRAM) -> DataFrame:
     """Per-doc duplicate-bigram fraction + repetitive flag (Gopher-style
     repetition filter).  Docs shorter than ``n`` tokens are excluded
