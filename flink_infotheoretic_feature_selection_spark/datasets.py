@@ -149,6 +149,12 @@ def events_read_plan(path: str) -> tuple[StructType, bool]:
     result is fixed for the lifetime of the read plan, so this is safe
     for streaming file sources too (all files in a stream directory
     share a layout by contract).
+
+    When nothing can be probed — an empty stream landing directory
+    whose files arrive later, or a non-local path (s3://, hdfs://)
+    the driver's filesystem can't see — the CURRENT generator layout
+    (``timestamp[us]``) is assumed, so streaming deployments keep the
+    schema-up-front contract file sources require.
     """
     import glob
     import os
@@ -156,15 +162,18 @@ def events_read_plan(path: str) -> tuple[StructType, bool]:
     import pyarrow.parquet as pq
     import pyarrow.types as pat
 
-    probe = path
-    if os.path.isdir(probe):
-        files = sorted(
-            glob.glob(os.path.join(probe, "**", "*.parquet"), recursive=True)
-        )
-        if not files:
-            raise FileNotFoundError(f"no parquet files under {path}")
-        probe = files[0]
-    t = pq.read_schema(probe).field("ts").type
+    try:
+        probe = path
+        if os.path.isdir(probe):
+            files = sorted(
+                glob.glob(os.path.join(probe, "**", "*.parquet"), recursive=True)
+            )
+            if not files:
+                raise FileNotFoundError(path)
+            probe = files[0]
+        t = pq.read_schema(probe).field("ts").type
+    except (FileNotFoundError, OSError):
+        return _events_schema(ts_as_long=False), False
     ts_is_nanos = (not pat.is_timestamp(t)) or t.unit == "ns"
     return _events_schema(ts_as_long=ts_is_nanos), ts_is_nanos
 

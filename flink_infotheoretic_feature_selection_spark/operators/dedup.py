@@ -14,7 +14,7 @@ Five families, each Spark-first with a DuckDB-portable oracle twin:
   equi-join on (band, band-signature); verified with exact Jaccard.
   Scale path: the band join replaces the quadratic pair space with
   hash-bucket collisions only.
-- **SimHash**: 16-bit signature by per-bit majority vote over token
+- **SimHash**: 28-bit signature by per-bit majority vote over token
   hashes — array expressions again.
 
 A production deployment would swap the portable rolling hash for
@@ -512,7 +512,7 @@ def _simhash_sql(duck: bool) -> str:
 
 
 def simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """16-bit SimHash per document (per-bit majority over token hashes)."""
+    """28-bit SimHash per document (per-bit majority over token hashes)."""
     _docs(spark, sf_dir)
     return spark.sql(_simhash_sql(duck=False))
 
@@ -521,7 +521,7 @@ def simhash_oracle() -> str:
     return _simhash_sql(duck=True)
 
 
-# SimHash Hamming pairs: 16-bit signatures split into 4 chunks of 4 bits;
+# SimHash Hamming pairs: 28-bit signatures split into 4 chunks of 7 bits;
 # by pigeonhole any pair within Hamming distance 3 agrees on >= 1 chunk,
 # so the candidate join on (chunk_idx, chunk_value) is exact for k <= 3.
 SIMHASH_CHUNKS = 4
@@ -566,10 +566,10 @@ def simhash_pairs(
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance ≤ ``max_hamming``.
 
-    Scale shape: candidates come from the 4-bit-chunk equi-join
+    Scale shape: candidates come from the 7-bit-chunk equi-join
     (pigeonhole guarantees exactness for ``max_hamming`` < 4), so the
     pair space is bucket collisions, never n² — the same banding idea as
-    MinHash-LSH but over the 16-bit fingerprint.  No reference analogue
+    MinHash-LSH but over the 28-bit fingerprint.  No reference analogue
     (extension mandate).
 
     DataFrame pipeline rather than the one-statement SQL form (which the

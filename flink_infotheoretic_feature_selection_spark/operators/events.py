@@ -47,6 +47,9 @@ def events_props_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# The inner CASE mirrors Spark's strict string→int cast (NULL for
+# non-integral text like '3.7'); DuckDB's TRY_CAST would instead ROUND,
+# silently diverging if the generator ever emits a float payload.
 EVENTS_PROPS_AGG_ORACLE = """
 SELECT event_type,
        count(*) AS n_events,
@@ -55,7 +58,8 @@ SELECT event_type,
        max(k) AS max_k,
        count(CASE WHEN k IS NULL THEN 1 END) AS n_bad
 FROM (SELECT event_type,
-             TRY_CAST(json_extract_string(props, '$.k') AS INT) AS k
+             CASE WHEN regexp_matches(trim(json_extract_string(props, '$.k')), '^-?[0-9]+$')
+                  THEN CAST(trim(json_extract_string(props, '$.k')) AS INT) END AS k
       FROM events)
 GROUP BY event_type
 """

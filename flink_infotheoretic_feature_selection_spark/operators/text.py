@@ -242,13 +242,17 @@ def scrub_pii(docs: DataFrame) -> DataFrame:
     from pyspark.sql import functions as F
 
     counts = []
-    scrubbed = F.col("text")
+    # NULL-safe basis: legacy size(NULL) is -1, which would surface as
+    # hit count -1 on a NULL-text row; coalesce once instead.
+    scrubbed = F.coalesce(F.col("text"), F.lit(""))
     for name, pat, repl in _PII_PATTERNS:
         # SQL string literals eat one level of backslash; the Column API
         # (regexp_replace) takes the pattern verbatim
         sql_pat = pat.replace("\\", "\\\\")
         counts.append(
-            F.size(F.expr(f"regexp_extract_all(text, '{sql_pat}', 0)")).alias(f"n_{name}")
+            F.size(
+                F.expr(f"regexp_extract_all(coalesce(text, ''), '{sql_pat}', 0)")
+            ).alias(f"n_{name}")
         )
         scrubbed = F.regexp_replace(scrubbed, pat, repl)
     return docs.select("doc_id", scrubbed.alias("text"), *counts)
@@ -339,24 +343,32 @@ REPETITION_NGRAM = 2
 REPETITION_MAX_DUP_FRAC = 0.2
 
 
+def _grams_expr(duck: bool, src: str, n: int) -> str:
+    """Word n-gram list over the token-array expression ``src`` — the ONE
+    fragment shared by the repetition operator and the composed pipeline,
+    so their n-gram semantics cannot drift apart."""
+    if duck:
+        return (
+            f"list_transform(range(1, len({src}) - {n - 2}), "
+            f"i -> array_to_string({src}[i : i + {n - 1}], ' '))"
+        )
+    return (
+        f"transform(sequence(1, size({src}) - {n - 1}), "
+        f"i -> concat_ws(' ', slice({src}, i, {n})))"
+    )
+
+
 def _repetition_sql(duck: bool, n: int = REPETITION_NGRAM) -> str:
     """Duplicate word n-gram fraction per doc — repeated boilerplate
     (lorem-style loops, scraped nav bars) shows up as a high fraction of
     non-distinct n-grams.  Pure per-row array expressions: no shuffle,
     no UDF, runs at scan speed on both engines."""
+    grams = _grams_expr(duck, "ts", n)
     if duck:
         tokens = r"string_split_regex(trim(lower(text)), '\s+')"
-        grams = (
-            f"list_transform(range(1, len(ts) - {n - 2}), "
-            f"i -> array_to_string(ts[i : i + {n - 1}], ' '))"
-        )
         size, distinct = "len", "list_distinct"
     else:
         tokens = r"split(trim(lower(text)), '\\s+')"
-        grams = (
-            f"transform(sequence(1, size(ts) - {n - 1}), "
-            f"i -> concat_ws(' ', slice(ts, i, {n})))"
-        )
         size, distinct = "size", "array_distinct"
     return f"""
     WITH tok AS (SELECT doc_id, {tokens} AS ts FROM documents),
@@ -377,21 +389,15 @@ def _repetition_sql(duck: bool, n: int = REPETITION_NGRAM) -> str:
 def dup_frac_expr(duck: bool, n: int = REPETITION_NGRAM) -> str:
     """Standalone duplicate-n-gram-fraction expression over ``text``
     (0.0 for docs shorter than ``n`` tokens) — reusable in composed
-    statements where the CTE form doesn't fit."""
+    statements where the CTE form doesn't fit.  Built from the same
+    :func:`_grams_expr` fragment as :func:`doc_repetition`."""
     if duck:
         tokens = r"string_split_regex(trim(lower(text)), '\s+')"
-        grams = (
-            f"list_transform(range(1, len({tokens}) - {n - 2}), "
-            f"i -> array_to_string({tokens}[i : i + {n - 1}], ' '))"
-        )
         size, distinct = "len", "list_distinct"
     else:
         tokens = r"split(trim(lower(text)), '\\s+')"
-        grams = (
-            f"transform(sequence(1, size({tokens}) - {n - 1}), "
-            f"i -> concat_ws(' ', slice({tokens}, i, {n})))"
-        )
         size, distinct = "size", "array_distinct"
+    grams = _grams_expr(duck, tokens, n)
     return (
         f"CASE WHEN {size}({tokens}) >= {n} THEN "
         f"CAST(1.0 AS DOUBLE) - CAST({size}({distinct}({grams})) AS DOUBLE) / {size}({grams}) "

@@ -112,7 +112,8 @@ def read_keel(
     back to declaration order when ``@inputs`` is absent.
 
     ``normalize=True`` applies the reference's min-max rule
-    (``keel/Dataset/Attribute.java:600-606``): nominal → index unchanged,
+    (``keel/Dataset/Attribute.java:600-606``) to the INPUT attributes
+    only (the label is never rescaled): nominal → index unchanged,
     integer → ``val − min``, real → ``(val − min)/(max − min)``.  Bounds
     come from the header's ``[lo, hi]`` declarations; attributes without
     declared bounds fall back to data-derived min/max (the reference
@@ -179,7 +180,11 @@ def read_keel(
             expr = mapping.getItem(c).cast("int")
         else:
             expr = c.cast("double")
-            if normalize and (attr.lo is None or attr.hi is None):
+            if (
+                normalize
+                and attr.name != header.label
+                and (attr.lo is None or attr.hi is None)
+            ):
                 needs_bounds.append((attr.name, attr))
         exprs[attr.name] = expr
 
@@ -198,16 +203,25 @@ def read_keel(
             attr.hi = row[f"__hi_{name}"] if attr.hi is None else attr.hi
 
     if normalize:
+        # Features only — the reference's normalizeValue is applied to
+        # input attributes; the target/label is never rescaled.
         for attr in header.attributes:
+            if attr.name == header.label or attr.kind == "nominal":
+                continue
+            if attr.lo is None or attr.hi is None:
+                raise ValueError(
+                    f"cannot normalize {attr.name!r}: no declared [lo, hi] "
+                    "range and no data rows to derive bounds from"
+                )
             if attr.kind == "integer":
                 exprs[attr.name] = exprs[attr.name] - F.lit(float(attr.lo))
             elif attr.kind == "real":
-                span = (attr.hi or 0.0) - (attr.lo or 0.0)
+                span = float(attr.hi) - float(attr.lo)
                 if span == 0:
                     exprs[attr.name] = F.lit(0.0)
                 else:
                     exprs[attr.name] = (exprs[attr.name] - F.lit(float(attr.lo))) / F.lit(
-                        float(span)
+                        span
                     )
 
     cols = [

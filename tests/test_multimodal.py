@@ -82,10 +82,12 @@ def test_decode_media_accepts_injected_decoder(docs):
 
 
 def test_decode_media_rejects_wrong_shape(docs):
-    from py4j.protocol import Py4JJavaError
+    # the worker-side ValueError surfaces client-side as PythonException
+    # with the original message — pin the specific guard, not any error
+    from pyspark.errors import PythonException
 
     bad = lambda buf, h, w: np.zeros((h + 1, w), dtype=np.float32)
-    with pytest.raises((Py4JJavaError, Exception), match="shape"):
+    with pytest.raises(PythonException, match="decoder returned shape"):
         mm.decode_media(mm.attach_media(docs), decoder=bad).collect()
 
 

@@ -187,6 +187,40 @@ def test_read_keel_normalize_declared_bounds(spark, tmp_path):
     assert [r["label"] for r in rows] == [0, 1]
 
 
+def test_read_keel_normalize_leaves_numeric_label_raw(spark, tmp_path):
+    # normalizeValue applies to INPUT attributes; a numeric regression
+    # target must come out untouched (review finding: the label was
+    # being min-max rescaled along with the features).
+    text = """\
+@relation regress
+@attribute a1 real [0.0, 4.0]
+@attribute out real [0, 100]
+@inputs a1
+@outputs out
+@data
+1.0, 50
+3.0, 75
+"""
+    p = tmp_path / "regress.dat"
+    p.write_text(text)
+    rows = read_keel(spark, str(p), normalize=True).orderBy("a1").collect()
+    assert [r["a1"] for r in rows] == [0.25, 0.75]
+    assert [r["label"] for r in rows] == [50.0, 75.0]  # raw, not /100
+
+
+def test_read_keel_normalize_empty_body_raises(spark, tmp_path):
+    text = """\
+@relation empty
+@attribute a1 integer
+@attribute class {yes, no}
+@data
+"""
+    p = tmp_path / "empty.dat"
+    p.write_text(text)
+    with pytest.raises(ValueError, match="cannot normalize"):
+        read_keel(spark, str(p), normalize=True).collect()
+
+
 def test_read_keel_normalize_data_derived_bounds(spark, tmp_path):
     # No [lo, hi] in the header → bounds grown from the data, like the
     # reference's parse-time enlargeBounds.

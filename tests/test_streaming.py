@@ -39,6 +39,17 @@ def run_to_memory(stream_df, name, output_mode="append"):
     return stream_df.sparkSession.table(name)
 
 
+def test_read_events_stream_accepts_empty_landing_dir(spark, tmp_path):
+    # A stream usually starts on an EMPTY landing directory with files
+    # arriving later; the footer probe must fall back to the current
+    # timestamp layout instead of raising (review finding).
+    d = tmp_path / "landing"
+    d.mkdir()
+    df = read_events_stream(spark, str(d))
+    assert df.isStreaming
+    assert dict(df.dtypes)["ts"] == "timestamp"
+
+
 def test_loaded_events_absolute_time_range(spark, sf_dir):
     # Absolute-truth pin (round-2 lesson): stream-equals-batch checks both
     # sides of a shared loader, so a decode error (e.g. the 1000×-off

@@ -19,10 +19,14 @@ def test_scrub_pii_redacts_and_counts(spark):
             (2, "see https://example.com/a?b=1 and http://test.io/path now"),
             (3, "card 1234567890 pin 99 zip 12345 serial 000111222333"),
             (4, "nothing sensitive here at all"),
+            (5, None),
         ],
         "doc_id long, text string",
     )
     rows = {r["doc_id"]: r for r in scrub_pii(docs).collect()}
+    # NULL text: counts must be 0 (legacy size(NULL) is -1 — guarded)
+    assert (rows[5]["n_email"], rows[5]["n_url"], rows[5]["n_longnum"]) == (0, 0, 0)
+    assert rows[5]["text"] == ""
     assert rows[1]["n_email"] == 2
     assert rows[1]["text"] == "contact <EMAIL> or <EMAIL> today"
     assert rows[2]["n_url"] == 2
