@@ -569,6 +569,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": text.stratified_sample,
         "corpus_rollup": text.corpus_rollup,
         "pack_sequences": text.pack_sequences,
+        "vocab_topk": text.vocab_topk,
+        "chunk_documents": text.chunk_documents,
         "cosine_topk": similarity.cosine_topk,
         "ann_ivf_topk": similarity.ivf_topk,
         "ann_ivf_multiprobe": similarity.ivf_multiprobe_topk,
@@ -680,6 +682,8 @@ def oracle_sql() -> dict[str, str]:
         "stratified_sample": text.STRATIFIED_SAMPLE_ORACLE,
         "corpus_rollup": text.CORPUS_ROLLUP_ORACLE,
         "pack_sequences": text.pack_sequences_oracle(),
+        "vocab_topk": text.VOCAB_TOPK_ORACLE,
+        "chunk_documents": text.CHUNK_DOCUMENTS_ORACLE,
         "cosine_topk": similarity.cosine_topk_oracle(),
         "ann_ivf_topk": similarity.ivf_topk_oracle(),
         "ann_ivf_multiprobe": similarity.ivf_multiprobe_oracle(),

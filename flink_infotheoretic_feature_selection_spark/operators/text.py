@@ -29,6 +29,10 @@ __all__ = [
     "pack_sequences",
     "pack_sequences_oracle",
     "scrub_pii",
+    "vocab_topk",
+    "VOCAB_TOPK_ORACLE",
+    "chunk_documents",
+    "CHUNK_DOCUMENTS_ORACLE",
     "CORPUS_ROLLUP_ORACLE",
     "TEXT_STATS_ORACLE",
     "LANG_ID_ORACLE",
@@ -218,6 +222,105 @@ def pack_sequences_oracle(
     # function, not a module constant: _pack_sql needs the rolling-hash
     # helpers defined further down the module
     return _pack_sql(duck=True, budget=budget, shards=shards)
+
+
+# ---------------------------------------------------------------------------
+# Global vocabulary top-k
+# ---------------------------------------------------------------------------
+VOCAB_TOP = 50
+
+
+def _vocab_sql(duck: bool, top: int = VOCAB_TOP) -> str:
+    """Corpus-wide top-``top`` terms by document frequency.
+
+    Ties broken by term (deterministic).  Plan at scale: word explode is
+    map-side, the (doc, term) + term aggregates are partial+final hash
+    aggs, and the final top-k is TakeOrderedAndProject — no global sort
+    materializes the full vocabulary."""
+    if duck:
+        explode = f"SELECT doc_id, unnest({_WORDS_DUCK}) AS term FROM documents"
+    else:
+        explode = (
+            f"SELECT doc_id, term FROM documents "
+            f"LATERAL VIEW OUTER explode({_WORDS}) t AS term"
+        )
+    return f"""
+    WITH w AS ({explode}),
+    byterm AS (
+      SELECT term, count(DISTINCT doc_id) AS df, count(*) AS tf
+      FROM w WHERE term IS NOT NULL GROUP BY term)
+    SELECT term, df, tf
+    FROM byterm
+    ORDER BY df DESC, tf DESC, term ASC
+    LIMIT {top}
+    """
+
+
+def vocab_topk(spark: SparkSession, sf_dir: str, top: int = VOCAB_TOP) -> DataFrame:
+    """Global top-``top`` vocabulary terms by document frequency."""
+    spark.read.parquet(f"{sf_dir}/documents.parquet").createOrReplaceTempView("documents")
+    return spark.sql(_vocab_sql(duck=False, top=top))
+
+
+VOCAB_TOPK_ORACLE = _vocab_sql(duck=True)
+
+
+# ---------------------------------------------------------------------------
+# Context-window chunking
+# ---------------------------------------------------------------------------
+CHUNK_CHARS = 200
+CHUNK_STRIDE = 150  # 50-char overlap between consecutive chunks
+
+
+def _chunk_sql(duck: bool, size: int = CHUNK_CHARS, stride: int = CHUNK_STRIDE) -> str:
+    """Split each doc into overlapping fixed-size character chunks —
+    the context-window chunking step before embedding/indexing.
+
+    Per-row explode of a computed substring list: map-side, no shuffle.
+    Chunk count per doc = ceil(max(len - (size-stride), 1) / stride), so
+    every character is covered and consecutive chunks overlap by
+    ``size - stride``."""
+    if duck:
+        n_chunks = (
+            f"greatest(1, CAST(ceil(CAST(greatest(length(text) - {size - stride}, 1) "
+            f"AS DOUBLE) / {stride}) AS INT))"
+        )
+        return f"""
+    WITH c AS (
+      SELECT doc_id,
+             unnest(list_transform(range(0, {n_chunks}),
+                    i -> struct_pack(idx := i, chunk := substr(text, i*{stride} + 1, {size})))) AS u
+      FROM documents WHERE text IS NOT NULL AND length(text) > 0)
+    SELECT doc_id, CAST(u.idx AS INT) AS chunk_idx, u.chunk AS chunk,
+           length(u.chunk) AS chunk_len
+    FROM c
+    """
+        # (range(0, n) in DuckDB is end-exclusive, matching sequence(0, n-1))
+    n_chunks = (
+        f"greatest(1, CAST(ceil(CAST(greatest(length(text) - {size - stride}, 1) "
+        f"AS DOUBLE) / {stride}) AS INT))"
+    )
+    return f"""
+    WITH c AS (
+      SELECT doc_id, chunk_idx, substr(text, chunk_idx*{stride} + 1, {size}) AS chunk
+      FROM documents
+      LATERAL VIEW OUTER explode(sequence(0, {n_chunks} - 1)) t AS chunk_idx
+      WHERE text IS NOT NULL AND length(text) > 0)
+    SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx, chunk,
+           length(chunk) AS chunk_len
+    FROM c
+    """
+
+
+def chunk_documents(
+    spark: SparkSession, sf_dir: str, size: int = CHUNK_CHARS, stride: int = CHUNK_STRIDE
+) -> DataFrame:
+    """Overlapping fixed-size character chunks per document."""
+    spark.read.parquet(f"{sf_dir}/documents.parquet").createOrReplaceTempView("documents")
+    return spark.sql(_chunk_sql(duck=False, size=size, stride=stride))
+
+
+CHUNK_DOCUMENTS_ORACLE = _chunk_sql(duck=True)
 
 
 # ---------------------------------------------------------------------------
