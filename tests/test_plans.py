@@ -225,6 +225,21 @@ def test_pack_sequences_single_shuffle(spark, sf_dir):
     assert exchange_count(q) == 1, formatted_plan(q)
 
 
+def test_vocab_topk_uses_topk_not_global_sort(spark, sf_dir):
+    # final top-k must be TakeOrderedAndProject, never a full Sort of
+    # the vocabulary
+    from flink_infotheoretic_feature_selection_spark.operators.text import vocab_topk
+
+    plan = formatted_plan(vocab_topk(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_chunk_documents_shuffle_free(spark, sf_dir):
+    from flink_infotheoretic_feature_selection_spark.operators.text import chunk_documents
+
+    assert exchange_count(chunk_documents(spark, sf_dir)) == 0
+
+
 def test_equal_freq_gate_has_no_global_sort(spark, sf_dir):
     # The bucketize gate must run through the discretizer (sampled fit +
     # JVM Bucketizer transform) — not a global-sort rank() stand-in.
