@@ -230,6 +230,21 @@ def pack_sequences_oracle(
 VOCAB_TOP = 50
 
 
+def _word_explode(duck: bool) -> str:
+    """The one word-explode fragment (``SELECT doc_id, term FROM
+    documents``) shared by TF-IDF and vocabulary — a single definition so
+    the two can never disagree on what a term is.  OUTER explode on the
+    Spark side: see the shingle paths for why inner explode is 6× slower
+    here, and a NULL term never survives the downstream aggregates/joins
+    (both filter or equi-join on term)."""
+    if duck:
+        return f"SELECT doc_id, unnest({_WORDS_DUCK}) AS term FROM documents"
+    return (
+        f"SELECT doc_id, term FROM documents "
+        f"LATERAL VIEW OUTER explode({_WORDS}) t AS term"
+    )
+
+
 def _vocab_sql(duck: bool, top: int = VOCAB_TOP) -> str:
     """Corpus-wide top-``top`` terms by document frequency.
 
@@ -237,15 +252,8 @@ def _vocab_sql(duck: bool, top: int = VOCAB_TOP) -> str:
     map-side, the (doc, term) + term aggregates are partial+final hash
     aggs, and the final top-k is TakeOrderedAndProject — no global sort
     materializes the full vocabulary."""
-    if duck:
-        explode = f"SELECT doc_id, unnest({_WORDS_DUCK}) AS term FROM documents"
-    else:
-        explode = (
-            f"SELECT doc_id, term FROM documents "
-            f"LATERAL VIEW OUTER explode({_WORDS}) t AS term"
-        )
     return f"""
-    WITH w AS ({explode}),
+    WITH w AS ({_word_explode(duck)}),
     byterm AS (
       SELECT term, count(DISTINCT doc_id) AS df, count(*) AS tf
       FROM w WHERE term IS NOT NULL GROUP BY term)
@@ -280,11 +288,20 @@ def _chunk_sql(duck: bool, size: int = CHUNK_CHARS, stride: int = CHUNK_STRIDE) 
     Chunk count per doc = ceil(max(len - (size-stride), 1) / stride), so
     every character is covered and consecutive chunks overlap by
     ``size - stride``."""
-    if duck:
-        n_chunks = (
-            f"greatest(1, CAST(ceil(CAST(greatest(length(text) - {size - stride}, 1) "
-            f"AS DOUBLE) / {stride}) AS INT))"
+    if not 0 < stride <= size:
+        raise ValueError(
+            f"stride must be in (0, size]: got stride={stride}, size={size} "
+            "(stride > size would leave uncovered gaps; 0 divides)"
         )
+    # one chunk-count definition for both dialects — the formula must
+    # never drift between the engine and its oracle.  The inner
+    # greatest(..., 1) makes ceil >= 1 for short docs.
+    n_chunks = (
+        f"CAST(ceil(CAST(greatest(length(text) - {size - stride}, 1) "
+        f"AS DOUBLE) / {stride}) AS INT)"
+    )
+    if duck:
+        # range(0, n) in DuckDB is end-exclusive, = sequence(0, n-1)
         return f"""
     WITH c AS (
       SELECT doc_id,
@@ -295,11 +312,6 @@ def _chunk_sql(duck: bool, size: int = CHUNK_CHARS, stride: int = CHUNK_STRIDE) 
            length(u.chunk) AS chunk_len
     FROM c
     """
-        # (range(0, n) in DuckDB is end-exclusive, matching sequence(0, n-1))
-    n_chunks = (
-        f"greatest(1, CAST(ceil(CAST(greatest(length(text) - {size - stride}, 1) "
-        f"AS DOUBLE) / {stride}) AS INT))"
-    )
     return f"""
     WITH c AS (
       SELECT doc_id, chunk_idx, substr(text, chunk_idx*{stride} + 1, {size}) AS chunk
@@ -539,20 +551,8 @@ def _tfidf_sql(duck: bool, top: int = TFIDF_TOP_TERMS) -> str:
     (AQE broadcasts the vocabulary side when it fits, plain shuffle join
     otherwise) → per-doc window on doc_id.  No global sort.
     """
-    if duck:
-        words = _WORDS_DUCK
-        explode = f"SELECT doc_id, unnest({words}) AS term FROM documents"
-    else:
-        words = _WORDS
-        # OUTER: skips InferFiltersFromGenerate (which would re-evaluate
-        # the regexp per row in an extra predicate); a letter-free doc's
-        # NULL term is dropped by the tf⋈dfreq equi-join anyway.
-        explode = (
-            f"SELECT doc_id, term FROM documents "
-            f"LATERAL VIEW OUTER explode({words}) t AS term"
-        )
     return f"""
-    WITH w AS ({explode}),
+    WITH w AS ({_word_explode(duck)}),
     tf AS (SELECT doc_id, term, count(*) AS tf FROM w GROUP BY doc_id, term),
     dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
     nd AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents),
