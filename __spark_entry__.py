@@ -17,7 +17,10 @@ from flink_infotheoretic_feature_selection_spark.datasets import (
     features_dense,
     features_select_duckdb,
 )
-from flink_infotheoretic_feature_selection_spark.discretizer import equal_freq_bucket_oracle
+from flink_infotheoretic_feature_selection_spark.discretizer import (
+    equal_freq_bucket_oracle,
+    equal_width_bucket_oracle,
+)
 from flink_infotheoretic_feature_selection_spark.operators import dedup, multimodal, sessions, similarity, text
 from flink_infotheoretic_feature_selection_spark.operators import events as events_ops
 from flink_infotheoretic_feature_selection_spark.operators import pipeline as pipeline_ops
@@ -121,6 +124,22 @@ def _q_equal_freq_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("p_retailprice").cast("double").alias("p_retailprice"))
     )
     model = EqualFrequencyDiscretizer(["p_retailprice"], num_buckets=8).fit(part)
+    out = model.transform(part)
+    return out.groupBy(
+        F.col("p_retailprice_bucket").cast("int").alias("bucket")
+    ).agg(F.count("*").alias("cnt"))
+
+
+def _q_equal_width_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Equal-width twin of the frequency gate: exact min/max fit (no
+    # sampling), same Bucketizer transform path, boundary arithmetic
+    # pinned to an IEEE order the oracle reproduces bit-for-bit.
+    from flink_infotheoretic_feature_selection_spark.discretizer import EqualWidthDiscretizer
+
+    part = spark.read.parquet(f"{sf_dir}/part.parquet").select(
+        F.col("p_retailprice").cast("double").alias("p_retailprice")
+    )
+    model = EqualWidthDiscretizer(["p_retailprice"], num_buckets=8).fit(part)
     out = model.transform(part)
     return out.groupBy(
         F.col("p_retailprice_bucket").cast("int").alias("bucket")
@@ -543,6 +562,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mim_topk": _q_mim_topk,
         "projection": _q_projection,
         "equal_freq_bucket": _q_equal_freq_bucket,
+        "equal_width_bucket": _q_equal_width_bucket,
         "sparse_hist2d": _q_sparse_hist2d,
         "sparse_hist3d": _q_sparse_hist3d,
         "selected_mrmr": _q_selected_mrmr,
@@ -641,6 +661,9 @@ def oracle_sql() -> dict[str, str]:
             "(SELECT * FROM part WHERE p_partkey <= 2000)",
             "p_retailprice",
             num_buckets=8,
+        ),
+        "equal_width_bucket": equal_width_bucket_oracle(
+            "part", "p_retailprice", num_buckets=8
         ),
         "sparse_hist2d": (
             f"WITH {_FM_CTE}, {_LONG_CTE} "

@@ -173,6 +173,82 @@ class EqualFrequencyDiscretizer:
         )
 
 
+class EqualWidthDiscretizer:
+    """Equal-width binning: interior boundaries at ``lo + i·(hi−lo)/k``.
+
+    Complements the reference's equal-frequency discretizer (no
+    reference analogue — extension surface).  ``fit`` is one distributed
+    min/max aggregate (no sampling needed: the bounds are exact);
+    ``transform`` reuses the same JVM ``Bucketizer`` model class as the
+    frequency path, so persistence and byte-casting come for free.
+
+    Boundary arithmetic is pinned to ``lo + i * ((hi - lo) / k)`` in
+    this exact IEEE evaluation order so a SQL oracle can reproduce the
+    split points bit-for-bit.
+    """
+
+    def __init__(
+        self,
+        input_cols: list[str],
+        num_buckets: int = 2,
+        output_suffix: str = "_bucket",
+        as_bytes: bool = False,
+    ) -> None:
+        if num_buckets < 2:
+            raise ValueError("num_buckets must be ≥ 2")
+        self.input_cols = list(input_cols)
+        self.num_buckets = int(num_buckets)
+        self.output_suffix = output_suffix
+        self.as_bytes = as_bytes
+
+    def fit(self, df: DataFrame) -> EqualFrequencyDiscretizerModel:
+        aggs = []
+        for c in self.input_cols:
+            aggs.append(F.min(F.col(c).cast("double")).alias(f"__lo_{c}"))
+            aggs.append(F.max(F.col(c).cast("double")).alias(f"__hi_{c}"))
+        row = df.agg(*aggs).collect()[0]
+        splits: dict[str, list[float]] = {}
+        for c in self.input_cols:
+            lo, hi = row[f"__lo_{c}"], row[f"__hi_{c}"]
+            if lo is None or hi is None:
+                raise ValueError(f"cannot fit equal-width splits on all-null {c!r}")
+            if hi == lo:
+                # degenerate column: one interior boundary at the constant
+                # (mirrors the frequency path's degenerate [-inf, x, +inf]
+                # shape, which the shared split validator requires)
+                splits[c] = [float("-inf"), lo, float("inf")]
+                continue
+            w = (hi - lo) / self.num_buckets
+            splits[c] = (
+                [float("-inf")]
+                + [lo + i * w for i in range(1, self.num_buckets)]
+                + [float("inf")]
+            )
+        if not check_all_splits(splits):
+            raise ValueError(f"invalid splits computed: {splits}")
+        return EqualFrequencyDiscretizerModel(
+            splits=splits, output_suffix=self.output_suffix, as_bytes=self.as_bytes
+        )
+
+
+def equal_width_bucket_oracle(table: str, col: str, num_buckets: int) -> str:
+    """DuckDB oracle for the equal-width bucket distribution: the bucket
+    index is the number of interior boundaries ≤ x, with each boundary
+    spelled in the same IEEE order the fit uses."""
+    k = num_buckets
+    terms = " + ".join(
+        f"(CASE WHEN {col} >= lo + {i} * ((hi - lo) / {k}.0) THEN 1 ELSE 0 END)"
+        for i in range(1, k)
+    )
+    return f"""
+    WITH b AS (SELECT min(CAST({col} AS DOUBLE)) AS lo,
+                      max(CAST({col} AS DOUBLE)) AS hi FROM {table})
+    SELECT CAST({terms} AS INT) AS bucket, count(*) AS cnt
+    FROM {table}, b
+    GROUP BY 1
+    """
+
+
 def equal_freq_bucket_oracle(
     table: str, col: str, num_buckets: int, n_rows_at_most: int = 10000
 ) -> str:

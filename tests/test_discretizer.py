@@ -88,3 +88,25 @@ def test_constant_column_single_split(spark):
 def test_num_buckets_validation():
     with pytest.raises(ValueError):
         EqualFrequencyDiscretizer(["x"], num_buckets=1)
+
+
+def test_equal_width_splits_and_transform(spark):
+    from flink_infotheoretic_feature_selection_spark.discretizer import EqualWidthDiscretizer
+
+    df = spark.createDataFrame([(float(v),) for v in range(0, 101)], "x double")
+    model = EqualWidthDiscretizer(["x"], num_buckets=4).fit(df)
+    # boundaries at 25, 50, 75 with ±inf sentinels
+    assert model.splits["x"] == [float("-inf"), 25.0, 50.0, 75.0, float("inf")]
+    out = {r["x"]: r["x_bucket"] for r in model.transform(df).collect()}
+    assert out[0.0] == 0 and out[24.0] == 0
+    assert out[25.0] == 1 and out[49.0] == 1  # left-closed boundaries
+    assert out[75.0] == 3 and out[100.0] == 3
+
+
+def test_equal_width_degenerate_column(spark):
+    from flink_infotheoretic_feature_selection_spark.discretizer import EqualWidthDiscretizer
+
+    df = spark.createDataFrame([(7.0,)] * 5, "x double")
+    model = EqualWidthDiscretizer(["x"], num_buckets=4).fit(df)
+    assert model.splits["x"] == [float("-inf"), 7.0, float("inf")]
+    assert {r["x_bucket"] for r in model.transform(df).collect()} == {1}
