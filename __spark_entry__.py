@@ -433,22 +433,27 @@ def _q_stream_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     d = tempfile.mkdtemp(prefix="events_stream_")
-    shutil.copy(f"{sf_dir}/events.parquet", f"{d}/part-0.parquet")
-    agg = windowed_event_agg(read_events_stream(spark, d), window="1 day").select(
-        F.col("window_start").cast("date").alias("window_start"),
-        "event_type",
-        "n_events",
-        F.round("sum_value", 4).alias("sum_value"),
-    )
-    q = (
-        agg.writeStream.format("memory")
-        .queryName("q_stream_window_agg")
-        .outputMode("update")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(120)
-    return spark.table("q_stream_window_agg")
+    try:
+        shutil.copy(f"{sf_dir}/events.parquet", f"{d}/part-0.parquet")
+        agg = windowed_event_agg(read_events_stream(spark, d), window="1 day").select(
+            F.col("window_start").cast("date").alias("window_start"),
+            "event_type",
+            "n_events",
+            F.round("sum_value", 4).alias("sum_value"),
+        )
+        q = (
+            agg.writeStream.format("memory")
+            .queryName("q_stream_window_agg")
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        # returns False on timeout — fail loudly, never hand the gate a
+        # partially-filled memory table
+        assert q.awaitTermination(300), "stream_window_agg did not finish in 300s"
+        return spark.table("q_stream_window_agg")
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
 
 
 def _q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -466,18 +471,21 @@ def _q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     d = tempfile.mkdtemp(prefix="events_dedup_")
-    shutil.copy(f"{sf_dir}/events.parquet", f"{d}/a.parquet")
-    shutil.copy(f"{sf_dir}/events.parquet", f"{d}/b.parquet")
-    dd = streaming_dedup(read_events_stream(spark, d)).select("event_id")
-    q = (
-        dd.writeStream.format("memory")
-        .queryName("q_stream_dedup")
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(120)
-    return spark.table("q_stream_dedup")
+    try:
+        shutil.copy(f"{sf_dir}/events.parquet", f"{d}/a.parquet")
+        shutil.copy(f"{sf_dir}/events.parquet", f"{d}/b.parquet")
+        dd = streaming_dedup(read_events_stream(spark, d)).select("event_id")
+        q = (
+            dd.writeStream.format("memory")
+            .queryName("q_stream_dedup")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(300), "stream_dedup did not finish in 300s"
+        return spark.table("q_stream_dedup")
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
 
 
 def _q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -498,16 +506,19 @@ def _q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     d = tempfile.mkdtemp(prefix="events_sess_")
-    shutil.copy(f"{sf_dir}/events.parquet", f"{d}/part-0.parquet")
-    s = sessionize_stream(read_events_stream(spark, d), gap=SESSIONIZE_GAP)
-    q = (
-        s.writeStream.format("memory")
-        .queryName("q_stream_sessionize")
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(120)
+    try:
+        shutil.copy(f"{sf_dir}/events.parquet", f"{d}/part-0.parquet")
+        s = sessionize_stream(read_events_stream(spark, d), gap=SESSIONIZE_GAP)
+        q = (
+            s.writeStream.format("memory")
+            .queryName("q_stream_sessionize")
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(300), "stream_sessionize did not finish in 300s"
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
     gap_us = duration_us(SESSIONIZE_GAP)
     return spark.table("q_stream_sessionize").select(
         "user_id",

@@ -110,6 +110,12 @@ N_FEATURES = len(FEATURE_SPEC)
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        # events' physical ts layout varies across testdata generations
+        # (TIMESTAMP(NANOS) is unreadable by a plain scan) — always go
+        # through the adaptive reader so register_tables/load_table keep
+        # working whatever the generator wrote.
+        return load_events(spark, sf_dir)
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
@@ -172,7 +178,9 @@ def events_read_plan(path: str) -> tuple[StructType, bool]:
                 raise FileNotFoundError(path)
             probe = files[0]
         t = pq.read_schema(probe).field("ts").type
-    except (FileNotFoundError, OSError):
+    except (FileNotFoundError, OSError, KeyError, ValueError):
+        # empty dir, unreadable/foreign/corrupt footer (pyarrow's
+        # ArrowInvalid is a ValueError), or a parquet without a ts field
         return _events_schema(ts_as_long=False), False
     ts_is_nanos = (not pat.is_timestamp(t)) or t.unit == "ns"
     return _events_schema(ts_as_long=ts_is_nanos), ts_is_nanos

@@ -234,7 +234,10 @@ class EqualWidthDiscretizer:
 def equal_width_bucket_oracle(table: str, col: str, num_buckets: int) -> str:
     """DuckDB oracle for the equal-width bucket distribution: the bucket
     index is the number of interior boundaries ≤ x, with each boundary
-    spelled in the same IEEE order the fit uses."""
+    spelled in the same IEEE order the fit uses.  The hi = lo branch
+    mirrors the fit's degenerate [-inf, lo, +inf] shape (every row in
+    bucket 1) — without it all k−1 zero-width boundary terms would fire
+    and the oracle would report bucket k−1."""
     k = num_buckets
     terms = " + ".join(
         f"(CASE WHEN {col} >= lo + {i} * ((hi - lo) / {k}.0) THEN 1 ELSE 0 END)"
@@ -243,7 +246,8 @@ def equal_width_bucket_oracle(table: str, col: str, num_buckets: int) -> str:
     return f"""
     WITH b AS (SELECT min(CAST({col} AS DOUBLE)) AS lo,
                       max(CAST({col} AS DOUBLE)) AS hi FROM {table})
-    SELECT CAST({terms} AS INT) AS bucket, count(*) AS cnt
+    SELECT CAST(CASE WHEN hi = lo THEN 1 ELSE {terms} END AS INT) AS bucket,
+           count(*) AS cnt
     FROM {table}, b
     GROUP BY 1
     """

@@ -264,33 +264,31 @@ def decontaminate(
     ``max_train_df`` is the boilerplate/skew guard: an eval shingle found
     in more than that many training docs is treated as boilerplate (a
     common phrase, not contamination) and excluded — the same
-    doc-frequency cap :func:`shingle_jaccard_pairs` uses.  Computing it
-    costs one hash-agg over the training shingles; pass ``None`` to skip.
+    doc-frequency cap :func:`shingle_jaccard_pairs` uses.  The cap is
+    measured AFTER the broadcast join (a window over the eval-matched
+    rows only): the matched set contains every training doc per shared
+    shingle, so the per-shingle row count IS its training doc-frequency,
+    and the shuffle carries only eval-matching rows instead of the whole
+    training shingle set.  Pass ``None`` to skip.
 
     - ``mode="drop"``: training docs with no contaminated shingle, all
       original columns (left_anti join on doc_id).
     - ``mode="flag"``: ``(doc_id, n_hits)`` for contaminated training
       docs — n_hits = distinct shingles shared with the eval set.
     """
+    from pyspark.sql import Window
     from pyspark.sql import functions as F
 
     if mode not in ("drop", "flag"):
         raise ValueError(f"mode must be 'drop' or 'flag', got {mode!r}")
     train_sh = doc_shingles(train_docs, n)
     eval_sh = doc_shingles(eval_docs, n).select("shingle").distinct()
+    matched = train_sh.join(F.broadcast(eval_sh), "shingle")
     if max_train_df is not None:
-        common = (
-            train_sh.groupBy("shingle")
-            .count()
-            .where(F.col("count") <= max_train_df)
-            .select("shingle")
-        )
-        eval_sh = eval_sh.join(common, "shingle")
-    hits = (
-        train_sh.join(F.broadcast(eval_sh), "shingle")
-        .groupBy("doc_id")
-        .agg(F.count("*").alias("n_hits"))
-    )
+        matched = matched.withColumn(
+            "__df", F.count("*").over(Window.partitionBy("shingle"))
+        ).where(F.col("__df") <= max_train_df)
+    hits = matched.groupBy("doc_id").agg(F.count("*").alias("n_hits"))
     if mode == "flag":
         return hits
     return train_docs.join(hits, "doc_id", "left_anti")

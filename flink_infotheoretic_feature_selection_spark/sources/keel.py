@@ -81,7 +81,13 @@ def parse_keel_header(lines: list[str]) -> KeelHeader:
                 if m.group("range"):
                     bounds = [b.strip() for b in m.group("range").split(",")]
                     if len(bounds) == 2:
-                        lo, hi = float(bounds[0]), float(bounds[1])
+                        try:
+                            lo, hi = float(bounds[0]), float(bounds[1])
+                        except ValueError:
+                            # non-numeric range text (real KEEL files have
+                            # these) — ignore, as the pre-range parser did;
+                            # normalize falls back to data-derived bounds
+                            lo = hi = None
                 attributes.append(KeelAttribute(m.group("name"), kind, lo=lo, hi=hi))
         elif low.startswith("@inputs"):
             inputs = [c.strip() for c in line.split(None, 1)[1].split(",")]
