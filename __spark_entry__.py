@@ -173,7 +173,16 @@ def _q_sparse_hist2d(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("x") != 0)
     )
     labels = base.select("row_id", "y")
-    return sparse_hist2d(nonzeros, labels, _SPARSE_NF)
+    out = sparse_hist2d(nonzeros, labels, _SPARSE_NF)
+    # Materialize (dims-bounded: ≤ nf×256×|y| cells) BEFORE releasing the
+    # cache — monotonically_increasing_id is only consistent between the
+    # nonzeros and labels scans while base is pinned.  try/finally so the
+    # gate sweep never leaks a persisted block (round-3 finding).
+    try:
+        rows = out.collect()
+    finally:
+        base.unpersist()
+    return spark.createDataFrame(rows, out.schema)
 
 
 def _q_sparse_hist3d(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -200,7 +209,13 @@ def _q_sparse_hist3d(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     labels = base.select("row_id", "y")
     zcol = base.select("row_id", F.col(feats[3]).alias("z"))
-    return sparse_hist3d(nonzeros, labels, zcol, _SPARSE_NF)
+    out = sparse_hist3d(nonzeros, labels, zcol, _SPARSE_NF)
+    # same materialize-then-unpersist discipline as _q_sparse_hist2d
+    try:
+        rows = out.collect()
+    finally:
+        base.unpersist()
+    return spark.createDataFrame(rows, out.schema)
 
 
 def _selection_query(criterion: str):
@@ -419,6 +434,43 @@ def _q_events_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+class _few_shuffle_partitions:
+    """Clamp spark.sql.shuffle.partitions for the streaming gates.
+
+    A stateful streaming query creates one state-store partition per
+    shuffle partition for the LIFETIME of the query — under the driver
+    harness's default (200) that is 200 near-empty state tasks per
+    microbatch at sf0.01, which is exactly the wall-clock that truncated
+    the round-3 gate tail.  Runtime SQL conf: affects task counts only,
+    never values; restored on exit.
+    """
+
+    KEY = "spark.sql.shuffle.partitions"
+
+    def __init__(self, spark: SparkSession, n: int = 8):
+        self.spark, self.n = spark, n
+
+    def __enter__(self):
+        try:
+            self.old = self.spark.conf.get(self.KEY)
+        except Exception:
+            self.old = None
+        self.spark.conf.set(self.KEY, str(self.n))
+
+    def __exit__(self, *exc):
+        if self.old is not None:
+            self.spark.conf.set(self.KEY, self.old)
+        else:
+            self.spark.conf.unset(self.KEY)
+        return False
+
+
+# availableNow over one sf0.01 file finishes in seconds; 120 s is a
+# fail-loudly ceiling, kept small so a wedged stream can't eat the
+# driver's whole gate budget (the round-3 truncation failure mode).
+_STREAM_BUDGET_MS = 120_000
+
+
 def _q_stream_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Structured Streaming end-to-end in the correctness gate: file-source
     # stream -> watermarked 1-day windows -> memory sink (availableNow);
@@ -435,22 +487,25 @@ def _q_stream_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = tempfile.mkdtemp(prefix="events_stream_")
     try:
         shutil.copy(f"{sf_dir}/events.parquet", f"{d}/part-0.parquet")
-        agg = windowed_event_agg(read_events_stream(spark, d), window="1 day").select(
-            F.col("window_start").cast("date").alias("window_start"),
-            "event_type",
-            "n_events",
-            F.round("sum_value", 4).alias("sum_value"),
-        )
-        q = (
-            agg.writeStream.format("memory")
-            .queryName("q_stream_window_agg")
-            .outputMode("update")
-            .trigger(availableNow=True)
-            .start()
-        )
-        # returns False on timeout — fail loudly, never hand the gate a
-        # partially-filled memory table
-        assert q.awaitTermination(300), "stream_window_agg did not finish in 300s"
+        with _few_shuffle_partitions(spark):
+            agg = windowed_event_agg(read_events_stream(spark, d), window="1 day").select(
+                F.col("window_start").cast("date").alias("window_start"),
+                "event_type",
+                "n_events",
+                F.round("sum_value", 4).alias("sum_value"),
+            )
+            q = (
+                agg.writeStream.format("memory")
+                .queryName("q_stream_window_agg")
+                .outputMode("update")
+                .trigger(availableNow=True)
+                .start()
+            )
+            # returns False on timeout — fail loudly, never hand the gate
+            # a partially-filled memory table
+            assert q.awaitTermination(_STREAM_BUDGET_MS // 1000), (
+                "stream_window_agg did not finish in budget"
+            )
         return spark.table("q_stream_window_agg")
     finally:
         shutil.rmtree(d, ignore_errors=True)
@@ -474,15 +529,18 @@ def _q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         shutil.copy(f"{sf_dir}/events.parquet", f"{d}/a.parquet")
         shutil.copy(f"{sf_dir}/events.parquet", f"{d}/b.parquet")
-        dd = streaming_dedup(read_events_stream(spark, d)).select("event_id")
-        q = (
-            dd.writeStream.format("memory")
-            .queryName("q_stream_dedup")
-            .outputMode("append")
-            .trigger(availableNow=True)
-            .start()
-        )
-        assert q.awaitTermination(300), "stream_dedup did not finish in 300s"
+        with _few_shuffle_partitions(spark):
+            dd = streaming_dedup(read_events_stream(spark, d)).select("event_id")
+            q = (
+                dd.writeStream.format("memory")
+                .queryName("q_stream_dedup")
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            assert q.awaitTermination(_STREAM_BUDGET_MS // 1000), (
+                "stream_dedup did not finish in budget"
+            )
         return spark.table("q_stream_dedup")
     finally:
         shutil.rmtree(d, ignore_errors=True)
@@ -508,15 +566,18 @@ def _q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = tempfile.mkdtemp(prefix="events_sess_")
     try:
         shutil.copy(f"{sf_dir}/events.parquet", f"{d}/part-0.parquet")
-        s = sessionize_stream(read_events_stream(spark, d), gap=SESSIONIZE_GAP)
-        q = (
-            s.writeStream.format("memory")
-            .queryName("q_stream_sessionize")
-            .outputMode("complete")
-            .trigger(availableNow=True)
-            .start()
-        )
-        assert q.awaitTermination(300), "stream_sessionize did not finish in 300s"
+        with _few_shuffle_partitions(spark):
+            s = sessionize_stream(read_events_stream(spark, d), gap=SESSIONIZE_GAP)
+            q = (
+                s.writeStream.format("memory")
+                .queryName("q_stream_sessionize")
+                .outputMode("complete")
+                .trigger(availableNow=True)
+                .start()
+            )
+            assert q.awaitTermination(_STREAM_BUDGET_MS // 1000), (
+                "stream_sessionize did not finish in budget"
+            )
     finally:
         shutil.rmtree(d, ignore_errors=True)
     gap_us = duration_us(SESSIONIZE_GAP)
@@ -608,9 +669,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup": similarity.embedding_neardup_pairs,
         "label_centroids": similarity.label_centroids,
         "events_window_agg": _q_events_window_agg,
-        "stream_window_agg": _q_stream_window_agg,
-        "stream_dedup": _q_stream_dedup,
-        "stream_sessionize": _q_stream_sessionize,
         "events_props_agg": events_ops.events_props_agg,
         "profile_lineitem": profile_ops.profile_lineitem,
         "pipeline_clean_pack": pipeline_ops.pipeline_clean_pack,
@@ -620,6 +678,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_features": _q_media_features,
         "media_resize": _q_media_resize,
         "frame_sample": _q_frame_sample,
+        # The three Structured Streaming gates run LAST by contract: each
+        # spins up a real availableNow stream (file copy + state stores +
+        # microbatch scheduling), the most wall-clock-expensive entries in
+        # the sweep.  In round 3 they sat before the tail of the dict and
+        # the driver's budget ran out mid-sweep, silently un-verifying the
+        # 5 queries after them (sessionize_skew + 4 media).  Cheap/at-risk
+        # queries come first; if anything gets truncated now, it's a
+        # stream that is ALSO covered by unit tests.
+        "stream_window_agg": _q_stream_window_agg,
+        "stream_dedup": _q_stream_dedup,
+        "stream_sessionize": _q_stream_sessionize,
     }
 
 

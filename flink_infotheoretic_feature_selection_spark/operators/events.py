@@ -23,11 +23,20 @@ __all__ = [
 
 def parse_props(events: DataFrame) -> DataFrame:
     """events + ``k`` extracted from the JSON props payload (int, null on
-    malformed/missing)."""
+    malformed/missing).
+
+    The cast is guarded by the SAME integer-text regexp the DuckDB oracle
+    uses, so a payload like ``"3.7"``, ``" 5"`` or ``"+5"`` is NULL on
+    both engines by construction — engine-native string→int cast quirks
+    (Spark's lenient truncating cast, DuckDB's rounding TRY_CAST) can
+    never diverge.  Still a narrow codegen expression fused into the
+    scan: get_json_object + rlike + cast, no UDF.
+    """
     from pyspark.sql import functions as F
 
+    raw = F.trim(F.get_json_object("props", "$.k"))
     return events.withColumn(
-        "k", F.get_json_object("props", "$.k").cast("int")
+        "k", F.when(raw.rlike("^-?[0-9]+$"), raw.cast("int"))
     )
 
 
@@ -47,13 +56,16 @@ def events_props_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# The inner CASE mirrors Spark's strict string→int cast (NULL for
-# non-integral text like '3.7'); DuckDB's TRY_CAST would instead ROUND,
-# silently diverging if the generator ever emits a float payload.
+# The inner CASE mirrors the guard in parse_props exactly (NULL for any
+# non-integer-text payload on BOTH engines).  sum(k) is CAST to BIGINT
+# because DuckDB types sum(integer) as HUGEINT — arrow decimal128(38,0),
+# which a bit-level driver hash serializes differently from Spark's
+# int64 even when the values are equal (the round-3 corpus_rollup /
+# events_props_agg hash-fail root cause).
 EVENTS_PROPS_AGG_ORACLE = """
 SELECT event_type,
        count(*) AS n_events,
-       sum(k) AS sum_k,
+       CAST(sum(k) AS BIGINT) AS sum_k,
        min(k) AS min_k,
        max(k) AS max_k,
        count(CASE WHEN k IS NULL THEN 1 END) AS n_bad

@@ -132,16 +132,44 @@ LANG_ID_ORACLE = f"SELECT {_lang_select(duck=True)} FROM documents"
 # ---------------------------------------------------------------------------
 # Corpus rollup over (source, lang) grouping sets
 # ---------------------------------------------------------------------------
-# One SQL string, valid verbatim in Spark SQL and DuckDB.  Plan shape at
-# scale: a single scan expanded 4× into one partial+final hash agg — the
-# grouping-sets Expand happens map-side, so the shuffle carries only
-# (source, lang) group cells, not rows.
-_ROLLUP_SQL = """
-SELECT coalesce(source, '(all)') AS source,
-       coalesce(lang, '(all)') AS lang,
+def _rollup_sql(duck: bool) -> str:
+    """Plan shape at scale: a single scan expanded 4× into one
+    partial+final hash agg — the grouping-sets Expand happens map-side,
+    so the shuffle carries only (source, lang) group cells, not rows.
+
+    Hash-stability (the round-3 driver lesson): every emitted value is
+    derived from exact integer arithmetic and CAST to a type both
+    engines serialize identically —
+
+    - ``total_chars``: DuckDB types ``sum(integer)`` as HUGEINT
+      (arrow decimal128(38,0)) while Spark emits int64; equal VALUES
+      hash differently at the serialization level, so the sum is cast
+      to BIGINT explicitly.
+    - ``avg_chars``: never computed as a float average.  It is the
+      5-decimal TRUNCATED rational sum/count, assembled from integer
+      div/mod (overflow-safe: the remainder < count, so the ×100000
+      blowup never leaves int64 range even at 100 TB) plus one IEEE
+      double divide that is bit-identical on any engine given
+      identical integer inputs.  No round(), no HALF_UP-vs-float
+      divergence possible.
+    - subtotal rows are marked via GROUPING() (not coalesce), so a
+      genuinely-NULL source/lang can never collide with the '(all)'
+      subtotal label.
+    """
+    idiv = "//" if duck else "DIV"
+    avg = (
+        f"CAST(sum(n_chars) {idiv} count(*) AS DOUBLE) + "
+        f"CAST((sum(n_chars) % count(*)) * 100000 {idiv} count(*) AS DOUBLE) "
+        "/ 100000.0"
+    )
+    return f"""
+SELECT CASE WHEN grouping(source) = 1 THEN '(all)'
+            ELSE coalesce(source, '(null)') END AS source,
+       CASE WHEN grouping(lang) = 1 THEN '(all)'
+            ELSE coalesce(lang, '(null)') END AS lang,
        count(*) AS n_docs,
-       sum(n_chars) AS total_chars,
-       round(avg(CAST(n_chars AS DOUBLE)), 5) AS avg_chars
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       {avg} AS avg_chars
 FROM documents
 GROUP BY GROUPING SETS ((source, lang), (source), (lang), ())
 """
@@ -153,10 +181,10 @@ def corpus_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     Grouping sets were ABSENT from the reference (SURVEY §2.8); extension
     surface."""
     spark.read.parquet(f"{sf_dir}/documents.parquet").createOrReplaceTempView("documents")
-    return spark.sql(_ROLLUP_SQL)
+    return spark.sql(_rollup_sql(duck=False))
 
 
-CORPUS_ROLLUP_ORACLE = _ROLLUP_SQL
+CORPUS_ROLLUP_ORACLE = _rollup_sql(duck=True)
 
 
 # ---------------------------------------------------------------------------

@@ -25,6 +25,13 @@ from flink_infotheoretic_feature_selection_spark.datasets import TABLES  # noqa:
 
 
 def normalize(rows, columns):
+    """BIT-EXACT canonical form: floats compare by their IEEE-754 bit
+    pattern (so +0.0 != -0.0 and last-ulp differences FAIL, exactly like
+    the driver's value hash).  The round-3 replica rounded to 6 decimals
+    here, which masked the very divergence class the driver catches —
+    never reintroduce rounding."""
+    import struct
+
     order = sorted(range(len(columns)), key=lambda i: columns[i])
     out = []
     for row in rows:
@@ -32,12 +39,22 @@ def normalize(rows, columns):
         for i in order:
             v = row[i]
             if isinstance(v, float):
-                v = round(v, 6)
-                if v == -0.0:
-                    v = 0.0
+                v = ("f64", struct.pack("<d", v).hex())
             vals.append(v)
         out.append(tuple(vals))
     return sorted(out, key=repr)
+
+
+def duck_type_flags(duck, sql):
+    """DuckDB result columns whose ARROW type a bit-level hash serializes
+    differently from any Spark output type: HUGEINT/decimal128 (from
+    sum(integer)), uints, large_* — the round-3 hash-fail root cause."""
+    arrow = duck.execute(f"SELECT * FROM ({sql}) LIMIT 0").arrow()
+    return {
+        f.name: str(f.type)
+        for f in arrow.schema
+        if any(k in str(f.type) for k in ("decimal", "128", "uint", "large_"))
+    }
 
 
 def main() -> None:
@@ -77,7 +94,8 @@ def main() -> None:
             rows_ok = len(spark_rows) == len(duck_rows)
             a = normalize(spark_rows, spark_cols)
             b = normalize(duck_rows, duck_cols)
-            hash_ok = a == b
+            flags = duck_type_flags(duck, oracles[name])
+            hash_ok = a == b and not flags
             status = "PASS" if (schema_ok and rows_ok and hash_ok) else "FAIL"
             if status == "FAIL":
                 failures += 1
@@ -85,6 +103,8 @@ def main() -> None:
                 f"{name}: {status} rows={len(spark_rows)}/{len(duck_rows)} "
                 f"schema={schema_ok} hash={hash_ok}"
             )
+            if flags:
+                print(f"  hash-unstable duckdb types: {flags}")
             if not schema_ok:
                 print(f"  spark cols: {spark_cols}\n  duck cols:  {duck_cols}")
             if schema_ok and not hash_ok:
