@@ -656,6 +656,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": dedup.simhash,
         "decontaminate": dedup.decontaminate_query,
         "simhash_pairs": dedup.simhash_pairs,
+        # production 64-bit variant: xxhash64 has no DuckDB analogue, so
+        # this is a rows-only gate entry; unit tests pin banding
+        # exactness + determinism + the >=10x desaturation vs 28-bit
+        "simhash64_pairs": dedup.simhash64_pairs,
         "doc_repetition": text.doc_repetition,
         "tfidf_topk": text.tfidf_topk,
         "stratified_sample": text.stratified_sample,

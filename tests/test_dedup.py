@@ -115,6 +115,71 @@ def test_simhash_pairs_rejects_unbandable_threshold(spark):
         _simhash_pairs_sql(duck=False, max_hamming=4)
 
 
+def test_simhash64_pairs_banding_is_exact(spark, sf_dir):
+    # Same pigeonhole-exactness pin as the 28-bit test, for the 64-bit
+    # production variant.  Signatures are signed int64: mask the XOR to
+    # 64 bits before popcount (bin() of a negative Python int would
+    # count sign-magnitude bits, not two's-complement bits).
+    from flink_infotheoretic_feature_selection_spark.operators.dedup import (
+        simhash64,
+        simhash64_pairs,
+    )
+
+    sigs = {r["doc_id"]: r["simhash64"] for r in simhash64(spark, sf_dir).collect()}
+    ids = sorted(sigs)
+    mask = (1 << 64) - 1
+
+    def ham(a, b):
+        return bin((sigs[a] ^ sigs[b]) & mask).count("1")
+
+    expect = {
+        (a, b, ham(a, b))
+        for i, a in enumerate(ids)
+        for b in ids[i + 1 :]
+        if ham(a, b) <= 3
+    }
+    got = {
+        (r["doc_a"], r["doc_b"], r["hamming"])
+        for r in simhash64_pairs(spark, sf_dir).collect()
+    }
+    assert got == expect
+
+
+def test_simhash64_deterministic_and_64bit_wide(spark, sf_dir):
+    from flink_infotheoretic_feature_selection_spark.operators.dedup import simhash64
+
+    a = sorted(tuple(r) for r in simhash64(spark, sf_dir).collect())
+    b = sorted(tuple(r) for r in simhash64(spark, sf_dir).collect())
+    assert a == b
+    # bits above the 28-bit oracle range must actually be live
+    assert any(sig < 0 or sig >= (1 << 28) for _, sig in a)
+
+
+def test_simhash64_desaturates_template_corpus(spark):
+    # The round-3 scale finding: 28-bit signatures saturate on the real
+    # corpus (45% of ALL doc pairs at sf0.01 land within Hamming 3 —
+    # quadratic intra-bucket pair blowup at 100 TB).  The 64-bit
+    # xxhash64 variant must shrink the pair volume by >= 10x on the same
+    # corpus (measured: ~52x).
+    from flink_infotheoretic_feature_selection_spark.operators.dedup import (
+        simhash64_pairs,
+        simhash_pairs,
+    )
+    from tests.conftest import SF_CORRECT
+
+    p28 = simhash_pairs(spark, SF_CORRECT).count()
+    p64 = simhash64_pairs(spark, SF_CORRECT).count()
+    assert p64 > 0
+    assert p28 >= 10 * p64, f"expected >=10x shrink, got {p28} -> {p64}"
+
+
+def test_simhash64_pairs_rejects_unbandable_threshold(spark):
+    from flink_infotheoretic_feature_selection_spark.operators.dedup import simhash64_pairs
+
+    with pytest.raises(ValueError, match="max_hamming"):
+        simhash64_pairs(spark, "/root/testdata/sf0.001", max_hamming=8)
+
+
 def test_dedup_star_import_matches_all(spark):
     # Round-2 regression: __all__ advertised names that didn't exist, so
     # `from ...dedup import *` raised ImportError. Pin that every __all__
