@@ -168,14 +168,19 @@ def _norm_expr_spark(a: str) -> str:
 
 
 def _ivf_sql_spark(k: int, query_limit: int) -> str:
+    # Norms are precomputed per ROW in the e CTE, not per PAIR in the
+    # join: each bucket-mate pair then costs one dot product instead of
+    # three O(d) folds.  Values are bit-identical (same sqrt of the same
+    # sequential dot), so the value-level oracle is unaffected.
     dot = _dot_expr_spark("q.emb", "c.emb")
     return f"""
     WITH e AS (SELECT vec_id, embedding AS emb,
+                      {_norm_expr_spark('embedding')} AS nrm,
                       {_bucket_expr('embedding', duck=False)} AS bucket
                FROM embeddings),
     pairs AS (
       SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-             round({dot} / ({_norm_expr_spark('q.emb')} * {_norm_expr_spark('c.emb')}), 5) AS cos
+             round({dot} / (q.nrm * c.nrm), 5) AS cos
       FROM e q JOIN e c ON q.bucket = c.bucket AND q.vec_id != c.vec_id
       WHERE q.vec_id < {query_limit}),
     ranked AS (
@@ -214,15 +219,19 @@ def _ivf_multiprobe_sql(duck: bool, k: int, query_limit: int) -> str:
         bucket = _bucket_expr("embedding", duck=True)
         cos = "round(list_cosine_similarity(q.emb, c.emb), 5)"
         emb_cast = "CAST(embedding AS DOUBLE[])"
+        nrm = "CAST(1 AS DOUBLE)"  # unused on the duck side
     else:
         bucket = _bucket_expr("embedding", duck=False)
         dot = _dot_expr_spark("q.emb", "c.emb")
-        cos = f"round({dot} / ({_norm_expr_spark('q.emb')} * {_norm_expr_spark('c.emb')}), 5)"
+        # per-row norm (see _ivf_sql_spark): one O(d) fold per pair, not 3
+        cos = f"round({dot} / (q.nrm * c.nrm), 5)"
         emb_cast = "embedding"
+        nrm = _norm_expr_spark("embedding")
     probe = _probe_list("bucket", N_SIGN_BITS, duck)
     return f"""
-    WITH e AS (SELECT vec_id, {emb_cast} AS emb, {bucket} AS bucket FROM embeddings),
-    q AS (SELECT vec_id, emb, {probe} AS probe
+    WITH e AS (SELECT vec_id, {emb_cast} AS emb, {nrm} AS nrm, {bucket} AS bucket
+               FROM embeddings),
+    q AS (SELECT vec_id, emb, nrm, {probe} AS probe
           FROM e WHERE vec_id < {query_limit}),
     pairs AS (
       SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, {cos} AS cos
@@ -277,15 +286,21 @@ def embedding_neardup_pairs(
     sign-grid bucket (scale path — no cross join)."""
     _emb(spark, sf_dir)
     dot = _dot_expr_spark("a.emb", "b.emb")
+    # per-row norms + a pairs CTE so the dot product is evaluated once
+    # per pair (the old form folded the arrays 4x: dot twice via the
+    # WHERE + projection, plus two per-pair norms)
     return spark.sql(
         f"""
         WITH e AS (SELECT vec_id, embedding AS emb,
+                          {_norm_expr_spark('embedding')} AS nrm,
                           {_bucket_expr('embedding', duck=False)} AS bucket
-                   FROM embeddings)
-        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-               round({dot} / ({_norm_expr_spark('a.emb')} * {_norm_expr_spark('b.emb')}), 5) AS cos
-        FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-        WHERE {dot} / ({_norm_expr_spark('a.emb')} * {_norm_expr_spark('b.emb')}) >= {threshold}
+                   FROM embeddings),
+        pairs AS (
+          SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                 {dot} / (a.nrm * b.nrm) AS raw_cos
+          FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+        SELECT vec_a, vec_b, round(raw_cos, 5) AS cos
+        FROM pairs WHERE raw_cos >= {threshold}
         """
     )
 
