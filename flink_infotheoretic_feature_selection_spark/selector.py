@@ -38,11 +38,10 @@ from flink_infotheoretic_feature_selection_spark.functions.criteria import Crite
 from flink_infotheoretic_feature_selection_spark.functions.infotheory import mi_and_cmi, mutual_info
 from flink_infotheoretic_feature_selection_spark.operators.histogram import (
     collect_hist2d,
-    collect_hist3d,
     feature_dims,
     feature_dims_and_count,
     hist2d,
-    hist3d_arrow,
+    hist3d_mi_cmi,
 )
 
 __all__ = ["InfoThSelector", "InfoThSelectorModel", "SparseInfoThSelector"]
@@ -199,11 +198,57 @@ class InfoThSelector:
             )
         return df
 
+    # Rows per cache partition the loop aims for, matched to the Arrow
+    # batch size it clamps (one batch per task amortizes the per-batch
+    # Python/Arrow overhead).  Matched to sf0.1 measurement: the natural
+    # parquet layout gave 3 partitions on a 32-core box — every loop
+    # pass ran 3-wide; ~64k-row partitions cut per-iteration wall time
+    # 1.05 s → 0.52 s.  Data below 2× this floor is never repartitioned
+    # (the shuffle would cost more than it saves).
+    LOOP_ROWS_PER_PARTITION = 65536
+
     def _fit_cached(self, matrix: DataFrame, feats: list[str], label: str) -> InfoThSelectorModel:
+        from flink_infotheoretic_feature_selection_spark.session import conf_clamp
+
         # one job: dims + count together (also materializes the cache)
         dims, n = feature_dims_and_count(matrix, feats + [label])
         y_dim = dims[label]
 
+        repart = None
+        try:
+            if n >= 2 * self.LOOP_ROWS_PER_PARTITION:
+                sc = matrix.sparkSession.sparkContext
+                target = max(
+                    1,
+                    min(-(-n // self.LOOP_ROWS_PER_PARTITION), sc.defaultParallelism),
+                )
+                cur = matrix.rdd.getNumPartitions()
+                if not (target <= cur <= 2 * target):
+                    # input-file-derived partitioning is parallelism-starved
+                    # (or over-split): re-layout ONCE, reuse k times
+                    repart = matrix.repartition(target).persist(
+                        StorageLevel.MEMORY_AND_DISK
+                    )
+                    matrix = repart
+            with conf_clamp(
+                matrix.sparkSession,
+                "spark.sql.execution.arrow.maxRecordsPerBatch",
+                "65536",
+            ):
+                return self._fit_stages(matrix, feats, label, dims, n, y_dim)
+        finally:
+            if repart is not None:
+                repart.unpersist()
+
+    def _fit_stages(
+        self,
+        matrix: DataFrame,
+        feats: list[str],
+        label: str,
+        dims: dict[str, int],
+        n: int,
+        y_dim: int,
+    ) -> InfoThSelectorModel:
         # Stage 2 — relevances: one histogram pass over all features.
         h2 = collect_hist2d(hist2d(matrix, feats, label, dims, y_dim), feats, dims, y_dim)
         relevances = {c: mutual_info(h2[c], n, emit_f32=self.emit_f32) for c in feats}
@@ -218,6 +263,7 @@ class InfoThSelector:
             order = sorted(feats, key=lambda c: (-relevances[c], feats.index(c)))
             path = [(c, relevances[c]) for c in order[: self.n_to_select]]
         else:
+            n_parts = matrix.rdd.getNumPartitions()
             remaining = list(feats)
             while len(path) < self.n_to_select:
                 best = max(remaining, key=lambda c: (state[c].score, -feats.index(c)))
@@ -228,22 +274,29 @@ class InfoThSelector:
                     break
                 # Redundancy pass: 3-D histograms of every remaining feature
                 # vs (selected=best, class) — InfoTheory.scala:445-461.
-                # Arrow route here, NOT the codegen route: each iteration
-                # builds a fresh plan (remaining shrinks, best changes), and
-                # the posexplode plan pays multi-second codegen compilation
-                # per fresh plan; the mapInArrow plan is opaque to codegen
-                # and re-plans in ~0.1 s.  One-shot passes (relevance init,
-                # the hist2d/hist3d queries) keep the codegen route.
-                h3 = collect_hist3d(
-                    hist3d_arrow(matrix, remaining, best, label, dims, dims[best], y_dim),
+                # Distributed dense-blob route (see hist3d_mi_cmi): one
+                # packed int32 count matrix per (feature, partition)
+                # shipped through a per-feature merge, MI/CMI computed
+                # executor-side, n_features scalar rows collected.  An
+                # Arrow plan, NOT codegen: each iteration is a fresh plan
+                # (remaining shrinks, best changes) and posexplode codegen
+                # compilation costs seconds per fresh plan.  One-shot
+                # passes (relevance init, the hist2d/hist3d gate queries)
+                # keep the codegen route.
+                scores = hist3d_mi_cmi(
+                    matrix,
                     remaining,
+                    best,
+                    label,
                     dims,
                     dims[best],
                     y_dim,
+                    n,
+                    emit_f32=self.emit_f32,
+                    n_partitions=n_parts,
                 )
                 for c in remaining:
-                    mi, cmi = mi_and_cmi(h3[c], n, emit_f32=self.emit_f32)
-                    state[c].update(mi, cmi)
+                    state[c].update(*scores[c])
 
         selected = sorted((c for c, _ in path), key=feats.index)
         return InfoThSelectorModel(

@@ -34,3 +34,29 @@ def get_spark(app_name: str = "flink_infotheoretic_feature_selection_spark", cpu
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+class conf_clamp:
+    """Temporarily set a RUNTIME SQL conf, restoring the prior value on
+    exit.  Only for value-neutral knobs (batch sizes, partition counts)
+    — never anything that changes query semantics.  Exists so operators
+    can tune the session they are handed (the driver gate constructs its
+    own session without our confs) without leaking the change."""
+
+    def __init__(self, spark: SparkSession, key: str, value: str):
+        self.spark, self.key, self.value = spark, key, str(value)
+
+    def __enter__(self):
+        try:
+            self.old = self.spark.conf.get(self.key)
+        except Exception:
+            self.old = None
+        self.spark.conf.set(self.key, self.value)
+        return self
+
+    def __exit__(self, *exc):
+        if self.old is not None:
+            self.spark.conf.set(self.key, self.old)
+        else:
+            self.spark.conf.unset(self.key)
+        return False
