@@ -178,9 +178,23 @@ def events_read_plan(path: str) -> tuple[StructType, bool]:
                 raise FileNotFoundError(path)
             probe = files[0]
         t = pq.read_schema(probe).field("ts").type
-    except (FileNotFoundError, OSError, KeyError, ValueError):
+    except (FileNotFoundError, OSError, KeyError, ValueError) as exc:
         # empty dir, unreadable/foreign/corrupt footer (pyarrow's
-        # ArrowInvalid is a ValueError), or a parquet without a ts field
+        # ArrowInvalid is a ValueError), or a parquet without a ts field.
+        # Surface the assumption loudly: if files later arrive in the
+        # nanos/int64 layout, the scan fails with a schema mismatch and
+        # this warning is the diagnosis pointer (streaming landing dirs
+        # and non-local paths the driver FS can't probe hit this).
+        import warnings
+
+        warnings.warn(
+            f"events_read_plan: could not probe a parquet footer under "
+            f"{path!r} ({type(exc).__name__}); assuming the generator's "
+            "timestamp[us] layout. If the scan later fails on a schema "
+            "mismatch, the files use the nanos/int64 layout — probe a "
+            "readable file or pass the schema explicitly.",
+            stacklevel=2,
+        )
         return _events_schema(ts_as_long=False), False
     ts_is_nanos = (not pat.is_timestamp(t)) or t.unit == "ns"
     return _events_schema(ts_as_long=ts_is_nanos), ts_is_nanos

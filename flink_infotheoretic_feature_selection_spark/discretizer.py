@@ -17,10 +17,15 @@ Faithful re-expression of the reference's ``FrequencyDiscretizer.scala``:
   multi-column ``Bucketizer`` (same search semantics), so the hot path
   never enters Python.
 
-Divergence (documented): the reference seeds Flink's sampler through
-``XORShiftRandom(seed).nextInt()``; we pass ``seed`` to Spark's sampler
-directly.  Results are deterministic per seed but the sampled rows differ
-from the reference's.
+Divergence (documented, WON'T FIX — SURVEY.md §7.1): the reference seeds
+Flink's sampler through ``XORShiftRandom(seed).nextInt()`` per partition;
+which rows it samples is a function of Flink 1.0's physical partitioning
+of that job, not of the data, so bit-replaying it would mean simulating a
+defunct runtime's split planning.  We pass ``seed`` to Spark's sampler:
+deterministic per (seed, input partitioning), identical fraction formula,
+identical sample→stride walk downstream; inputs at or below the
+10 000-row sample floor (fraction 1.0) are bit-par by construction — the
+``equal_freq_bucket`` oracle runs in that regime.
 """
 
 from __future__ import annotations

@@ -376,6 +376,18 @@ _PII_PATTERNS = [
 def scrub_pii(docs: DataFrame) -> DataFrame:
     """Redact emails, URLs and long digit runs; emit per-doc hit counts.
 
+    Count semantics (deliberate, pinned by test): each ``n_*`` is the
+    number of RAW-TEXT matches of that pattern, counted independently
+    over the original text — a per-pattern detection census.  The
+    redactions themselves apply sequentially (email → url → longnum), so
+    a token matched by two patterns (a digit run inside a URL, an email
+    inside a URL's query string) is COUNTED under both but consumed by
+    whichever replacement runs first; ``n_*`` totals can therefore exceed
+    the number of ``<...>`` markers in the scrubbed text.  Counting
+    against the progressively-scrubbed text instead would make each
+    count depend on the redaction ORDER — a census is the more useful
+    audit signal, and the only order-independent one.
+
     Chained JVM-side ``regexp_replace`` / ``regexp_extract_all`` — a
     narrow projection fused into the scan, no UDF, no shuffle.  The
     testdata corpus contains no PII, so this op is verified by a crafted

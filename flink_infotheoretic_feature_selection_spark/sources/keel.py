@@ -178,6 +178,13 @@ def read_keel(
             F.col("is_sparse"),
             F.coalesce(F.col("entries").getItem(idx), F.lit(default)),
         ).otherwise(F.trim(F.col("parts").getItem(idx)))
+        # Missing-value tokens: real-world KEEL bodies carry '?' (the
+        # KEEL/ARFF convention, keel/Dataset/Attribute.java) and some
+        # exports '<null>'.  They become SQL NULL — explicitly, because
+        # under Spark 4's default ANSI mode CAST('?' AS DOUBLE) would
+        # THROW at scan time, and a silent nominal-map miss would be
+        # indistinguishable from a typo.
+        c = F.when(F.lower(c).isin("?", "<null>"), F.lit(None)).otherwise(c)
         if attr.kind == "nominal":
             # declared-order index (KeelParser.scala:27-32)
             mapping = F.create_map(

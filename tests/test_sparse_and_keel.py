@@ -255,3 +255,48 @@ def test_read_keel_sparse_body(spark, tmp_path):
     assert (rows[1]["a1"], rows[1]["a3"], rows[1]["label"]) == (2, 0.0, 1)
     # dense row unchanged
     assert (rows[2]["a1"], rows[2]["a3"], rows[2]["label"]) == (0, 0.25, 1)
+
+
+def test_read_keel_missing_value_tokens(spark, tmp_path):
+    # Real-world KEEL bodies carry '?' (KEEL/ARFF missing convention) and
+    # some exports '<null>'; both must become SQL NULL on every attribute
+    # kind.  Under Spark 4's default ANSI mode an unhandled '?' would
+    # THROW at scan time inside CAST — this test is the regression pin.
+    text = """\
+@relation missing
+@attribute a1 {red, green, blue}
+@attribute a2 integer [0, 10]
+@attribute a3 real [0.0, 1.0]
+@attribute class {yes, no}
+@data
+?, 3, 0.5, yes
+green, ?, <null>, no
+blue, 7, 0.25, ?
+"""
+    p = tmp_path / "missing.dat"
+    p.write_text(text)
+    rows = read_keel(spark, str(p)).orderBy("a2", "a1").collect()
+    by_a1 = {r["a1"]: r for r in rows}
+    assert by_a1[None]["a2"] == 3.0 and by_a1[None]["label"] == 0
+    assert by_a1[1]["a2"] is None and by_a1[1]["a3"] is None
+    assert by_a1[2]["label"] is None and by_a1[2]["a2"] == 7.0
+
+
+def test_read_keel_missing_values_normalize_uses_present_bounds(spark, tmp_path):
+    # min/max for data-derived bounds ignore NULLs; NULL inputs stay NULL
+    # through the normalization arithmetic.
+    text = """\
+@relation missnorm
+@attribute a1 real
+@attribute class {yes, no}
+@data
+1.0, yes
+?, no
+3.0, yes
+"""
+    p = tmp_path / "missnorm.dat"
+    p.write_text(text)
+    rows = read_keel(spark, str(p), normalize=True).orderBy("label", "a1").collect()
+    vals = sorted((r["a1"] for r in rows if r["a1"] is not None))
+    assert vals == [0.0, 1.0]  # (1-1)/2, (3-1)/2
+    assert any(r["a1"] is None for r in rows)
