@@ -341,22 +341,25 @@ class SparseInfoThSelector:
         from pyspark.sql import functions as F
 
         # One data-sized join for the whole fit: attach the label to every
-        # nonzero cell, hash-partition by row_id, persist.  Every
+        # nonzero cell, persist partitioned+sorted by row_id.  Every
         # per-iteration join (remaining cells vs. the selected feature's
         # column) then has BOTH sides co-partitioned on row_id — no
         # further shuffle of the big table, k iterations reuse one layout.
         # Zero-crediting (InfoTheory.scala:296-304, :377-384) moves to the
         # driver: it only needs the dims-bounded y / (y,z) histograms.
-        # sortWithinPartitions: the cache advertises (partitioning, order)
-        # on row_id, so each iteration's sort-merge join runs with NO
-        # exchange and NO sort — a streaming zipper over the cached
-        # layout.  (Broadcasting the selected column instead would also
-        # avoid the sort but puts one full column on every executor —
-        # unbounded at scale; the zipper is safe at any row count.)
+        # The merge-join HINT is load-bearing twice over: (1) it stops AQE
+        # electing a broadcast join (whose output would keep the file
+        # partitioning, not row_id's, breaking the zipper property — and
+        # broadcasting a row-count-sized label column is unbounded at
+        # scale anyway); (2) the SMJ's own exchanges leave the output
+        # hash-partitioned AND sorted by row_id, so no explicit
+        # repartition/sort is needed — the round-3 build paid one extra
+        # full shuffle of the joined table here (measured: 3.8 s → 2.1 s
+        # at sf0.1).  sortWithinPartitions is kept as a declarative
+        # guard: it collapses to a no-op while the SMJ ordering holds.
         nzy = (
-            nonzeros.join(labels, "row_id")
+            nonzeros.join(labels.hint("merge"), "row_id")
             .select("row_id", "feat", "x", "y")
-            .repartition("row_id")
             .sortWithinPartitions("row_id")
             .persist(StorageLevel.MEMORY_AND_DISK)
         )
@@ -417,17 +420,12 @@ class SparseInfoThSelector:
                     nz_best = nzy.filter(F.col("feat") == best).select(
                         "row_id", F.col("x").alias("z")
                     )
-                    # full (y, z) histogram: nonzero part counted from the
-                    # selected column, z=0 column credited from n_y
-                    n_yz = np.zeros((y_dim, sel_dim), dtype=np.int64)
-                    for r in (
-                        nzy.filter(F.col("feat") == best)
-                        .groupBy("y", F.col("x").alias("z"))
-                        .agg(F.count("*").alias("cnt"))
-                        .collect()
-                    ):
-                        n_yz[r["y"], r["z"]] = r["cnt"]
-                    n_yz[:, 0] = n_y - n_yz[:, 1:].sum(axis=1)
+                    # full (y, z) histogram — NO Spark job: n_yz[y, z] =
+                    # count(label=y, x_best=z), which is exactly the
+                    # init-time 2-D histogram transposed (credited zeros
+                    # included).  The round-3 build re-aggregated the
+                    # selected column here every iteration.
+                    n_yz = h2[best].T.copy()
 
                     h3df = (
                         nzy.filter(F.col("feat").isin(remaining))
