@@ -434,7 +434,7 @@ def _q_events_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-class _few_shuffle_partitions:
+def _few_shuffle_partitions(spark: SparkSession, n: int = 8):
     """Clamp spark.sql.shuffle.partitions for the streaming gates.
 
     A stateful streaming query creates one state-store partition per
@@ -444,25 +444,9 @@ class _few_shuffle_partitions:
     the round-3 gate tail.  Runtime SQL conf: affects task counts only,
     never values; restored on exit.
     """
+    from flink_infotheoretic_feature_selection_spark.session import conf_clamp
 
-    KEY = "spark.sql.shuffle.partitions"
-
-    def __init__(self, spark: SparkSession, n: int = 8):
-        self.spark, self.n = spark, n
-
-    def __enter__(self):
-        try:
-            self.old = self.spark.conf.get(self.KEY)
-        except Exception:
-            self.old = None
-        self.spark.conf.set(self.KEY, str(self.n))
-
-    def __exit__(self, *exc):
-        if self.old is not None:
-            self.spark.conf.set(self.KEY, self.old)
-        else:
-            self.spark.conf.unset(self.KEY)
-        return False
+    return conf_clamp(spark, "spark.sql.shuffle.partitions", str(n))
 
 
 # availableNow over one sf0.01 file finishes in seconds; 120 s is a

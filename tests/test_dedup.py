@@ -237,3 +237,20 @@ def test_decontaminate_boilerplate_cap(spark):
     assert capped.count() == 0
     uncapped = decontaminate(train, ev, mode="flag", max_train_df=None)
     assert uncapped.count() == 20
+
+
+def test_sparse_hist_gate_queries_release_cache(spark, sf_dir):
+    # Round-3 finding: the sparse-hist gate queries persisted their base
+    # matrix and never released it — a leaked cache per gate sweep.  The
+    # queries now materialize (dims-bounded) then unpersist; nothing may
+    # stay cached after the call returns.
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __spark_entry__ as entry_mod
+
+    before = _persistent_rdd_ids(spark)
+    qs = entry_mod.queries()
+    assert qs["sparse_hist2d"](spark, sf_dir).count() > 0
+    assert qs["sparse_hist3d"](spark, sf_dir).count() > 0
+    assert _persistent_rdd_ids(spark) - before == set(), "leaked cached RDDs"
