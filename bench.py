@@ -123,6 +123,11 @@ def main() -> None:
     t, _ = timed(lambda: dedup.simhash_pairs(spark, SF_DIR).count())
     results["b8b_simhash_pairs"] = round(t, 3)
 
+    # production 64-bit variant: same plan shape, desaturated buckets —
+    # the wall-clock proof that b8b is output-volume-bound, not plan-bound
+    t, _ = timed(lambda: dedup.simhash64_pairs(spark, SF_DIR).count())
+    results["b8d_simhash64_pairs"] = round(t, 3)
+
     t, _ = timed(lambda: dedup.decontaminate_query(spark, SF_DIR).count())
     results["b8c_decontaminate"] = round(t, 3)
 
