@@ -281,8 +281,11 @@ def hist3d_mi_cmi(
         mi, cmi = mi_and_cmi(h, n, emit_f32=emit_f32)
         return pd.DataFrame({"feat": [fi], "mi": [float(mi)], "cmi": [float(cmi)]})
 
-    cols = {*feats, y_col, z_col}
-    needed = matrix.select(*feats, y_col, z_col) if set(matrix.columns) - cols else matrix
+    # dict.fromkeys dedupes while keeping order: y_col == z_col is legal
+    # (the relevance init passes label for both — the 2-D table is the
+    # z-marginal) and must not produce a duplicate-name select
+    sel = list(dict.fromkeys([*feats, y_col, z_col]))
+    needed = matrix.select(*sel) if set(matrix.columns) != set(sel) else matrix
     partial = needed.mapInArrow(partials, "feat int, blob binary")
 
     if n_partitions is None:
