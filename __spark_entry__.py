@@ -644,6 +644,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # this is a rows-only gate entry; unit tests pin banding
         # exactness + determinism + the >=10x desaturation vs 28-bit
         "simhash64_pairs": dedup.simhash64_pairs,
+        "substring_dup_profile": dedup.substring_dup_profile,
+        "substring_dup_spans": dedup.substring_dup_spans,
         "doc_repetition": text.doc_repetition,
         "tfidf_topk": text.tfidf_topk,
         "stratified_sample": text.stratified_sample,
@@ -768,6 +770,8 @@ def oracle_sql() -> dict[str, str]:
         "simhash": dedup.simhash_oracle(),
         "decontaminate": dedup.decontaminate_oracle(),
         "simhash_pairs": dedup.simhash_pairs_oracle(),
+        "substring_dup_profile": dedup.substring_dup_profile_oracle(),
+        "substring_dup_spans": dedup.substring_dup_spans_oracle(),
         "doc_repetition": text.DOC_REPETITION_ORACLE,
         "tfidf_topk": text.TFIDF_TOPK_ORACLE,
         "stratified_sample": text.STRATIFIED_SAMPLE_ORACLE,

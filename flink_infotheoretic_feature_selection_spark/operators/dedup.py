@@ -55,6 +55,10 @@ __all__ = [
     "simhash_pairs_oracle",
     "neardup_groups_oracle",
     "decontaminate_oracle",
+    "substring_dup_profile",
+    "substring_dup_spans",
+    "substring_dup_profile_oracle",
+    "substring_dup_spans_oracle",
 ]
 
 # MinHash parameters: h_i(x) = (A_i * x + B_i) mod P over the shingle's
@@ -836,6 +840,147 @@ def neardup_groups(
 ) -> DataFrame:
     """LSH pairs → connected near-dup groups, one row per grouped doc."""
     return neardup_components(minhash_lsh_pairs(spark, sf_dir, threshold, n))
+
+
+# ---------------------------------------------------------------------------
+# Exact substring-span dedup (Lee et al. 2022, "Deduplicating Training Data
+# Makes Language Models Better" — the character-level exact-substring pass
+# that MinHash/SimHash document-level dedup cannot express)
+# ---------------------------------------------------------------------------
+SUBSTR_L = 30  # window length (chars); spans shorter than L are invisible
+SUBSTR_ANCHOR = 8  # anchor length the position selector hashes
+SUBSTR_MOD = 7  # anchor-hash modulus → expected 1-in-7 position density
+
+
+def _substring_cte(duck: bool, L: int, mod: int) -> str:
+    """CTEs ``w(doc_id, pos, gram)`` = L-char windows at content-defined
+    anchor positions, and ``g(gram)`` = windows verbatim-repeated across
+    ≥ 2 distinct docs.
+
+    Position selection is CONTENT-DEFINED (winnowing-style, Schleimer et
+    al. 2003): position p is sampled iff the rolling hash of the
+    ``SUBSTR_ANCHOR``-char prefix at p is ≡ 0 mod ``mod``.  Fixed-stride
+    sampling (pos ≡ 1 mod stride) would be alignment-SENSITIVE: the same
+    shared substring at offsets with different residues mod stride in two
+    docs samples disjoint window sets and the duplicate is invisible.
+    Anchors depend only on the local text, so a shared region selects the
+    same relative positions in every doc containing it — detection is
+    invariant to where the region sits.  Expected density 1/mod; a
+    duplicated region is detected iff it contains ≥ 1 anchored window
+    (probability ≈ 1 - (1-1/mod)^(len-L) — the exhaustive-recall
+    alternative is Lee et al. 2022's suffix array, which has no bounded
+    shuffle form).
+
+    Scale shape: position selection and the window explode are narrow
+    maps fused into the scan (the anchor hash is O(ANCHOR) per position;
+    a production build computes it incrementally in one pass); the ONLY
+    shuffle is the group-by on ``gram`` (volume ≈ corpus_bytes / mod × L).
+    A production deployment keys that exchange on ``xxhash64(gram)``
+    (8 bytes instead of L chars); the raw-gram key here exists so DuckDB
+    can verify bit-for-bit.
+    """
+    A = SUBSTR_ANCHOR
+    if duck:
+        anchor = rolling_hash_expr_duckdb(f"substr(text, CAST(p AS INTEGER), {A})")
+        # generate_series is inclusive and returns BIGINT — cast the
+        # surviving positions to INT to match Spark's sequence() elements.
+        return f"""
+        wpos AS (
+          SELECT doc_id, text,
+                 CAST(unnest(list_filter(generate_series(1, length(text) - {L} + 1),
+                      p -> ({anchor}) % {mod} = 0)) AS INTEGER) AS pos
+          FROM documents WHERE length(text) >= {L}),
+        w AS (SELECT doc_id, pos, substr(text, pos, {L}) AS gram FROM wpos),
+        g AS (SELECT gram FROM w GROUP BY gram HAVING count(DISTINCT doc_id) >= 2)
+        """
+    # Spark: CASE guard + OUTER explode for the same InferFiltersFromGenerate
+    # reasons as _shingles_cte (see that docstring).
+    anchor = rolling_hash_expr_spark(f"substr(text, p, {A})")
+    positions = (
+        f"CASE WHEN length(text) >= {L} THEN "
+        f"filter(sequence(1, length(text) - {L} + 1), p -> ({anchor}) % {mod} = 0) "
+        f"ELSE array() END"
+    )
+    return f"""
+    w AS (
+      SELECT doc_id, pos, substr(text, pos, {L}) AS gram
+      FROM documents
+      LATERAL VIEW OUTER explode({positions}) t AS pos
+      WHERE length(text) >= {L}),
+    g AS (SELECT gram FROM w GROUP BY gram HAVING count(DISTINCT doc_id) >= 2)
+    """
+
+
+def _substring_profile_sql(duck: bool, L: int, mod: int) -> str:
+    # dup_frac: one IEEE division of two exact BIGINTs — bit-identical
+    # across engines by construction (no round(), no decimal).
+    return f"""
+    WITH {_substring_cte(duck, L, mod)}
+    SELECT w.doc_id,
+           count(*) AS n_windows,
+           count(g.gram) AS n_dup_windows,
+           CAST(count(g.gram) AS DOUBLE) / count(*) AS dup_frac
+    FROM w LEFT JOIN g ON w.gram = g.gram
+    GROUP BY w.doc_id
+    """
+
+
+def substring_dup_profile(
+    spark: SparkSession, sf_dir: str, L: int = SUBSTR_L, mod: int = SUBSTR_MOD
+) -> DataFrame:
+    """Per-doc census of verbatim cross-document substrings: how many
+    sampled L-char windows of each doc occur verbatim in ≥ 1 other doc."""
+    _docs(spark, sf_dir)
+    return spark.sql(_substring_profile_sql(duck=False, L=L, mod=mod))
+
+
+def substring_dup_profile_oracle(L: int = SUBSTR_L, mod: int = SUBSTR_MOD) -> str:
+    return _substring_profile_sql(duck=True, L=L, mod=mod)
+
+
+def _substring_spans_sql(duck: bool, L: int, mod: int) -> str:
+    # Merged duplicated regions per doc via island detection: a window
+    # starts a new span iff it begins past the running max end of all
+    # earlier windows (+1 so adjacent windows fuse).  ROWS frames and the
+    # running-max/running-sum semantics are identical in Spark and DuckDB;
+    # the island counter is CAST to BIGINT because DuckDB sums INTEGER
+    # into HUGEINT (decimal128) — the exact cross-engine hash trap the
+    # r3 gate caught on corpus_rollup.
+    return f"""
+    WITH {_substring_cte(duck, L, mod)},
+    d AS (SELECT w.doc_id, w.pos FROM w JOIN g ON w.gram = g.gram),
+    b AS (
+      SELECT doc_id, pos,
+             CASE WHEN pos <= coalesce(max(pos + {L} - 1) OVER (
+                    PARTITION BY doc_id ORDER BY pos
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -{L}) + 1
+                  THEN 0 ELSE 1 END AS is_start
+      FROM d),
+    isl AS (
+      SELECT doc_id, pos,
+             CAST(sum(is_start) OVER (PARTITION BY doc_id ORDER BY pos
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS span_id
+      FROM b)
+    SELECT doc_id, span_id,
+           min(pos) AS span_start,
+           max(pos) + {L} - 1 AS span_end,
+           count(*) AS n_windows
+    FROM isl GROUP BY doc_id, span_id
+    """
+
+
+def substring_dup_spans(
+    spark: SparkSession, sf_dir: str, L: int = SUBSTR_L, mod: int = SUBSTR_MOD
+) -> DataFrame:
+    """Merged character ranges of cross-document verbatim duplication —
+    the actionable output of the exact-substring pass (cut these spans,
+    keep the rest of the doc, per Lee et al. §4)."""
+    _docs(spark, sf_dir)
+    return spark.sql(_substring_spans_sql(duck=False, L=L, mod=mod))
+
+
+def substring_dup_spans_oracle(L: int = SUBSTR_L, mod: int = SUBSTR_MOD) -> str:
+    return _substring_spans_sql(duck=True, L=L, mod=mod)
 
 
 def neardup_groups_oracle(threshold: float = 0.2, n: int = 3) -> str:

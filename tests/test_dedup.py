@@ -254,3 +254,70 @@ def test_sparse_hist_gate_queries_release_cache(spark, sf_dir):
     assert qs["sparse_hist2d"](spark, sf_dir).count() > 0
     assert qs["sparse_hist3d"](spark, sf_dir).count() > 0
     assert _persistent_rdd_ids(spark) - before == set(), "leaked cached RDDs"
+
+
+@pytest.fixture()
+def shared_substring_docs(spark):
+    # One 120-char region shared VERBATIM by docs 1 and 2, placed at
+    # different character offsets whose difference (13) is coprime to the
+    # anchor modulus 7 — under fixed-stride sampling the two copies would
+    # sample disjoint window sets and the duplicate would be invisible.
+    shared = (
+        "the quick brown fox jumps over the lazy dog while the cat "
+        "watches from the warm windowsill in the late afternoon sun"
+    )
+    assert len(shared) >= 100
+    rows = [
+        (1, shared + " unique tail for document one goes here"),
+        (2, "a prefix of 13c " + shared),
+        (3, "entirely unrelated content that repeats nothing from the others at all"),
+    ]
+    spark.createDataFrame(rows, "doc_id long, text string").createOrReplaceTempView(
+        "documents"
+    )
+    yield shared
+    spark.catalog.dropTempView("documents")
+
+
+def test_substring_profile_is_alignment_invariant(spark, shared_substring_docs):
+    from flink_infotheoretic_feature_selection_spark.operators.dedup import (
+        _substring_profile_sql,
+    )
+
+    rows = {
+        r["doc_id"]: r
+        for r in spark.sql(_substring_profile_sql(duck=False, L=30, mod=7)).collect()
+    }
+    # Both copies of the shared region are detected despite the 13-char
+    # offset shift (13 % 7 != 0): content-defined anchors select the same
+    # RELATIVE positions inside the region in both docs.
+    assert rows[1]["n_dup_windows"] >= 1
+    assert rows[2]["n_dup_windows"] >= 1
+    assert rows[1]["n_dup_windows"] == rows[2]["n_dup_windows"] >= 1
+    # The unique doc shares nothing.
+    assert rows[3]["n_dup_windows"] == 0
+    assert rows[3]["dup_frac"] == 0.0
+
+
+def test_substring_spans_merge_and_cover_shared_region(spark, shared_substring_docs):
+    from flink_infotheoretic_feature_selection_spark.operators.dedup import (
+        _substring_spans_sql,
+    )
+
+    shared = shared_substring_docs
+    spans = spark.sql(_substring_spans_sql(duck=False, L=30, mod=7)).collect()
+    by_doc = {}
+    for r in spans:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # One contiguous shared region → overlapping windows merge into ONE
+    # span per doc (the whole point of the island pass).
+    assert set(by_doc) == {1, 2}
+    assert len(by_doc[1]) == 1 and len(by_doc[2]) == 1
+    s1, s2 = by_doc[1][0], by_doc[2][0]
+    # Spans sit inside the true shared range (1-based, inclusive).
+    assert 1 <= s1["span_start"] <= s1["span_end"] <= len(shared)
+    off = len("a prefix of 13c ")
+    assert off + 1 <= s2["span_start"] <= s2["span_end"] <= off + len(shared)
+    # Alignment invariance again: identical relative extents in both docs.
+    assert s2["span_start"] - s1["span_start"] == off
+    assert s2["span_end"] - s1["span_end"] == off
