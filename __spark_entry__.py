@@ -657,6 +657,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": similarity.ivf_topk,
         "ann_ivf_multiprobe": similarity.ivf_multiprobe_topk,
         "embedding_neardup": similarity.embedding_neardup_pairs,
+        "embedding_quantize": similarity.embedding_quantize,
+        "ann_ivf_topk_q8": similarity.ivf_topk_q8,
         "label_centroids": similarity.label_centroids,
         "events_window_agg": _q_events_window_agg,
         "events_props_agg": events_ops.events_props_agg,
@@ -783,6 +785,8 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf_topk": similarity.ivf_topk_oracle(),
         "ann_ivf_multiprobe": similarity.ivf_multiprobe_oracle(),
         "embedding_neardup": similarity.embedding_neardup_oracle(),
+        "embedding_quantize": similarity.embedding_quantize_oracle(),
+        "ann_ivf_topk_q8": similarity.ivf_topk_q8_oracle(),
         "label_centroids": similarity.LABEL_CENTROIDS_ORACLE,
         "events_window_agg": """
             SELECT date_trunc('day', ts) AS window_start,

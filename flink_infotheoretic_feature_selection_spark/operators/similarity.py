@@ -35,12 +35,16 @@ __all__ = [
     "ivf_topk",
     "ivf_multiprobe_topk",
     "embedding_neardup_pairs",
+    "embedding_quantize",
+    "ivf_topk_q8",
     "label_centroids",
     "LABEL_CENTROIDS_ORACLE",
     "cosine_topk_oracle",
     "ivf_topk_oracle",
     "ivf_multiprobe_oracle",
     "embedding_neardup_oracle",
+    "embedding_quantize_oracle",
+    "ivf_topk_q8_oracle",
 ]
 
 N_SIGN_BITS = 6  # IVF grid: 2^6 = 64 buckets
@@ -274,6 +278,114 @@ def ivf_topk_oracle(k: int = 3, query_limit: int = 200) -> str:
     SELECT query_id, neighbor_id, cos, CAST(rank AS INT) AS rank
     FROM ranked WHERE rank <= {k}
     """
+
+
+# ---------------------------------------------------------------------------
+# Int8 embedding quantization + quantized ANN (the 100 TB memory/IO path)
+# ---------------------------------------------------------------------------
+def _quantize_cte(duck: bool) -> str:
+    """CTE ``qz(vec_id, scale, q)``: per-vector symmetric int8
+    quantization — scale = max|v| / 127, q_i = round-half-up(v_i/scale).
+
+    The arithmetic is a fixed sequence of IEEE double ops written
+    identically for both engines (abs → max → mul → div → +0.5 → floor),
+    so the emitted ints and scale are bit-identical by construction —
+    no engine-native round(), whose tie-breaking differs.  floor() makes
+    the value integral before the int cast (DuckDB CAST(double AS INT)
+    ROUNDS; casting an exact integer sidesteps it).  An all-zero vector
+    gets scale 0 and an all-zero code instead of a 0/0 NaN.
+
+    Scale shape: a narrow per-row projection fused into the scan — int8
+    codes + one f64 scale cut embedding bytes ~4× (the dominant IO/
+    shuffle cost of every downstream ANN pass) for ≤ scale/2 per-coord
+    reconstruction error.
+    """
+    if duck:
+        mx = "list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))))"
+        code = (
+            "list_transform(embedding, x -> "
+            "CAST(floor(CAST(x AS DOUBLE) * 127.0 / mx + 0.5) AS INTEGER))"
+        )
+        zeros = "list_transform(embedding, x -> 0)"
+    else:
+        mx = "array_max(transform(embedding, x -> abs(CAST(x AS DOUBLE))))"
+        code = (
+            "transform(embedding, x -> "
+            "CAST(floor(CAST(x AS DOUBLE) * 127.0 / mx + 0.5) AS INT))"
+        )
+        zeros = "transform(embedding, x -> 0)"
+    return f"""
+    mxe AS (SELECT vec_id, embedding, {mx} AS mx FROM embeddings),
+    qz AS (
+      SELECT vec_id,
+             CASE WHEN mx = 0.0 THEN CAST(0.0 AS DOUBLE) ELSE mx / 127.0 END AS scale,
+             CASE WHEN mx = 0.0 THEN {zeros} ELSE {code} END AS q
+      FROM mxe)
+    """
+
+
+def _quantize_sql(duck: bool) -> str:
+    return f"WITH {_quantize_cte(duck)} SELECT vec_id, scale, q FROM qz"
+
+
+def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 codes + per-vector scale for every embedding."""
+    _emb(spark, sf_dir)
+    return spark.sql(_quantize_sql(duck=False))
+
+
+def embedding_quantize_oracle() -> str:
+    return _quantize_sql(duck=True)
+
+
+def _ivf_q8_sql(duck: bool, k: int, query_limit: int) -> str:
+    """IVF top-k over DEQUANTIZED int8 vectors — identical plan to
+    ``ivf_topk`` (sign-grid bucket equi-join, never all-pairs), but every
+    candidate comparison reads the 4×-smaller quantized form.  Cosines
+    round to 5 decimals before ranking like every ANN gate here (absorbs
+    summation-order float noise between Spark's sequential fold and
+    DuckDB's list_cosine_similarity).  Dequantized values themselves are
+    bit-identical across engines (scale * int, same ops), so bucket ids
+    and ranks agree exactly.
+    """
+    if duck:
+        dq = "list_transform(q, v -> scale * CAST(v AS DOUBLE))"
+        bucket = _bucket_expr("emb", duck=True)
+        cos = "round(list_cosine_similarity(q.emb, c.emb), 5)"
+        nrm = "CAST(1 AS DOUBLE)"  # unused on the duck side
+    else:
+        dq = "transform(q, v -> scale * CAST(v AS DOUBLE))"
+        bucket = _bucket_expr("emb", duck=False)
+        dot = _dot_expr_spark("q.emb", "c.emb")
+        cos = f"round({dot} / (q.nrm * c.nrm), 5)"
+        nrm = _norm_expr_spark("emb")
+    return f"""
+    WITH {_quantize_cte(duck)},
+    dq AS (SELECT vec_id, {dq} AS emb FROM qz),
+    e AS (SELECT vec_id, emb, {nrm} AS nrm, {bucket} AS bucket FROM dq),
+    pairs AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, {cos} AS cos
+      FROM e q JOIN e c ON q.bucket = c.bucket AND q.vec_id != c.vec_id
+      WHERE q.vec_id < {query_limit}),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos DESC, neighbor_id) AS rank
+      FROM pairs)
+    SELECT query_id, neighbor_id, cos, CAST(rank AS INT) AS rank
+    FROM ranked WHERE rank <= {k}
+    """
+
+
+def ivf_topk_q8(
+    spark: SparkSession, sf_dir: str, k: int = 3, query_limit: int = 200
+) -> DataFrame:
+    """IVF ANN over int8-quantized embeddings (4× less IO, same plan)."""
+    _emb(spark, sf_dir)
+    return spark.sql(_ivf_q8_sql(duck=False, k=k, query_limit=query_limit))
+
+
+def ivf_topk_q8_oracle(k: int = 3, query_limit: int = 200) -> str:
+    return _ivf_q8_sql(duck=True, k=k, query_limit=query_limit)
 
 
 # ---------------------------------------------------------------------------

@@ -47,3 +47,49 @@ def test_multiprobe_recall_dominates_single_probe(spark, sf_dir):
     assert multi >= single
     assert multi >= 2 * single, (single, multi)
     assert multi > 0.15, (single, multi)
+
+
+def test_quantize_error_bound_and_code_range(spark, sf_dir):
+    from flink_infotheoretic_feature_selection_spark.operators.similarity import (
+        embedding_quantize,
+    )
+
+    rows = embedding_quantize(spark, sf_dir).collect()
+    assert len(rows) > 0
+    import pyarrow.parquet as pq
+
+    orig = {
+        int(r["vec_id"]): np.asarray(r["embedding"], dtype=np.float64)
+        for r in pq.read_table(f"{sf_dir}/embeddings.parquet").to_pylist()
+    }
+    for r in rows:
+        q = np.asarray(r["q"], dtype=np.int64)
+        v = orig[r["vec_id"]]
+        assert np.abs(q).max() <= 127
+        if r["scale"] == 0.0:
+            assert (q == 0).all() and (v == 0).all()
+            continue
+        # symmetric round-half-up quantization ⇒ per-coordinate
+        # reconstruction error is at most half a quantization step
+        err = np.abs(q * r["scale"] - v).max()
+        assert err <= r["scale"] / 2 + 1e-12, (r["vec_id"], err, r["scale"])
+
+
+def test_q8_topk_matches_exact_ivf_closely(spark, sf_dir):
+    from flink_infotheoretic_feature_selection_spark.operators.similarity import (
+        ivf_topk_q8,
+    )
+
+    k, limit = 3, 100
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in ivf_topk(spark, sf_dir, k=k, query_limit=limit).collect()
+    }
+    q8 = {
+        (r.query_id, r.neighbor_id)
+        for r in ivf_topk_q8(spark, sf_dir, k=k, query_limit=limit).collect()
+    }
+    # int8 error (≤ scale/2 per coord) barely perturbs cosines, so the
+    # quantized ranking agrees with the float ranking almost everywhere.
+    overlap = len(exact & q8) / max(len(exact), 1)
+    assert overlap >= 0.9, overlap
