@@ -156,11 +156,13 @@ def events_read_plan(path: str) -> tuple[StructType, bool]:
     for streaming file sources too (all files in a stream directory
     share a layout by contract).
 
-    When nothing can be probed — an empty stream landing directory
-    whose files arrive later, or a non-local path (s3://, hdfs://)
-    the driver's filesystem can't see — the CURRENT generator layout
-    (``timestamp[us]``) is assumed, so streaming deployments keep the
-    schema-up-front contract file sources require.
+    URI paths (``s3://``, ``hdfs://``, ``file://``) probe through
+    ``pyarrow.fs.FileSystem.from_uri`` so remote deployments read the
+    real footer too.  Only when nothing can be probed — an empty stream
+    landing directory whose files arrive later, or a URI scheme with no
+    filesystem driver in this build — is the CURRENT generator layout
+    (``timestamp[us]``) assumed (with a loud warning), so streaming
+    deployments keep the schema-up-front contract file sources require.
     """
     import glob
     import os
@@ -169,6 +171,28 @@ def events_read_plan(path: str) -> tuple[StructType, bool]:
     import pyarrow.types as pat
 
     try:
+        if "://" in path:
+            # Non-local URI (s3://, hdfs://, file://): resolve through
+            # pyarrow.fs so remote deployments probe the real footer
+            # instead of falling straight to the assumed layout.  Raises
+            # (caught below) when the scheme's driver isn't available.
+            from pyarrow import fs as pafs
+
+            fsys, rel = pafs.FileSystem.from_uri(path)
+            info = fsys.get_file_info(rel)
+            if info.type == pafs.FileType.Directory:
+                sel = pafs.FileSelector(rel, recursive=True)
+                files = sorted(
+                    f.path
+                    for f in fsys.get_file_info(sel)
+                    if f.is_file and f.path.endswith(".parquet")
+                )
+                if not files:
+                    raise FileNotFoundError(path)
+                rel = files[0]
+            t = pq.read_schema(rel, filesystem=fsys).field("ts").type
+            ts_is_nanos = (not pat.is_timestamp(t)) or t.unit == "ns"
+            return _events_schema(ts_as_long=ts_is_nanos), ts_is_nanos
         probe = path
         if os.path.isdir(probe):
             files = sorted(
@@ -178,7 +202,9 @@ def events_read_plan(path: str) -> tuple[StructType, bool]:
                 raise FileNotFoundError(path)
             probe = files[0]
         t = pq.read_schema(probe).field("ts").type
-    except (FileNotFoundError, OSError, KeyError, ValueError) as exc:
+    except (FileNotFoundError, OSError, KeyError, ValueError, NotImplementedError) as exc:
+        # NotImplementedError = pyarrow's ArrowNotImplementedError when a
+        # URI scheme has no filesystem driver in this build.
         # empty dir, unreadable/foreign/corrupt footer (pyarrow's
         # ArrowInvalid is a ValueError), or a parquet without a ts field.
         # Surface the assumption loudly: if files later arrive in the

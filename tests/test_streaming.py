@@ -298,3 +298,31 @@ def test_sessionize_skew_equals_plain(spark, sf_dir):
     a = {key(r): val(r) for r in sessionize(ev).collect()}
     b = {key(r): val(r) for r in sessionize_skew(ev, bucket="2 days").collect()}
     assert a == b
+
+
+def test_events_read_plan_probes_file_uri(tmp_path):
+    # URI paths go through pyarrow.fs; file:// is always available, so a
+    # real footer (not the assumed fallback layout) must be probed —
+    # including directory listing through the filesystem API.
+    import shutil
+    import warnings
+
+    from flink_infotheoretic_feature_selection_spark.datasets import events_read_plan
+
+    d = tmp_path / "landing"
+    d.mkdir()
+    shutil.copy("/root/testdata/sf0.001/events.parquet", d / "part-0.parquet")
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")  # the fallback warns; a probe must not
+        schema_dir, _ = events_read_plan(f"file://{d}")
+        schema_file, _ = events_read_plan(f"file://{d}/part-0.parquet")
+    local_schema, _ = events_read_plan(str(d))
+    assert schema_dir == local_schema == schema_file
+
+
+def test_events_read_plan_unknown_scheme_falls_back(tmp_path):
+    from flink_infotheoretic_feature_selection_spark.datasets import events_read_plan
+
+    with pytest.warns(UserWarning, match="could not probe"):
+        schema, ts_is_nanos = events_read_plan("definitely-not-a-scheme://bucket/x")
+    assert ts_is_nanos is False
