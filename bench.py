@@ -131,11 +131,19 @@ def main() -> None:
     t, _ = timed(lambda: dedup.decontaminate_query(spark, SF_DIR).count())
     results["b8c_decontaminate"] = round(t, 3)
 
+    # character-level exact-substring pass (content-defined anchors)
+    t, _ = timed(lambda: dedup.substring_dup_spans(spark, SF_DIR).count())
+    results["b8e_substring_spans"] = round(t, 3)
+
     t, _ = timed(lambda: similarity.cosine_topk(spark, SF_DIR).count())
     results["b9_cosine_topk"] = round(t, 3)
 
     t, _ = timed(lambda: similarity.ivf_multiprobe_topk(spark, SF_DIR).count())
     results["b9b_ann_multiprobe"] = round(t, 3)
+
+    # int8-quantized IVF: same plan over 4x-smaller vectors
+    t, _ = timed(lambda: similarity.ivf_topk_q8(spark, SF_DIR).count())
+    results["b9c_ann_q8"] = round(t, 3)
 
     t, _ = timed(lambda: text.text_stats(spark, SF_DIR).count())
     results["b10_text_stats"] = round(t, 3)
