@@ -646,6 +646,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash64_pairs": dedup.simhash64_pairs,
         "substring_dup_profile": dedup.substring_dup_profile,
         "substring_dup_spans": dedup.substring_dup_spans,
+        "scrub_dup_spans": dedup.scrub_dup_spans,
         "doc_repetition": text.doc_repetition,
         "tfidf_topk": text.tfidf_topk,
         "stratified_sample": text.stratified_sample,
@@ -774,6 +775,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash_pairs": dedup.simhash_pairs_oracle(),
         "substring_dup_profile": dedup.substring_dup_profile_oracle(),
         "substring_dup_spans": dedup.substring_dup_spans_oracle(),
+        "scrub_dup_spans": dedup.scrub_dup_spans_oracle(),
         "doc_repetition": text.DOC_REPETITION_ORACLE,
         "tfidf_topk": text.TFIDF_TOPK_ORACLE,
         "stratified_sample": text.STRATIFIED_SAMPLE_ORACLE,

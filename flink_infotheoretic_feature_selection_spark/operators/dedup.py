@@ -59,6 +59,8 @@ __all__ = [
     "substring_dup_spans",
     "substring_dup_profile_oracle",
     "substring_dup_spans_oracle",
+    "scrub_dup_spans",
+    "scrub_dup_spans_oracle",
 ]
 
 # MinHash parameters: h_i(x) = (A_i * x + B_i) mod P over the shingle's
@@ -981,6 +983,65 @@ def substring_dup_spans(
 
 def substring_dup_spans_oracle(L: int = SUBSTR_L, mod: int = SUBSTR_MOD) -> str:
     return _substring_spans_sql(duck=True, L=L, mod=mod)
+
+
+def _scrub_spans_sql(duck: bool, L: int, mod: int) -> str:
+    """Rebuild each doc's text with its duplicated spans cut out.
+
+    Kept text = the segments BETWEEN a doc's (disjoint, sorted) spans:
+    each span contributes the gap since the previous span's end (via
+    ``lag``), plus one tail after the last span.  Pure string/int ops —
+    bit-exact across engines by construction.  Spark has no ordered
+    ``string_agg``, so the segment concat is ``array_sort(collect_list)``
+    + ``array_join`` there; span_start is unique per doc, so both
+    orderings are the same total order.
+
+    Scale shape: the span table is tiny next to the corpus; the rebuild
+    is one equi-join on doc_id + one doc_id agg.
+    """
+    if duck:
+        kept = (
+            "string_agg(substr(text, prev_end + 1, span_start - prev_end - 1), "
+            "'' ORDER BY span_start)"
+        )
+    else:
+        kept = (
+            "array_join(transform(array_sort(collect_list(named_struct("
+            "'s', span_start, "
+            "'piece', substr(text, prev_end + 1, span_start - prev_end - 1)))), "
+            "x -> x.piece), '')"
+        )
+    return f"""
+    WITH sp AS (SELECT * FROM ({_substring_spans_sql(duck, L, mod)}) spq),
+    seg AS (
+      SELECT s.doc_id, d.text,
+             lag(s.span_end, 1, 0) OVER (PARTITION BY s.doc_id
+                                         ORDER BY s.span_start) AS prev_end,
+             s.span_start, s.span_end
+      FROM sp s JOIN documents d ON s.doc_id = d.doc_id),
+    agg AS (
+      SELECT doc_id, {kept} AS kept_head, max(span_end) AS last_end,
+             CAST(sum(span_end - span_start + 1) AS BIGINT) AS n_cut
+      FROM seg GROUP BY doc_id)
+    SELECT d.doc_id,
+           CASE WHEN a.doc_id IS NULL THEN d.text
+                ELSE concat(a.kept_head, substr(d.text, a.last_end + 1)) END AS clean_text,
+           coalesce(a.n_cut, CAST(0 AS BIGINT)) AS n_cut_chars
+    FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+    """
+
+
+def scrub_dup_spans(
+    spark: SparkSession, sf_dir: str, L: int = SUBSTR_L, mod: int = SUBSTR_MOD
+) -> DataFrame:
+    """Cut every cross-document duplicated span out of every doc (the
+    Lee et al. §4 action): keep unique text, count removed chars."""
+    _docs(spark, sf_dir)
+    return spark.sql(_scrub_spans_sql(duck=False, L=L, mod=mod))
+
+
+def scrub_dup_spans_oracle(L: int = SUBSTR_L, mod: int = SUBSTR_MOD) -> str:
+    return _scrub_spans_sql(duck=True, L=L, mod=mod)
 
 
 def neardup_groups_oracle(threshold: float = 0.2, n: int = 3) -> str:

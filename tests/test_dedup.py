@@ -321,3 +321,34 @@ def test_substring_spans_merge_and_cover_shared_region(spark, shared_substring_d
     # Alignment invariance again: identical relative extents in both docs.
     assert s2["span_start"] - s1["span_start"] == off
     assert s2["span_end"] - s1["span_end"] == off
+
+
+def test_scrub_dup_spans_cuts_exactly_the_spans(spark, shared_substring_docs):
+    from flink_infotheoretic_feature_selection_spark.operators.dedup import (
+        _scrub_spans_sql,
+        _substring_spans_sql,
+    )
+
+    originals = {r["doc_id"]: r["text"] for r in spark.sql("SELECT * FROM documents").collect()}
+    spans = spark.sql(_substring_spans_sql(duck=False, L=30, mod=7)).collect()
+    scrubbed = {
+        r["doc_id"]: r for r in spark.sql(_scrub_spans_sql(duck=False, L=30, mod=7)).collect()
+    }
+    # Doc without duplicated spans passes through untouched.
+    assert scrubbed[3]["clean_text"] == originals[3]
+    assert scrubbed[3]["n_cut_chars"] == 0
+    # Docs with spans: the rebuilt text equals python-side surgery on the
+    # same span list, and the cut count is the summed span lengths.
+    by_doc = {}
+    for s in spans:
+        by_doc.setdefault(s["doc_id"], []).append((s["span_start"], s["span_end"]))
+    for doc_id, cuts in by_doc.items():
+        text = originals[doc_id]
+        expect, pos = [], 1
+        for a, b in sorted(cuts):
+            expect.append(text[pos - 1 : a - 1])
+            pos = b + 1
+        expect.append(text[pos - 1 :])
+        assert scrubbed[doc_id]["clean_text"] == "".join(expect), doc_id
+        assert scrubbed[doc_id]["n_cut_chars"] == sum(b - a + 1 for a, b in cuts)
+        assert len(scrubbed[doc_id]["clean_text"]) < len(text)
