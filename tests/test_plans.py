@@ -251,3 +251,28 @@ def test_equal_freq_gate_has_no_global_sort(spark, sf_dir):
     # the discretizer path is a narrow bucketize + hash aggregate
     assert "Window" not in plan, plan
     assert "bucket" in plan.lower()
+
+
+def test_embedding_quantize_is_narrow(spark, sf_dir):
+    # int8 quantization is a per-row projection — it must fuse into the
+    # scan with ZERO exchanges (at 100 TB this op is scan-speed or wrong).
+    from flink_infotheoretic_feature_selection_spark.operators.similarity import (
+        embedding_quantize,
+    )
+
+    q = embedding_quantize(spark, sf_dir)
+    assert exchange_count(q) == 0, formatted_plan(q)
+
+
+def test_substring_profile_broadcasts_dup_grams(spark, sf_dir):
+    # The dup-gram set (count(distinct doc)>=2 survivors) must come back
+    # to the window side as a broadcast, never by re-shuffling the whole
+    # window table a second time: shuffles carry gram cells only.
+    from flink_infotheoretic_feature_selection_spark.operators.dedup import (
+        substring_dup_profile,
+    )
+
+    q = substring_dup_profile(spark, sf_dir)
+    plan = formatted_plan(q)
+    assert broadcast_join_count(q) >= 1, plan
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan, plan
