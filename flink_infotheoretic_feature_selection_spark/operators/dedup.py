@@ -896,7 +896,14 @@ def _substring_cte(duck: bool, L: int, mod: int) -> str:
         g AS (SELECT gram FROM w GROUP BY gram HAVING count(DISTINCT doc_id) >= 2)
         """
     # Spark: CASE guard + OUTER explode for the same InferFiltersFromGenerate
-    # reasons as _shingles_cte (see that docstring).
+    # reasons as _shingles_cte (see that docstring).  Unlike the shingle
+    # CTE, the anchor filter CAN legitimately leave the position array
+    # EMPTY (a doc ≥ L chars where no position hashes to the residue —
+    # 4/5000 docs at sf0.1), and OUTER explode emits one NULL-pos row
+    # for an empty array; the `pos IS NOT NULL` guard drops that phantom
+    # window (a plain null check on the generator OUTPUT column — it
+    # does not re-embed the anchor expression, so the 6× interpreted-
+    # Filter trap stays avoided).
     anchor = rolling_hash_expr_spark(f"substr(text, p, {A})")
     positions = (
         f"CASE WHEN length(text) >= {L} THEN "
@@ -908,7 +915,7 @@ def _substring_cte(duck: bool, L: int, mod: int) -> str:
       SELECT doc_id, pos, substr(text, pos, {L}) AS gram
       FROM documents
       LATERAL VIEW OUTER explode({positions}) t AS pos
-      WHERE length(text) >= {L}),
+      WHERE length(text) >= {L} AND pos IS NOT NULL),
     g AS (SELECT gram FROM w GROUP BY gram HAVING count(DISTINCT doc_id) >= 2)
     """
 

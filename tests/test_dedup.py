@@ -352,3 +352,26 @@ def test_scrub_dup_spans_cuts_exactly_the_spans(spark, shared_substring_docs):
         assert scrubbed[doc_id]["clean_text"] == "".join(expect), doc_id
         assert scrubbed[doc_id]["n_cut_chars"] == sum(b - a + 1 for a, b in cuts)
         assert len(scrubbed[doc_id]["clean_text"]) < len(text)
+
+
+def test_substring_profile_skips_docs_with_zero_anchors(spark):
+    # Regression: a doc >= L chars where NO position passes the anchor
+    # filter leaves the position array EMPTY, and Spark's OUTER explode
+    # then emits one NULL-pos row — which surfaced as a phantom window
+    # (n_windows=1) for 4/5000 docs at sf0.1 while the DuckDB twin
+    # (plain unnest of an empty list = no rows) skipped them.  This text
+    # is one of those sf0.1 docs: both engines must now omit it.
+    from flink_infotheoretic_feature_selection_spark.operators.dedup import (
+        _substring_profile_sql,
+    )
+
+    zero_anchor = "the query the join query join big hash spark the scan"
+    rows = [(1, zero_anchor), (2, "x" * 10)]
+    spark.createDataFrame(rows, "doc_id long, text string").createOrReplaceTempView(
+        "documents"
+    )
+    try:
+        out = spark.sql(_substring_profile_sql(duck=False, L=30, mod=7)).collect()
+        assert out == [], out
+    finally:
+        spark.catalog.dropTempView("documents")
