@@ -920,11 +920,9 @@ def _substring_cte(duck: bool, L: int, mod: int) -> str:
     """
 
 
-def _substring_profile_sql(duck: bool, L: int, mod: int) -> str:
-    # dup_frac: one IEEE division of two exact BIGINTs — bit-identical
-    # across engines by construction (no round(), no decimal).
-    return f"""
-    WITH {_substring_cte(duck, L, mod)}
+# Final-select tails shared VERBATIM by the SQL twins (CTE-based) and the
+# Arrow engine path (temp-view-based) — one definition, zero drift.
+_PROFILE_TAIL = """
     SELECT w.doc_id,
            count(*) AS n_windows,
            count(g.gram) AS n_dup_windows,
@@ -934,20 +932,7 @@ def _substring_profile_sql(duck: bool, L: int, mod: int) -> str:
     """
 
 
-def substring_dup_profile(
-    spark: SparkSession, sf_dir: str, L: int = SUBSTR_L, mod: int = SUBSTR_MOD
-) -> DataFrame:
-    """Per-doc census of verbatim cross-document substrings: how many
-    sampled L-char windows of each doc occur verbatim in ≥ 1 other doc."""
-    _docs(spark, sf_dir)
-    return spark.sql(_substring_profile_sql(duck=False, L=L, mod=mod))
-
-
-def substring_dup_profile_oracle(L: int = SUBSTR_L, mod: int = SUBSTR_MOD) -> str:
-    return _substring_profile_sql(duck=True, L=L, mod=mod)
-
-
-def _substring_spans_sql(duck: bool, L: int, mod: int) -> str:
+def _spans_body(L: int) -> str:
     # Merged duplicated regions per doc via island detection: a window
     # starts a new span iff it begins past the running max end of all
     # earlier windows (+1 so adjacent windows fuse).  ROWS frames and the
@@ -956,7 +941,6 @@ def _substring_spans_sql(duck: bool, L: int, mod: int) -> str:
     # into HUGEINT (decimal128) — the exact cross-engine hash trap the
     # r3 gate caught on corpus_rollup.
     return f"""
-    WITH {_substring_cte(duck, L, mod)},
     d AS (SELECT w.doc_id, w.pos FROM w JOIN g ON w.gram = g.gram),
     b AS (
       SELECT doc_id, pos,
@@ -978,14 +962,114 @@ def _substring_spans_sql(duck: bool, L: int, mod: int) -> str:
     """
 
 
+def _substring_profile_sql(duck: bool, L: int, mod: int) -> str:
+    # dup_frac: one IEEE division of two exact BIGINTs — bit-identical
+    # across engines by construction (no round(), no decimal).
+    return f"WITH {_substring_cte(duck, L, mod)} {_PROFILE_TAIL}"
+
+
+def _substring_spans_sql(duck: bool, L: int, mod: int) -> str:
+    return f"WITH {_substring_cte(duck, L, mod)}, {_spans_body(L)}"
+
+
+def _windows_arrow(spark: SparkSession, sf_dir: str, L: int, mod: int) -> DataFrame:
+    """Engine-path ``w(doc_id, pos, gram)``: one corpus scan through an
+    Arrow-batched ``mapInArrow`` that vectorizes the anchor selection.
+
+    The anchor hash is a left fold ``h = (h*31 + code) % (1e9+7)`` over
+    ``SUBSTR_ANCHOR`` char codes; with no negative intermediates that
+    equals ``(Σ code_i · 31^(A-1-i)) mod M``, so ALL positions of a doc
+    compute as one NumPy sliding-window dot product (max value
+    8·1114111·31⁷ ≈ 2.4e17 < 2⁶³ — no overflow, exact int64) — the same
+    integers as the SQL twin's per-position interpreted fold, measured
+    ~10× cheaper.  Char codes via ``ord`` (code POINTS, matching both
+    engines' ``ascii()``), never utf-8 bytes.
+    """
+    import numpy as np
+    import pyarrow as pa
+
+    A = SUBSTR_ANCHOR
+    pows = np.array([31 ** (A - 1 - i) for i in range(A)], dtype=np.int64)
+
+    def build(batches):
+        schema = pa.schema(
+            [("doc_id", pa.int64()), ("pos", pa.int32()), ("gram", pa.string())]
+        )
+        for batch in batches:
+            od, op, og = [], [], []
+            for d, t in zip(
+                batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
+            ):
+                if t is None or len(t) < L:
+                    continue
+                n = len(t) - L + 1
+                codes = np.fromiter((ord(c) for c in t), dtype=np.int64, count=len(t))
+                anchors = (
+                    np.lib.stride_tricks.sliding_window_view(codes, A)[:n] @ pows
+                ) % ROLLING_MOD
+                for i in np.nonzero(anchors % mod == 0)[0]:
+                    od.append(d)
+                    op.append(int(i) + 1)
+                    og.append(t[i : i + L])
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(od, pa.int64()),
+                    pa.array(op, pa.int32()),
+                    pa.array(og, pa.string()),
+                ],
+                schema=schema,
+            )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    return docs.mapInArrow(build, "doc_id long, pos int, gram string")
+
+
+def _run_on_windows(
+    spark: SparkSession, sf_dir: str, L: int, mod: int, tail: str
+) -> DataFrame:
+    """Build ``w`` ONCE (Arrow path, persisted), derive ``g``, run
+    ``tail`` over them as temp views, checkpoint the (small) result and
+    release the cache — Spark inlines CTEs, so the pure-SQL form would
+    recompute the whole window build for each of its two references
+    (same lifecycle pattern as :func:`minhash_lsh_pairs`)."""
+    from pyspark.sql import functions as F
+
+    w = _windows_arrow(spark, sf_dir, L, mod).persist()
+    try:
+        w.createOrReplaceTempView("w")
+        (
+            w.groupBy("gram")
+            .agg(F.countDistinct("doc_id").alias("nd"))
+            .filter("nd >= 2")
+            .select("gram")
+            .createOrReplaceTempView("g")
+        )
+        return spark.sql(tail).localCheckpoint(eager=True)
+    finally:
+        w.unpersist()
+        spark.catalog.dropTempView("w")
+        spark.catalog.dropTempView("g")
+
+
+def substring_dup_profile(
+    spark: SparkSession, sf_dir: str, L: int = SUBSTR_L, mod: int = SUBSTR_MOD
+) -> DataFrame:
+    """Per-doc census of verbatim cross-document substrings: how many
+    sampled L-char windows of each doc occur verbatim in ≥ 1 other doc."""
+    return _run_on_windows(spark, sf_dir, L, mod, _PROFILE_TAIL)
+
+
+def substring_dup_profile_oracle(L: int = SUBSTR_L, mod: int = SUBSTR_MOD) -> str:
+    return _substring_profile_sql(duck=True, L=L, mod=mod)
+
+
 def substring_dup_spans(
     spark: SparkSession, sf_dir: str, L: int = SUBSTR_L, mod: int = SUBSTR_MOD
 ) -> DataFrame:
     """Merged character ranges of cross-document verbatim duplication —
     the actionable output of the exact-substring pass (cut these spans,
     keep the rest of the doc, per Lee et al. §4)."""
-    _docs(spark, sf_dir)
-    return spark.sql(_substring_spans_sql(duck=False, L=L, mod=mod))
+    return _run_on_windows(spark, sf_dir, L, mod, f"WITH {_spans_body(L)}")
 
 
 def substring_dup_spans_oracle(L: int = SUBSTR_L, mod: int = SUBSTR_MOD) -> str:
@@ -1012,14 +1096,19 @@ def _scrub_spans_sql(duck: bool, L: int, mod: int) -> str:
             "'' ORDER BY span_start)"
         )
     else:
-        kept = (
-            "array_join(transform(array_sort(collect_list(named_struct("
-            "'s', span_start, "
-            "'piece', substr(text, prev_end + 1, span_start - prev_end - 1)))), "
-            "x -> x.piece), '')"
-        )
+        kept = _SCRUB_KEPT_SPARK
+    sp_cte = f"sp AS (SELECT * FROM ({_substring_spans_sql(duck, L, mod)}) spq),"
     return f"""
-    WITH sp AS (SELECT * FROM ({_substring_spans_sql(duck, L, mod)}) spq),
+    WITH {sp_cte}
+    {_scrub_tail(kept)}
+    """
+
+
+def _scrub_tail(kept: str) -> str:
+    # References ``sp`` (the spans) and ``documents``; shared by the SQL
+    # twin (sp = CTE) and the engine path (sp = temp view of the
+    # checkpointed spans DataFrame).
+    return f"""
     seg AS (
       SELECT s.doc_id, d.text,
              lag(s.span_end, 1, 0) OVER (PARTITION BY s.doc_id
@@ -1038,13 +1127,29 @@ def _scrub_spans_sql(duck: bool, L: int, mod: int) -> str:
     """
 
 
+_SCRUB_KEPT_SPARK = (
+    "array_join(transform(array_sort(collect_list(named_struct("
+    "'s', span_start, "
+    "'piece', substr(text, prev_end + 1, span_start - prev_end - 1)))), "
+    "x -> x.piece), '')"
+)
+
+
 def scrub_dup_spans(
     spark: SparkSession, sf_dir: str, L: int = SUBSTR_L, mod: int = SUBSTR_MOD
 ) -> DataFrame:
     """Cut every cross-document duplicated span out of every doc (the
-    Lee et al. §4 action): keep unique text, count removed chars."""
+    Lee et al. §4 action): keep unique text, count removed chars.
+
+    Engine path: the (tiny, already-checkpointed) spans result feeds the
+    rebuild as a temp view, so the window build runs ONCE — the pure-SQL
+    twin would inline it twice more through the spans CTE."""
     _docs(spark, sf_dir)
-    return spark.sql(_scrub_spans_sql(duck=False, L=L, mod=mod))
+    substring_dup_spans(spark, sf_dir, L, mod).createOrReplaceTempView("sp")
+    try:
+        return spark.sql(f"WITH {_scrub_tail(_SCRUB_KEPT_SPARK)}")
+    finally:
+        spark.catalog.dropTempView("sp")
 
 
 def scrub_dup_spans_oracle(L: int = SUBSTR_L, mod: int = SUBSTR_MOD) -> str:

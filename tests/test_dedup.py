@@ -375,3 +375,30 @@ def test_substring_profile_skips_docs_with_zero_anchors(spark):
         assert out == [], out
     finally:
         spark.catalog.dropTempView("documents")
+
+
+def test_substring_arrow_route_equals_sql_route(spark):
+    # The engine path (vectorized mapInArrow windows + temp-view tails)
+    # and the pure-SQL Spark dialect must produce IDENTICAL rows — same
+    # anchors, same grams, same aggregates.
+    from flink_infotheoretic_feature_selection_spark.operators.dedup import (
+        _substring_profile_sql,
+        _substring_spans_sql,
+        substring_dup_profile,
+        substring_dup_spans,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    spark.read.parquet(f"{sf}/documents.parquet").createOrReplaceTempView("documents")
+    try:
+        for engine_fn, sql_fn in (
+            (substring_dup_profile, _substring_profile_sql),
+            (substring_dup_spans, _substring_spans_sql),
+        ):
+            via_arrow = sorted(map(tuple, engine_fn(spark, sf).collect()))
+            via_sql = sorted(
+                map(tuple, spark.sql(sql_fn(duck=False, L=30, mod=7)).collect())
+            )
+            assert via_arrow == via_sql
+    finally:
+        spark.catalog.dropTempView("documents")

@@ -267,12 +267,31 @@ def test_embedding_quantize_is_narrow(spark, sf_dir):
 def test_substring_profile_broadcasts_dup_grams(spark, sf_dir):
     # The dup-gram set (count(distinct doc)>=2 survivors) must come back
     # to the window side as a broadcast, never by re-shuffling the whole
-    # window table a second time: shuffles carry gram cells only.
+    # window table a second time: shuffles carry gram cells only.  The
+    # public query checkpoints its result (cache lifecycle), which hides
+    # the join from explain — inspect the tail plan over the same views
+    # the engine path builds.
+    from pyspark.sql import functions as F
+
     from flink_infotheoretic_feature_selection_spark.operators.dedup import (
-        substring_dup_profile,
+        _PROFILE_TAIL,
+        _windows_arrow,
     )
 
-    q = substring_dup_profile(spark, sf_dir)
-    plan = formatted_plan(q)
-    assert broadcast_join_count(q) >= 1, plan
-    assert "CartesianProduct" not in plan and "NestedLoop" not in plan, plan
+    w = _windows_arrow(spark, sf_dir, L=30, mod=7)
+    w.createOrReplaceTempView("w")
+    (
+        w.groupBy("gram")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter("nd >= 2")
+        .select("gram")
+        .createOrReplaceTempView("g")
+    )
+    try:
+        q = spark.sql(_PROFILE_TAIL)
+        plan = formatted_plan(q)
+        assert broadcast_join_count(q) >= 1, plan
+        assert "CartesianProduct" not in plan and "NestedLoop" not in plan, plan
+    finally:
+        spark.catalog.dropTempView("w")
+        spark.catalog.dropTempView("g")
