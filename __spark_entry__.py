@@ -644,6 +644,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # this is a rows-only gate entry; unit tests pin banding
         # exactness + determinism + the >=10x desaturation vs 28-bit
         "simhash64_pairs": dedup.simhash64_pairs,
+        # linear-output grouped form (rows-only for the same xxhash64 reason)
+        "simhash64_components": dedup.simhash64_components,
         "substring_dup_profile": dedup.substring_dup_profile,
         "substring_dup_spans": dedup.substring_dup_spans,
         "scrub_dup_spans": dedup.scrub_dup_spans,

@@ -41,6 +41,7 @@ __all__ = [
     "simhash_pairs",
     "simhash64",
     "simhash64_pairs",
+    "simhash64_components",
     "neardup_components",
     "neardup_groups",
     "doc_shingles",
@@ -693,27 +694,16 @@ def simhash64(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_simhash64_sql())
 
 
-def simhash64_pairs(
-    spark: SparkSession, sf_dir: str, max_hamming: int = 3
-) -> DataFrame:
-    """Near-dup pairs by 64-bit SimHash Hamming distance ≤ ``max_hamming``.
-
-    Same plan shape as :func:`simhash_pairs` — signature pass computed
-    once and persisted, candidates from the (chunk_idx, chunk_val)
-    equi-join (8×8-bit chunks: pigeonhole-exact for ``max_hamming`` < 8),
-    verified by exact ``bit_count`` on the XOR, result materialized so
-    the cache never outlives the call.  The wider signature keeps the
-    chunk buckets selective on template-heavy corpora where the 28-bit
-    buckets go quadratic.
-    """
+def _simhash64_hamming_pairs(sig: DataFrame, max_hamming: int) -> DataFrame:
+    """(doc_a, doc_b, hamming) for every pair of ``sig`` rows whose
+    64-bit signatures differ by ≤ ``max_hamming`` bits — chunk-banded
+    candidate join, first-match dedup, codegen Hamming verify."""
     if max_hamming >= SIMHASH64_CHUNKS:
         raise ValueError(
             f"chunk banding is only exact for max_hamming < {SIMHASH64_CHUNKS}"
         )
     from pyspark.sql import functions as F
 
-    _docs(spark, sf_dir)
-    sig = spark.sql(_simhash64_sql()).persist()
     mask = (1 << SIMHASH64_CHUNK_BITS) - 1
     chunks = sig.select(
         "doc_id",
@@ -740,17 +730,155 @@ def simhash64_pairs(
             F.col("b.doc_id").alias("doc_b"),
             F.col("a.simhash64").alias("sim_a"),
             F.col("b.simhash64").alias("sim_b"),
+            F.col("a.chunk_idx").alias("chunk_idx"),
         )
-        .distinct()
+    )
+    # First-match banding instead of DISTINCT: a pair whose signatures
+    # agree on k chunks comes out of the join k times (an IDENTICAL-
+    # signature pair 8 times — and identical signatures are exactly what
+    # template-heavy corpora mass-produce, measured 8x candidate volume
+    # on a 50k-doc shuffled-copy corpus).  Keeping a pair only from its
+    # LOWEST matching chunk (derivable from the XOR, no extra state)
+    # yields exactly one row per qualifying pair through a NARROW filter
+    # — the duplicate volume never reaches an exchange, where DISTINCT
+    # would shuffle it all.
+    # CASE chain of plain bit tests, NOT array_min(filter(...)): a
+    # higher-order expression here is CodegenFallback evaluated
+    # interpreted on EVERY joined row (measured 6x slower than the
+    # DISTINCT it replaces); the flat comparison chain stays inside
+    # whole-stage codegen.
+    zero_block = (
+        lambda c: f"(shiftrightunsigned(sim_a ^ sim_b, {c * SIMHASH64_CHUNK_BITS})"
+        f" & {mask}) = 0"
+    )
+    first_chunk = F.expr(
+        "CASE "
+        + " ".join(
+            f"WHEN {zero_block(c)} THEN {c}" for c in range(SIMHASH64_CHUNKS - 1)
+        )
+        + f" ELSE {SIMHASH64_CHUNKS - 1} END"
     )
     ham = F.expr("bit_count(sim_a ^ sim_b)")
-    pairs = (
-        cand.filter(ham <= max_hamming)
+    return (
+        cand.filter(F.col("chunk_idx") == first_chunk)
+        .filter(ham <= max_hamming)
         .select("doc_a", "doc_b", ham.cast("int").alias("hamming"))
-        .localCheckpoint(eager=True)
     )
+
+
+def simhash64_pairs(
+    spark: SparkSession, sf_dir: str, max_hamming: int = 3
+) -> DataFrame:
+    """Near-dup pairs by 64-bit SimHash Hamming distance ≤ ``max_hamming``.
+
+    Same plan shape as :func:`simhash_pairs` — signature pass computed
+    once and persisted, candidates from the (chunk_idx, chunk_val)
+    equi-join (8×8-bit chunks: pigeonhole-exact for ``max_hamming`` < 8),
+    verified by exact ``bit_count`` on the XOR, result materialized so
+    the cache never outlives the call.  The wider signature keeps the
+    chunk buckets selective on template-heavy corpora where the 28-bit
+    buckets go quadratic.
+
+    NOTE the output itself is quadratic when the corpus has large
+    identical-signature families (k docs sharing a signature ⇒ k·(k-1)/2
+    rows); when the downstream need is dedup GROUPS rather than explicit
+    pairs, :func:`simhash64_components` is the linear-output form.
+    """
+    _docs(spark, sf_dir)
+    sig = spark.sql(_simhash64_sql()).persist()
+    pairs = _simhash64_hamming_pairs(sig, max_hamming).localCheckpoint(eager=True)
     sig.unpersist()
     return pairs
+
+
+def simhash64_components(
+    spark: SparkSession,
+    sf_dir: str,
+    max_hamming: int = 3,
+    driver_edge_limit: int = 1 << 20,
+) -> DataFrame:
+    """Near-dup components by 64-bit SimHash, with OUTPUT LINEAR in docs
+    — the 100 TB form of :func:`simhash64_pairs`.
+
+    Template-heavy corpora mass-produce identical signatures, and any
+    pair listing is then inherently quadratic (measured: 9.3M pairs from
+    50k docs).  Instead: (1) group docs by exact signature — one shuffle,
+    linear; (2) mine Hamming-≤k edges between DISTINCT signatures only
+    (the chunk join runs on one representative per signature, collapsing
+    every identical family to a single node); (3) connected components
+    over that signature graph; (4) map every doc to its component
+    through its signature.  Returns (doc_id, component) for EVERY doc —
+    singleton docs are their own component.
+
+    Component strategy: the signature graph is the one structure this op
+    makes SMALL by construction, so up to ``driver_edge_limit`` edges it
+    is solved by driver-side union-find (microseconds; the distributed
+    min-label loop pays ~2 Spark jobs PER DIAMETER HOP, measured 112 s
+    on a 600-edge chain-heavy graph).  Above the bound — a corpus whose
+    distinct-signature graph alone exceeds ~1M edges — it falls back to
+    the same :func:`neardup_components` propagation every other group op
+    uses.  The collect is bounded by the parameter, never by corpus
+    size.
+    """
+    from pyspark.sql import functions as F
+
+    _docs(spark, sf_dir)
+    sig = spark.sql(_simhash64_sql()).persist()
+    try:
+        reps = (
+            sig.groupBy("simhash64")
+            .agg(F.min("doc_id").alias("doc_id"))
+            .persist()
+        )
+        try:
+            rep_pairs = _simhash64_hamming_pairs(reps, max_hamming)
+            edges = rep_pairs.select("doc_a", "doc_b").limit(driver_edge_limit + 1).collect()
+            if len(edges) > driver_edge_limit:
+                labels = neardup_components(rep_pairs)
+            else:
+                # union-find with min-root labels — same component ids
+                # (min doc_id of the component) as the distributed path
+                parent: dict[int, int] = {}
+
+                def find(x: int) -> int:
+                    while parent[x] != x:
+                        parent[x] = parent[parent[x]]
+                        x = parent[x]
+                    return x
+
+                for e in edges:
+                    a, b = e["doc_a"], e["doc_b"]
+                    parent.setdefault(a, a)
+                    parent.setdefault(b, b)
+                    ra, rb = find(a), find(b)
+                    if ra != rb:
+                        # keep the SMALLER id as root so root == min label
+                        lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                        parent[hi] = lo
+                labels = spark.createDataFrame(
+                    [(x, find(x)) for x in parent], "doc_id long, component long"
+                )
+            comp = (
+                reps.join(
+                    labels.withColumnRenamed("doc_id", "rep_id"),
+                    reps["doc_id"] == F.col("rep_id"),
+                    "left",
+                )
+                .select(
+                    "simhash64",
+                    F.coalesce("component", reps["doc_id"]).alias("component"),
+                )
+            )
+            out = (
+                sig.join(comp, "simhash64")
+                .select("doc_id", "component")
+                .localCheckpoint(eager=True)
+            )
+            return out
+        finally:
+            reps.unpersist()
+    finally:
+        sig.unpersist()
 
 
 # ---------------------------------------------------------------------------

@@ -402,3 +402,36 @@ def test_substring_arrow_route_equals_sql_route(spark):
             assert via_arrow == via_sql
     finally:
         spark.catalog.dropTempView("documents")
+
+
+def test_simhash64_components_match_bruteforce_cc(spark, sf_dir):
+    # The linear-output grouped form must induce EXACTLY the components
+    # of the quadratic pair listing: union-find over simhash64_pairs
+    # (plus singletons for unpaired docs) == simhash64_components.
+    from flink_infotheoretic_feature_selection_spark.operators.dedup import (
+        simhash64,
+        simhash64_components,
+        simhash64_pairs,
+    )
+
+    all_ids = [r["doc_id"] for r in simhash64(spark, sf_dir).collect()]
+    parent = {d: d for d in all_ids}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for r in simhash64_pairs(spark, sf_dir).collect():
+        ra, rb = find(r["doc_a"]), find(r["doc_b"])
+        if ra != rb:
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    expected = {d: find(d) for d in all_ids}
+
+    got = {
+        r["doc_id"]: r["component"]
+        for r in simhash64_components(spark, sf_dir).collect()
+    }
+    assert got == expected
