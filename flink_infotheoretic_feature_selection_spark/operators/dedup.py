@@ -540,22 +540,14 @@ def _simhash_pairs_sql(duck: bool, max_hamming: int = 3) -> str:
         raise ValueError(
             f"chunk banding is only exact for max_hamming < {SIMHASH_CHUNKS}"
         )
+    mask = (1 << SIMHASH_CHUNK_BITS) - 1
     if duck:
         chunk_src = f"SELECT unnest(range(0, {SIMHASH_CHUNKS})) AS c"
-        chunk_val = f"(simhash >> (c * {SIMHASH_CHUNK_BITS})) & {(1 << SIMHASH_CHUNK_BITS) - 1}"
+        chunk_val = f"(simhash >> (c * {SIMHASH_CHUNK_BITS})) & {mask}"
         ham = "bit_count(xor(CAST(sim_a AS BIGINT), CAST(sim_b AS BIGINT)))"
-    else:
-        chunk_src = f"SELECT explode(sequence(0, {SIMHASH_CHUNKS - 1})) AS c"
-        chunk_val = (
-            f"shiftright(simhash, c * {SIMHASH_CHUNK_BITS}) & {(1 << SIMHASH_CHUNK_BITS) - 1}"
-        )
-        ham = "bit_count(CAST(sim_a AS BIGINT) ^ CAST(sim_b AS BIGINT))"
-    return f"""
-    WITH sig AS ({_simhash_sql(duck).strip()}),
-    chunk_ids AS ({chunk_src}),
-    chunks AS (
-      SELECT doc_id, simhash, c AS chunk_idx, {chunk_val} AS chunk_val
-      FROM sig CROSS JOIN chunk_ids),
+        # Oracle keeps the straightforward DISTINCT dedup — simpler to
+        # audit, identical values.
+        dedup_cand = f"""
     cand AS (
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
              a.simhash AS sim_a, b.simhash AS sim_b
@@ -565,6 +557,44 @@ def _simhash_pairs_sql(duck: bool, max_hamming: int = 3) -> str:
     SELECT doc_a, doc_b, CAST({ham} AS INT) AS hamming
     FROM cand
     WHERE {ham} <= {max_hamming}
+    """
+        return f"""
+    WITH sig AS ({_simhash_sql(duck).strip()}),
+    chunk_ids AS ({chunk_src}),
+    chunks AS (
+      SELECT doc_id, simhash, c AS chunk_idx, {chunk_val} AS chunk_val
+      FROM sig CROSS JOIN chunk_ids),{dedup_cand}"""
+    chunk_src = f"SELECT explode(sequence(0, {SIMHASH_CHUNKS - 1})) AS c"
+    chunk_val = f"shiftright(simhash, c * {SIMHASH_CHUNK_BITS}) & {mask}"
+    ham = "bit_count(CAST(sim_a AS BIGINT) ^ CAST(sim_b AS BIGINT))"
+    # First-match banding instead of DISTINCT (see simhash64_pairs): a
+    # pair matching on k chunks leaves the join k times; keeping it only
+    # from its lowest matching chunk is a codegen-friendly CASE chain of
+    # bit tests, so the duplicate volume never reaches a dedup exchange.
+    xor = "CAST(sim_a AS BIGINT) ^ CAST(sim_b AS BIGINT)"
+    first_chunk = (
+        "CASE "
+        + " ".join(
+            f"WHEN (shiftright({xor}, {c * SIMHASH_CHUNK_BITS}) & {mask}) = 0 THEN {c}"
+            for c in range(SIMHASH_CHUNKS - 1)
+        )
+        + f" ELSE {SIMHASH_CHUNKS - 1} END"
+    )
+    return f"""
+    WITH sig AS ({_simhash_sql(duck).strip()}),
+    chunk_ids AS ({chunk_src}),
+    chunks AS (
+      SELECT doc_id, simhash, c AS chunk_idx, {chunk_val} AS chunk_val
+      FROM sig CROSS JOIN chunk_ids),
+    cand AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.simhash AS sim_a, b.simhash AS sim_b, a.chunk_idx AS chunk_idx
+      FROM chunks a JOIN chunks b
+        ON a.chunk_idx = b.chunk_idx AND a.chunk_val = b.chunk_val
+       AND a.doc_id < b.doc_id)
+    SELECT doc_a, doc_b, CAST({ham} AS INT) AS hamming
+    FROM cand
+    WHERE chunk_idx = {first_chunk} AND {ham} <= {max_hamming}
     """
 
 
