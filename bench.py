@@ -128,6 +128,10 @@ def main() -> None:
     t, _ = timed(lambda: dedup.simhash64_pairs(spark, SF_DIR).count())
     results["b8d_simhash64_pairs"] = round(t, 3)
 
+    # linear-output grouped form (signature graph + union-find)
+    t, _ = timed(lambda: dedup.simhash64_components(spark, SF_DIR).count())
+    results["b8f_simhash64_components"] = round(t, 3)
+
     t, _ = timed(lambda: dedup.decontaminate_query(spark, SF_DIR).count())
     results["b8c_decontaminate"] = round(t, 3)
 
