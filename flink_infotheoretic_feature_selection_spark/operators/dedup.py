@@ -470,10 +470,21 @@ def minhash_lsh_pairs(
     arr_b = docs_arr.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
     n_inter = F.size(F.array_intersect("sh_a", "sh_b"))
     jac = n_inter.cast("double") / (F.size("sh_a") + F.size("sh_b") - n_inter)
+    # Size-ratio prefilter before the O(|A|+|B|) intersect: J(A,B) ≤
+    # min(|A|,|B|)/max(|A|,|B|) always (the intersection can't exceed the
+    # smaller set, the union can't undercut the larger), so a pair whose
+    # set sizes are too lopsided can NEVER reach the threshold — dropped
+    # by two int comparisons, semantics untouched.  Conjunct order
+    # matters: Spark evaluates And left-to-right, so the cheap test must
+    # come first to short-circuit the array intersect.
+    size_ok = (
+        F.least(F.size("sh_a"), F.size("sh_b"))
+        >= threshold * F.greatest(F.size("sh_a"), F.size("sh_b"))
+    )
     pairs = (
         cand.join(arr_a, "doc_a")
         .join(arr_b, "doc_b")
-        .filter(jac >= threshold)
+        .filter(size_ok & (jac >= threshold))
         .select("doc_a", "doc_b", F.round(jac, 5).alias("jaccard"))
     )
     # Cache lifecycle: the verified pair set is a tiny fraction of the
