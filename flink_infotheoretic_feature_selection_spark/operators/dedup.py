@@ -40,6 +40,7 @@ __all__ = [
     "simhash",
     "simhash_pairs",
     "simhash64",
+    "with_simhash64",
     "simhash64_pairs",
     "simhash64_components",
     "neardup_components",
@@ -770,6 +771,41 @@ def simhash64(spark: SparkSession, sf_dir: str) -> DataFrame:
     """64-bit xxhash64-based SimHash per document (production variant)."""
     _docs(spark, sf_dir)
     return spark.sql(_simhash64_sql())
+
+
+def with_simhash64(docs: DataFrame, out_col: str = "simhash64") -> DataFrame:
+    """Append the 64-bit SimHash as a COLUMN — the expression form of
+    :func:`_simhash64_sql`'s CTE stages, so it composes with arbitrary
+    DataFrames including Structured Streaming ones (pure stateless
+    projections; a unit test pins bit-equality with the SQL route)."""
+    from pyspark.sql import functions as F
+
+    maj = "IF(2 * element_at(__cnts, i + 1) >= __n, 1, 0)"
+    out = (
+        docs.withColumn(
+            "__hs",
+            F.expr(r"transform(array_distinct(split(trim(lower(text)), '\\s+')), t -> xxhash64(t))"),
+        )
+        .withColumn("__n", F.expr("size(__hs)"))
+        .withColumn(
+            "__cnts",
+            F.expr(
+                f"aggregate(__hs, array_repeat(CAST(0 AS BIGINT), {SIMHASH64_BITS}), "
+                f"(acc, h) -> zip_with(acc, sequence(0, {SIMHASH64_BITS - 1}), "
+                f"(a, i) -> a + (shiftrightunsigned(h, CAST(i AS INT)) & 1)))"
+            ),
+        )
+        .withColumn(
+            out_col,
+            F.expr(
+                f"shiftleft(aggregate(sequence(63, 32, -1), CAST(0 AS BIGINT), "
+                f"(acc, i) -> acc * 2 + {maj}), 32) | "
+                f"aggregate(sequence(31, 0, -1), CAST(0 AS BIGINT), "
+                f"(acc, i) -> acc * 2 + {maj})"
+            ),
+        )
+    )
+    return out.drop("__hs", "__n", "__cnts")
 
 
 def _simhash64_hamming_pairs(sig: DataFrame, max_hamming: int) -> DataFrame:

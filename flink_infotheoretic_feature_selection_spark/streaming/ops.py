@@ -36,6 +36,7 @@ __all__ = [
     "read_events_stream",
     "windowed_event_agg",
     "streaming_dedup",
+    "streaming_neardup",
     "stream_text_stats",
     "stream_feature_histogram",
 ]
@@ -242,4 +243,30 @@ def stateful_user_stats(events: DataFrame) -> DataFrame:
         .applyInPandasWithState(
             update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
         )
+    )
+
+
+def streaming_neardup(
+    docs: DataFrame, watermark: str = "2 hours", ts_col: str = "ts"
+) -> DataFrame:
+    """Streaming NEAR-dup: drop documents whose 64-bit SimHash signature
+    was already seen within the watermark horizon.
+
+    Exact streaming dedup (md5/event_id keys) misses reorderings and
+    bag-of-words duplicates; keying ``dropDuplicatesWithinWatermark`` on
+    the SimHash signature catches them with the SAME bounded-state
+    guarantee — one seen-key entry per distinct signature, purged past
+    the watermark.  The signature itself is a stateless projection
+    (:func:`~..operators.dedup.with_simhash64`), so this composes with
+    any streaming source.  Hamming>0 tolerance needs cross-key lookups
+    that keyed streaming state cannot express — for that, run the batch
+    :func:`~..operators.dedup.simhash64_components` over closed
+    micro-batch outputs.
+    """
+    from flink_infotheoretic_feature_selection_spark.operators.dedup import with_simhash64
+
+    return (
+        with_simhash64(docs)
+        .withWatermark(ts_col, watermark)
+        .dropDuplicatesWithinWatermark(["simhash64"])
     )

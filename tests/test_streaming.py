@@ -326,3 +326,75 @@ def test_events_read_plan_unknown_scheme_falls_back(tmp_path):
     with pytest.warns(UserWarning, match="could not probe"):
         schema, ts_is_nanos = events_read_plan("definitely-not-a-scheme://bucket/x")
     assert ts_is_nanos is False
+
+
+def test_with_simhash64_column_equals_sql_route(spark):
+    # The column-expression signature build (streaming-composable) must
+    # be bit-identical to the SQL CTE route the batch ops use.
+    from flink_infotheoretic_feature_selection_spark.operators.dedup import (
+        _simhash64_sql,
+        with_simhash64,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    docs.createOrReplaceTempView("documents")
+    try:
+        via_sql = {
+            r["doc_id"]: r["simhash64"] for r in spark.sql(_simhash64_sql()).collect()
+        }
+        via_col = {
+            r["doc_id"]: r["simhash64"]
+            for r in with_simhash64(docs).select("doc_id", "simhash64").collect()
+        }
+        assert via_col == via_sql
+    finally:
+        spark.catalog.dropTempView("documents")
+
+
+def test_streaming_neardup_drops_bag_of_words_dups(spark, tmp_path):
+    # A shuffled-word copy of a doc has a different md5 (exact dedup
+    # keeps it) but the same bag-of-words SimHash — the streaming
+    # near-dup must emit only one doc per signature.
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from flink_infotheoretic_feature_selection_spark.streaming.ops import (
+        streaming_neardup,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog tonight again"
+    shuffled = "dog lazy the over jumps fox brown quick the again tonight"
+    unique = "an entirely different document about spark structured streaming state"
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "text": pa.array([base, shuffled, unique], pa.string()),
+            "ts": pa.array([1_700_000_000_000_000 + i for i in range(3)], pa.timestamp("us")),
+        }
+    )
+    land = tmp_path / "docs_landing"
+    land.mkdir()
+    pq.write_table(tbl, land / "part-0.parquet")
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string, ts timestamp")
+        .parquet(str(land))
+    )
+    out_dir = tmp_path / "sink"
+    q = (
+        streaming_neardup(stream, watermark="1 hour")
+        .select("doc_id", "simhash64")
+        .writeStream.format("memory")
+        .queryName("neardup_sink")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM neardup_sink").collect()
+    kept_ids = {r["doc_id"] for r in rows}
+    # docs 1 and 2 share a signature -> exactly one of them survives;
+    # doc 3 always survives.
+    assert 3 in kept_ids
+    assert len(kept_ids) == 2
+    assert len(kept_ids & {1, 2}) == 1
