@@ -212,13 +212,6 @@ def jaccard_pairs_oracle(
 # ---------------------------------------------------------------------------
 # Benchmark decontamination
 # ---------------------------------------------------------------------------
-# Java/RE2 \s — Python's \s additionally matches unicode spaces, which
-# would tokenize differently from Spark's split() and DuckDB's
-# string_split_regex; the explicit class keeps all three engines equal.
-_WS_RE = None  # compiled lazily inside the Arrow worker
-_JAVA_TRIM = "".join(chr(i) for i in range(0x21))  # String.trim strips <= U+0020
-
-
 def doc_shingle_arrays(docs: DataFrame, n: int = 3) -> DataFrame:
     """``(doc_id, shingles array<string>)``: the distinct word ``n``-gram
     set per doc as ONE array row, built by an Arrow-batched
@@ -228,12 +221,19 @@ def doc_shingle_arrays(docs: DataFrame, n: int = 3) -> DataFrame:
     higher-order functions evaluate interpreted per element, and this
     build was the single largest CPU stage of the LSH pipeline (8.2 s of
     a 29 s run on a 50k-doc corpus; the Python loop with interned join
-    is ~4×).  Tokenization mirrors the SQL twins exactly: lower → trim
-    (Java semantics: strip ≤ U+0020) → split on the Java/RE2 ``\\s``
-    class — NOT Python's unicode-wide ``\\s`` — and first-occurrence
-    dedup (``array_distinct`` order).  Both downstream gates
-    (``minhash_lsh_pairs``, ``decontaminate``) verify the values
-    bit-exact against DuckDB's ``string_split_regex`` build."""
+    is ~4×).  Tokenization mirrors the SQL twins EXACTLY (pinned by an
+    empirical cross-engine unit test on tab/newline-edged docs):
+    ``lower`` → SQL ``trim`` (strips the SPACE character only — NOT
+    Java ``String.trim``'s ≤ U+0020 set, and not Python ``strip()``'s
+    unicode set) → split on the Java/RE2 ``\\s`` class (not Python's
+    unicode-wide ``\\s``) KEEPING leading/trailing empty tokens (Spark
+    splits with limit -1, so ``'a b\\t'`` → ``['a','b','']``) →
+    first-occurrence dedup (``array_distinct`` order).  Both downstream
+    gates (``minhash_lsh_pairs``, ``decontaminate``) verify the values
+    bit-exact against DuckDB's ``string_split_regex`` build.  The
+    ``doc_id`` column passes through with its INPUT type (the old
+    expression chain was type-agnostic; so is this)."""
+    id_type = docs.schema["doc_id"].dataType.simpleString()
 
     def build(batches):
         import re
@@ -241,22 +241,15 @@ def doc_shingle_arrays(docs: DataFrame, n: int = 3) -> DataFrame:
         import pyarrow as pa
 
         ws = re.compile(r"[ \t\n\x0b\f\r]+")
-        schema = pa.schema(
-            [("doc_id", pa.int64()), ("shingles", pa.list_(pa.string()))]
-        )
         for batch in batches:
-            ids, arrs = [], []
-            for d, t in zip(
-                batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
-            ):
+            keep, arrs = [], []
+            for row_i, t in enumerate(batch.column("text").to_pylist()):
                 if t is None:
                     continue
-                ts = ws.split(t.lower().strip(_JAVA_TRIM))
-                if ts and ts[-1] == "":
-                    ts.pop()  # split('') edge: Java split drops it too
+                ts = ws.split(t.lower().strip(" "))
                 if len(ts) < n:
                     continue
-                ids.append(d)
+                keep.append(row_i)
                 arrs.append(
                     list(
                         dict.fromkeys(
@@ -265,12 +258,15 @@ def doc_shingle_arrays(docs: DataFrame, n: int = 3) -> DataFrame:
                     )
                 )
             yield pa.RecordBatch.from_arrays(
-                [pa.array(ids, pa.int64()), pa.array(arrs, pa.list_(pa.string()))],
-                schema=schema,
+                [
+                    batch.column("doc_id").take(pa.array(keep, pa.int64())),
+                    pa.array(arrs, pa.list_(pa.string())),
+                ],
+                names=["doc_id", "shingles"],
             )
 
     return docs.select("doc_id", "text").mapInArrow(
-        build, "doc_id long, shingles array<string>"
+        build, f"doc_id {id_type}, shingles array<string>"
     )
 
 
@@ -734,6 +730,12 @@ SIMHASH64_CHUNK_BITS = SIMHASH64_BITS // SIMHASH64_CHUNKS
 def _simhash64_sql() -> str:
     """Signature build as one Spark SQL statement.
 
+    TEST ORACLE ONLY: production paths (:func:`simhash64` and
+    everything built on it) derive signatures from
+    :func:`with_simhash64`, the single source of truth; this
+    independent SQL formulation exists so a unit test can pin the two
+    bit-equal and catch drift in either.
+
     Per-bit majority in a SINGLE ``aggregate`` pass over the token-hash
     array (the 28-bit build's 28 separate filter() scans would be 64
     here — same asymptotics, 64× the expression-tree size and codegen
@@ -769,8 +771,8 @@ def _simhash64_sql() -> str:
 
 def simhash64(spark: SparkSession, sf_dir: str) -> DataFrame:
     """64-bit xxhash64-based SimHash per document (production variant)."""
-    _docs(spark, sf_dir)
-    return spark.sql(_simhash64_sql())
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return with_simhash64(docs).select("doc_id", "simhash64")
 
 
 def with_simhash64(docs: DataFrame, out_col: str = "simhash64") -> DataFrame:
@@ -898,8 +900,7 @@ def simhash64_pairs(
     rows); when the downstream need is dedup GROUPS rather than explicit
     pairs, :func:`simhash64_components` is the linear-output form.
     """
-    _docs(spark, sf_dir)
-    sig = spark.sql(_simhash64_sql()).persist()
+    sig = simhash64(spark, sf_dir).persist()
     pairs = _simhash64_hamming_pairs(sig, max_hamming).localCheckpoint(eager=True)
     sig.unpersist()
     return pairs
@@ -936,8 +937,7 @@ def simhash64_components(
     """
     from pyspark.sql import functions as F
 
-    _docs(spark, sf_dir)
-    sig = spark.sql(_simhash64_sql()).persist()
+    sig = simhash64(spark, sf_dir).persist()
     try:
         reps = (
             sig.groupBy("simhash64")
@@ -945,10 +945,13 @@ def simhash64_components(
             .persist()
         )
         try:
-            rep_pairs = _simhash64_hamming_pairs(reps, max_hamming)
+            # Persisted so the bounded collect below and a possible
+            # distributed fallback share one chunk-join computation.
+            rep_pairs = _simhash64_hamming_pairs(reps, max_hamming).persist()
+            fallback_labels = None
             edges = rep_pairs.select("doc_a", "doc_b").limit(driver_edge_limit + 1).collect()
             if len(edges) > driver_edge_limit:
-                labels = neardup_components(rep_pairs)
+                labels = fallback_labels = neardup_components(rep_pairs)
             else:
                 # union-find with min-root labels — same component ids
                 # (min doc_id of the component) as the distributed path
@@ -988,8 +991,14 @@ def simhash64_components(
                 .select("doc_id", "component")
                 .localCheckpoint(eager=True)
             )
+            if fallback_labels is not None:
+                # neardup_components returns its labels persisted (its
+                # callers usually return them directly); here they are
+                # consumed into the checkpoint, so release the cache.
+                fallback_labels.unpersist()
             return out
         finally:
+            rep_pairs.unpersist()
             reps.unpersist()
     finally:
         sig.unpersist()
@@ -1164,17 +1173,18 @@ def _substring_cte(duck: bool, L: int, mod: int) -> str:
 
 # Final-select tails shared VERBATIM by the SQL twins (CTE-based) and the
 # Arrow engine path (temp-view-based) — one definition, zero drift.
-_PROFILE_TAIL = """
-    SELECT w.doc_id,
+def _profile_tail(w: str = "w", g: str = "g") -> str:
+    return f"""
+    SELECT {w}.doc_id,
            count(*) AS n_windows,
-           count(g.gram) AS n_dup_windows,
-           CAST(count(g.gram) AS DOUBLE) / count(*) AS dup_frac
-    FROM w LEFT JOIN g ON w.gram = g.gram
-    GROUP BY w.doc_id
+           count({g}.gram) AS n_dup_windows,
+           CAST(count({g}.gram) AS DOUBLE) / count(*) AS dup_frac
+    FROM {w} LEFT JOIN {g} ON {w}.gram = {g}.gram
+    GROUP BY {w}.doc_id
     """
 
 
-def _spans_body(L: int) -> str:
+def _spans_body(L: int, w: str = "w", g: str = "g") -> str:
     # Merged duplicated regions per doc via island detection: a window
     # starts a new span iff it begins past the running max end of all
     # earlier windows (+1 so adjacent windows fuse).  ROWS frames and the
@@ -1183,7 +1193,7 @@ def _spans_body(L: int) -> str:
     # into HUGEINT (decimal128) — the exact cross-engine hash trap the
     # r3 gate caught on corpus_rollup.
     return f"""
-    d AS (SELECT w.doc_id, w.pos FROM w JOIN g ON w.gram = g.gram),
+    d AS (SELECT {w}.doc_id, {w}.pos FROM {w} JOIN {g} ON {w}.gram = {g}.gram),
     b AS (
       SELECT doc_id, pos,
              CASE WHEN pos <= coalesce(max(pos + {L} - 1) OVER (
@@ -1207,7 +1217,7 @@ def _spans_body(L: int) -> str:
 def _substring_profile_sql(duck: bool, L: int, mod: int) -> str:
     # dup_frac: one IEEE division of two exact BIGINTs — bit-identical
     # across engines by construction (no round(), no decimal).
-    return f"WITH {_substring_cte(duck, L, mod)} {_PROFILE_TAIL}"
+    return f"WITH {_substring_cte(duck, L, mod)} {_profile_tail()}"
 
 
 def _substring_spans_sql(duck: bool, L: int, mod: int) -> str:
@@ -1246,12 +1256,26 @@ def _windows_arrow(spark: SparkSession, sf_dir: str, L: int, mod: int) -> DataFr
                     continue
                 n = len(t) - L + 1
                 codes = np.fromiter((ord(c) for c in t), dtype=np.int64, count=len(t))
-                anchors = (
-                    np.lib.stride_tricks.sliding_window_view(codes, A)[:n] @ pows
-                ) % ROLLING_MOD
-                for i in np.nonzero(anchors % mod == 0)[0]:
+                # Positions whose anchor fits fully vectorize as one dot;
+                # when L < ANCHOR the tail positions' anchors are
+                # truncated by the doc end (the SQL twin's substr caps at
+                # the string), so fold those few explicitly.
+                lim = min(n, len(t) - A + 1)
+                sel = []
+                if lim > 0:
+                    anchors = (
+                        np.lib.stride_tricks.sliding_window_view(codes, A)[:lim] @ pows
+                    ) % ROLLING_MOD
+                    sel = [int(i) for i in np.nonzero(anchors % mod == 0)[0]]
+                for p0 in range(max(lim, 0), n):
+                    h = 0
+                    for cc in codes[p0 : p0 + A]:
+                        h = (h * 31 + int(cc)) % ROLLING_MOD
+                    if h % mod == 0:
+                        sel.append(p0)
+                for i in sel:
                     od.append(d)
-                    op.append(int(i) + 1)
+                    op.append(i + 1)
                     og.append(t[i : i + L])
             yield pa.RecordBatch.from_arrays(
                 [
@@ -1278,19 +1302,22 @@ def _run_on_windows(
 
     w = _windows_arrow(spark, sf_dir, L, mod).persist()
     try:
-        w.createOrReplaceTempView("w")
+        # Prefixed names: these are session-global temp views, and bare
+        # "w"/"g" could clobber a user's own views (the SQL twins keep
+        # those names as CTE-local, which is safe).
+        w.createOrReplaceTempView("__substr_w")
         (
             w.groupBy("gram")
             .agg(F.countDistinct("doc_id").alias("nd"))
             .filter("nd >= 2")
             .select("gram")
-            .createOrReplaceTempView("g")
+            .createOrReplaceTempView("__substr_g")
         )
         return spark.sql(tail).localCheckpoint(eager=True)
     finally:
         w.unpersist()
-        spark.catalog.dropTempView("w")
-        spark.catalog.dropTempView("g")
+        spark.catalog.dropTempView("__substr_w")
+        spark.catalog.dropTempView("__substr_g")
 
 
 def substring_dup_profile(
@@ -1298,7 +1325,7 @@ def substring_dup_profile(
 ) -> DataFrame:
     """Per-doc census of verbatim cross-document substrings: how many
     sampled L-char windows of each doc occur verbatim in ≥ 1 other doc."""
-    return _run_on_windows(spark, sf_dir, L, mod, _PROFILE_TAIL)
+    return _run_on_windows(spark, sf_dir, L, mod, _profile_tail("__substr_w", "__substr_g"))
 
 
 def substring_dup_profile_oracle(L: int = SUBSTR_L, mod: int = SUBSTR_MOD) -> str:
@@ -1311,7 +1338,9 @@ def substring_dup_spans(
     """Merged character ranges of cross-document verbatim duplication —
     the actionable output of the exact-substring pass (cut these spans,
     keep the rest of the doc, per Lee et al. §4)."""
-    return _run_on_windows(spark, sf_dir, L, mod, f"WITH {_spans_body(L)}")
+    return _run_on_windows(
+        spark, sf_dir, L, mod, f"WITH {_spans_body(L, '__substr_w', '__substr_g')}"
+    )
 
 
 def substring_dup_spans_oracle(L: int = SUBSTR_L, mod: int = SUBSTR_MOD) -> str:
@@ -1346,7 +1375,7 @@ def _scrub_spans_sql(duck: bool, L: int, mod: int) -> str:
     """
 
 
-def _scrub_tail(kept: str) -> str:
+def _scrub_tail(kept: str, sp: str = "sp") -> str:
     # References ``sp`` (the spans) and ``documents``; shared by the SQL
     # twin (sp = CTE) and the engine path (sp = temp view of the
     # checkpointed spans DataFrame).
@@ -1356,7 +1385,7 @@ def _scrub_tail(kept: str) -> str:
              lag(s.span_end, 1, 0) OVER (PARTITION BY s.doc_id
                                          ORDER BY s.span_start) AS prev_end,
              s.span_start, s.span_end
-      FROM sp s JOIN documents d ON s.doc_id = d.doc_id),
+      FROM {sp} s JOIN documents d ON s.doc_id = d.doc_id),
     agg AS (
       SELECT doc_id, {kept} AS kept_head, max(span_end) AS last_end,
              CAST(sum(span_end - span_start + 1) AS BIGINT) AS n_cut
@@ -1387,11 +1416,11 @@ def scrub_dup_spans(
     rebuild as a temp view, so the window build runs ONCE — the pure-SQL
     twin would inline it twice more through the spans CTE."""
     _docs(spark, sf_dir)
-    substring_dup_spans(spark, sf_dir, L, mod).createOrReplaceTempView("sp")
+    substring_dup_spans(spark, sf_dir, L, mod).createOrReplaceTempView("__substr_sp")
     try:
-        return spark.sql(f"WITH {_scrub_tail(_SCRUB_KEPT_SPARK)}")
+        return spark.sql(f"WITH {_scrub_tail(_SCRUB_KEPT_SPARK, '__substr_sp')}")
     finally:
-        spark.catalog.dropTempView("sp")
+        spark.catalog.dropTempView("__substr_sp")
 
 
 def scrub_dup_spans_oracle(L: int = SUBSTR_L, mod: int = SUBSTR_MOD) -> str:

@@ -435,3 +435,89 @@ def test_simhash64_components_match_bruteforce_cc(spark, sf_dir):
         for r in simhash64_components(spark, sf_dir).collect()
     }
     assert got == expected
+
+
+def test_shingle_arrays_match_sql_semantics_on_edge_whitespace(spark):
+    # Review finding: SQL trim() strips ONLY the space character, and
+    # Spark's split keeps leading/trailing empty tokens — docs edged
+    # with tabs/newlines must tokenize identically in the Arrow build.
+    from pyspark.sql import functions as F
+
+    from flink_infotheoretic_feature_selection_spark.operators.dedup import (
+        doc_shingle_arrays,
+    )
+
+    rows = [
+        (1, "\tword1 word2 word3"),
+        (2, "a b\t"),
+        (3, "  plain doc here  "),
+        (4, "\nx y z\n"),
+        (5, None),
+        (6, ""),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    sql_route = (
+        docs.select("doc_id", F.expr(r"split(trim(lower(text)), '\\s+')").alias("ts"))
+        .where(F.size("ts") >= 3)
+        .select(
+            "doc_id",
+            F.expr(
+                "array_distinct(transform(sequence(1, size(ts) - 2),"
+                " i -> concat_ws(' ', slice(ts, i, 3))))"
+            ).alias("shingles"),
+        )
+    )
+    expected = {r["doc_id"]: r["shingles"] for r in sql_route.collect()}
+    got = {r["doc_id"]: r["shingles"] for r in doc_shingle_arrays(docs, 3).collect()}
+    assert got == expected
+    # the tab-edged docs must actually be present with the empty token
+    assert expected[1][0].startswith(" word1")
+
+
+def test_shingle_arrays_pass_through_string_doc_ids(spark):
+    from flink_infotheoretic_feature_selection_spark.operators.dedup import (
+        doc_shingle_arrays,
+    )
+
+    docs = spark.createDataFrame(
+        [("docA", "one two three four")], "doc_id string, text string"
+    )
+    out = doc_shingle_arrays(docs, 3).collect()
+    assert out[0]["doc_id"] == "docA"
+    assert out[0]["shingles"] == ["one two three", "two three four"]
+
+
+def test_substring_arrow_handles_L_shorter_than_anchor(spark):
+    # Review finding: for L < SUBSTR_ANCHOR the tail positions' anchors
+    # are truncated by the doc end; the Arrow route must match the SQL
+    # twin instead of crashing or silently dropping positions.
+    from flink_infotheoretic_feature_selection_spark.operators.dedup import (
+        _substring_profile_sql,
+        substring_dup_profile,
+    )
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import tempfile, os
+
+    rows = {
+        "doc_id": [1, 2, 3],
+        "text": ["abcdef", "abcdef", "zzzzz"],  # len 6 and 5, L=5 < A=8
+    }
+    with tempfile.TemporaryDirectory() as d:
+        pq.write_table(
+            pa.table({"doc_id": pa.array(rows["doc_id"], pa.int64()),
+                      "text": pa.array(rows["text"], pa.string())}),
+            os.path.join(d, "documents.parquet"),
+        )
+        via_arrow = sorted(
+            map(tuple, substring_dup_profile(spark, d, L=5, mod=2).collect())
+        )
+        spark.read.parquet(os.path.join(d, "documents.parquet")).createOrReplaceTempView("documents")
+        try:
+            via_sql = sorted(
+                map(tuple, spark.sql(_substring_profile_sql(duck=False, L=5, mod=2)).collect())
+            )
+        finally:
+            spark.catalog.dropTempView("documents")
+    assert via_arrow == via_sql
+    assert via_arrow  # the short docs must actually produce windows

@@ -274,24 +274,24 @@ def test_substring_profile_broadcasts_dup_grams(spark, sf_dir):
     from pyspark.sql import functions as F
 
     from flink_infotheoretic_feature_selection_spark.operators.dedup import (
-        _PROFILE_TAIL,
+        _profile_tail,
         _windows_arrow,
     )
 
     w = _windows_arrow(spark, sf_dir, L=30, mod=7)
-    w.createOrReplaceTempView("w")
+    w.createOrReplaceTempView("__substr_w")
     (
         w.groupBy("gram")
         .agg(F.countDistinct("doc_id").alias("nd"))
         .filter("nd >= 2")
         .select("gram")
-        .createOrReplaceTempView("g")
+        .createOrReplaceTempView("__substr_g")
     )
     try:
-        q = spark.sql(_PROFILE_TAIL)
+        q = spark.sql(_profile_tail("__substr_w", "__substr_g"))
         plan = formatted_plan(q)
         assert broadcast_join_count(q) >= 1, plan
         assert "CartesianProduct" not in plan and "NestedLoop" not in plan, plan
     finally:
-        spark.catalog.dropTempView("w")
-        spark.catalog.dropTempView("g")
+        spark.catalog.dropTempView("__substr_w")
+        spark.catalog.dropTempView("__substr_g")
