@@ -68,7 +68,15 @@ __all__ = [
 # MinHash parameters: h_i(x) = (A_i * x + B_i) mod P over the shingle's
 # rolling hash. Deterministic, engine-portable.
 MINHASH_P = 2_147_483_647  # 2^31 - 1 (Mersenne prime)
-MINHASH_PARAMS = [(2 * i + 1, 7919 * (i + 1)) for i in range(8)]
+
+
+def minhash_params(n_hashes: int) -> list[tuple[int, int]]:
+    """(a_i, b_i) for h_i(x) = (a_i·x + b_i) mod P — the same fixed
+    family at any count, so the default 8 stay oracle-pinned."""
+    return [(2 * i + 1, 7919 * (i + 1)) for i in range(n_hashes)]
+
+
+MINHASH_PARAMS = minhash_params(8)
 N_BANDS = 4  # 8 hashes / 4 bands = 2 rows per band
 # 28-bit SimHash: at 16 bits the signature space saturates on any real
 # corpus (measured: 60% of ALL doc pairs within Hamming 3 at 5k docs →
@@ -438,12 +446,26 @@ def _lsh_sql(duck: bool, threshold: float, n: int) -> str:
 
 
 def minhash_lsh_pairs(
-    spark: SparkSession, sf_dir: str, threshold: float = 0.2, n: int = 3
+    spark: SparkSession,
+    sf_dir: str,
+    threshold: float = 0.2,
+    n: int = 3,
+    n_hashes: int = 8,
+    n_bands: int = 4,
 ) -> DataFrame:
     """LSH-banded candidate pairs verified by exact Jaccard.
 
     Scale path: candidates come from the band-bucket equi-join, so the
     pair space is hash collisions, not n².
+
+    ``n_hashes``/``n_bands`` are the precision/recall dial for corpora
+    where the default 4×2 banding over-generates candidates (candidate
+    probability per band ≈ J^(rows_per_band)): more rows per band cuts
+    false candidates ~J² per extra row at the cost of recall on
+    borderline pairs; bands of 1 row maximize recall.  With the same
+    hash family, 1-row bands admit a SUPERSET of any wider banding's
+    candidates (a k-row band match implies k single-row matches) —
+    pinned by test.  Only the 8×4 default has a DuckDB oracle twin.
 
     DataFrame pipeline rather than one SQL statement on purpose: Spark
     inlines CTEs, so the SQL form recomputes the shingle build four
@@ -460,6 +482,10 @@ def minhash_lsh_pairs(
     """
     from pyspark.sql import functions as F
 
+    if n_hashes % n_bands != 0:
+        raise ValueError(f"n_bands={n_bands} must divide n_hashes={n_hashes}")
+    params = minhash_params(n_hashes)
+
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     docs_arr = doc_shingle_arrays(docs, n).persist()
 
@@ -472,17 +498,17 @@ def minhash_lsh_pairs(
             F.expr(f"array_min(transform(hs, h -> ({a} * h + {b}) % {MINHASH_P}))").alias(
                 f"mh{i}"
             )
-            for i, (a, b) in enumerate(MINHASH_PARAMS)
+            for i, (a, b) in enumerate(params)
         ],
     )
 
-    rows_per_band = len(MINHASH_PARAMS) // N_BANDS
+    rows_per_band = n_hashes // n_bands
     band_structs = ", ".join(
         "struct({band} AS band, concat_ws(',', {cols}) AS bkey)".format(
             band=band,
             cols=", ".join(f"mh{band * rows_per_band + r}" for r in range(rows_per_band)),
         )
-        for band in range(N_BANDS)
+        for band in range(n_bands)
     )
     bands = sig.select(
         "doc_id", F.explode(F.expr(f"array({band_structs})")).alias("bb")

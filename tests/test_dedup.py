@@ -521,3 +521,25 @@ def test_substring_arrow_handles_L_shorter_than_anchor(spark):
             spark.catalog.dropTempView("documents")
     assert via_arrow == via_sql
     assert via_arrow  # the short docs must actually produce windows
+
+
+def test_lsh_banding_knob_recall_ordering(spark, sf_dir):
+    # Same hash family: a k-row band match implies k single-row matches,
+    # so 1-row bands admit a superset of the default 2-row banding's
+    # candidates — and therefore of its VERIFIED pairs.
+    from flink_infotheoretic_feature_selection_spark.operators.dedup import (
+        minhash_lsh_pairs,
+    )
+    import pytest as _pytest
+
+    default = {
+        (r["doc_a"], r["doc_b"])
+        for r in minhash_lsh_pairs(spark, sf_dir).collect()
+    }
+    max_recall = {
+        (r["doc_a"], r["doc_b"])
+        for r in minhash_lsh_pairs(spark, sf_dir, n_hashes=8, n_bands=8).collect()
+    }
+    assert default <= max_recall
+    with _pytest.raises(ValueError, match="must divide"):
+        minhash_lsh_pairs(spark, sf_dir, n_hashes=8, n_bands=3)
