@@ -26,17 +26,21 @@ def parse_props(events: DataFrame) -> DataFrame:
     malformed/missing).
 
     The cast is guarded by the SAME integer-text regexp the DuckDB oracle
-    uses, so a payload like ``"3.7"``, ``" 5"`` or ``"+5"`` is NULL on
-    both engines by construction — engine-native string→int cast quirks
-    (Spark's lenient truncating cast, DuckDB's rounding TRY_CAST) can
-    never diverge.  Still a narrow codegen expression fused into the
-    scan: get_json_object + rlike + cast, no UDF.
+    uses (both trim first, so ``" 5"`` parses as 5 on both engines while
+    ``"3.7"`` or ``"+5"`` is NULL on both by construction) — engine-
+    native string→int cast quirks (Spark's lenient truncating cast,
+    DuckDB's rounding TRY_CAST) can never diverge.  The digit count is
+    bounded to 18 so the guarded text always fits the BIGINT both
+    engines cast to — an unbounded ``[0-9]+`` would let an overflowing
+    payload return NULL from Spark's non-ANSI cast while DuckDB's CAST
+    raises, aborting the oracle.  Still a narrow codegen expression
+    fused into the scan: get_json_object + rlike + cast, no UDF.
     """
     from pyspark.sql import functions as F
 
     raw = F.trim(F.get_json_object("props", "$.k"))
     return events.withColumn(
-        "k", F.when(raw.rlike("^-?[0-9]+$"), raw.cast("int"))
+        "k", F.when(raw.rlike("^-?[0-9]{1,18}$"), raw.cast("bigint"))
     )
 
 
@@ -70,8 +74,8 @@ SELECT event_type,
        max(k) AS max_k,
        count(CASE WHEN k IS NULL THEN 1 END) AS n_bad
 FROM (SELECT event_type,
-             CASE WHEN regexp_matches(trim(json_extract_string(props, '$.k')), '^-?[0-9]+$')
-                  THEN CAST(trim(json_extract_string(props, '$.k')) AS INT) END AS k
+             CASE WHEN regexp_matches(trim(json_extract_string(props, '$.k')), '^-?[0-9]{1,18}$')
+                  THEN CAST(trim(json_extract_string(props, '$.k')) AS BIGINT) END AS k
       FROM events)
 GROUP BY event_type
 """

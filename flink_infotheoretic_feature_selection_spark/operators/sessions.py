@@ -216,11 +216,18 @@ def sessionize_skew(
                 "session_start_us": [r[1] for r in rows],
                 "session_end_us": [r[2] for r in rows],
                 "n_events": [r[3] for r in rows],
-                "sum_value": [round(r[4], 4) for r in rows],
+                # RAW sums here; rounding happens Spark-side below so
+                # the half-up tie-breaking matches sessionize/the oracle
+                # exactly (Python round() is banker's half-EVEN: a sum
+                # landing on a representable 4-decimal tie like 0.03125
+                # would emit 0.0312 vs Spark/DuckDB's 0.0313).
+                "sum_value": [r[4] for r in rows],
             }
         )
 
-    return sub.groupBy("user_id").applyInPandas(stitch, out_schema)
+    return sub.groupBy("user_id").applyInPandas(stitch, out_schema).withColumn(
+        "sum_value", F.round("sum_value", 4)
+    )
 
 
 def sessionize_skew_query(spark: SparkSession, sf_dir: str) -> DataFrame:

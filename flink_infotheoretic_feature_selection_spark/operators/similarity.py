@@ -71,7 +71,18 @@ def _collect_queries(df: DataFrame, query_limit: int) -> tuple[np.ndarray, np.nd
         df.filter(df.vec_id < query_limit).select("vec_id", "embedding").toPandas()
     )
     ids = pdf["vec_id"].to_numpy()
+    if len(ids) == 0:
+        # np.stack crashes on an empty list; an empty query set is a
+        # legitimate input (small corpus, renumbered ids)
+        return ids, np.zeros((0, 0), dtype=np.float64)
     q = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+    # Zero-norm queries divide to NaN rows; their candidates are all
+    # dropped by the isfinite guard below, so such queries are absent
+    # from the result.  (Known cross-engine boundary: DuckDB's
+    # list_cosine_similarity returns -1.0 for a zero-norm operand, so an
+    # oracle would rank it last instead of dropping it — the synthetic
+    # corpus has no zero vectors, and production callers should filter
+    # them upstream.)
     q /= np.linalg.norm(q, axis=1, keepdims=True)
     return ids, q
 
@@ -98,6 +109,12 @@ def cosine_topk(
 
     df = _emb(spark, sf_dir)
     q_ids, q_mat = _collect_queries(df, query_limit)
+    if len(q_ids) == 0:
+        # no queries -> no pairs; short-circuit instead of shipping a
+        # 0-row matrix into the corpus scan (matmul rejects 0-dim)
+        return spark.createDataFrame(
+            [], "query_id long, neighbor_id long, cos double, rank integer"
+        )
     bc = spark.sparkContext.broadcast((q_ids, q_mat))
 
     def block_topk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -394,8 +411,12 @@ def ivf_topk_q8_oracle(k: int = 3, query_limit: int = 200) -> str:
 def embedding_neardup_pairs(
     spark: SparkSession, sf_dir: str, threshold: float = 0.35
 ) -> DataFrame:
-    """Pairs with cosine ≥ threshold (default tuned to the synthetic corpus), candidates restricted to the same
-    sign-grid bucket (scale path — no cross join)."""
+    """Pairs with cosine ≥ threshold (default tuned to the synthetic
+    corpus), candidates restricted to the same sign-grid bucket (scale
+    path — no cross join).  The threshold applies to the ROUNDED cosine
+    on both engines — the module invariant; thresholding raw values
+    would let sub-ulp summation-order noise flip membership of a pair
+    sitting exactly on the threshold."""
     _emb(spark, sf_dir)
     dot = _dot_expr_spark("a.emb", "b.emb")
     # per-row norms + a pairs CTE so the dot product is evaluated once
@@ -412,7 +433,7 @@ def embedding_neardup_pairs(
                  {dot} / (a.nrm * b.nrm) AS raw_cos
           FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
         SELECT vec_a, vec_b, round(raw_cos, 5) AS cos
-        FROM pairs WHERE raw_cos >= {threshold}
+        FROM pairs WHERE round(raw_cos, 5) >= {threshold}
         """
     )
 
@@ -457,5 +478,5 @@ def embedding_neardup_oracle(threshold: float = 0.35) -> str:
     SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
            round(list_cosine_similarity(a.emb, b.emb), 5) AS cos
     FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-    WHERE list_cosine_similarity(a.emb, b.emb) >= {threshold}
+    WHERE round(list_cosine_similarity(a.emb, b.emb), 5) >= {threshold}
     """

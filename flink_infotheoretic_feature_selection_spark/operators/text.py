@@ -397,7 +397,10 @@ def scrub_pii(docs: DataFrame) -> DataFrame:
     from pyspark.sql import functions as F
 
     counts = []
-    # NULL-safe basis: legacy size(NULL) is -1, which would surface as
+    # NULL-safe basis: under ANSI (this deployment's default) a NULL
+    # text propagates NULL through the regex chain; coalescing keeps the
+    # scrubbed text a string.  (Under legacy sizeOfNull, size(NULL) is
+    # -1, which would additionally surface as
     # hit count -1 on a NULL-text row; coalesce once instead.
     scrubbed = F.coalesce(F.col("text"), F.lit(""))
     for name, pat, repl in _PII_PATTERNS:
@@ -513,18 +516,21 @@ def _grams_expr(duck: bool, src: str, n: int) -> str:
     )
 
 
+def _dialect_tokens(duck: bool) -> tuple[str, str, str]:
+    """(tokens_expr, size_fn, distinct_fn) for the repetition fragments —
+    ONE definition so the two call sites cannot drift."""
+    if duck:
+        return (r"string_split_regex(trim(lower(text)), '\s+')", "len", "list_distinct")
+    return (r"split(trim(lower(text)), '\\s+')", "size", "array_distinct")
+
+
 def _repetition_sql(duck: bool, n: int = REPETITION_NGRAM) -> str:
     """Duplicate word n-gram fraction per doc — repeated boilerplate
     (lorem-style loops, scraped nav bars) shows up as a high fraction of
     non-distinct n-grams.  Pure per-row array expressions: no shuffle,
     no UDF, runs at scan speed on both engines."""
     grams = _grams_expr(duck, "ts", n)
-    if duck:
-        tokens = r"string_split_regex(trim(lower(text)), '\s+')"
-        size, distinct = "len", "list_distinct"
-    else:
-        tokens = r"split(trim(lower(text)), '\\s+')"
-        size, distinct = "size", "array_distinct"
+    tokens, size, distinct = _dialect_tokens(duck)
     return f"""
     WITH tok AS (SELECT doc_id, {tokens} AS ts FROM documents),
     g AS (SELECT doc_id, {grams} AS gs FROM tok WHERE {size}(ts) >= {n})
@@ -546,12 +552,7 @@ def dup_frac_expr(duck: bool, n: int = REPETITION_NGRAM) -> str:
     (0.0 for docs shorter than ``n`` tokens) — reusable in composed
     statements where the CTE form doesn't fit.  Built from the same
     :func:`_grams_expr` fragment as :func:`doc_repetition`."""
-    if duck:
-        tokens = r"string_split_regex(trim(lower(text)), '\s+')"
-        size, distinct = "len", "list_distinct"
-    else:
-        tokens = r"split(trim(lower(text)), '\\s+')"
-        size, distinct = "size", "array_distinct"
+    tokens, size, distinct = _dialect_tokens(duck)
     grams = _grams_expr(duck, tokens, n)
     return (
         f"CASE WHEN {size}({tokens}) >= {n} THEN "

@@ -93,3 +93,42 @@ def test_q8_topk_matches_exact_ivf_closely(spark, sf_dir):
     # quantized ranking agrees with the float ranking almost everywhere.
     overlap = len(exact & q8) / max(len(exact), 1)
     assert overlap >= 0.9, overlap
+
+
+def test_parse_props_overflow_payload_is_null_on_both_engines(spark):
+    # Review finding: an unbounded [0-9]+ guard let a >int32 payload
+    # return NULL from Spark's cast while DuckDB's CAST raised, aborting
+    # the oracle.  The digit bound + BIGINT cast keeps both engines in
+    # the same (value or NULL) lattice for any payload.
+    import duckdb
+
+    from flink_infotheoretic_feature_selection_spark.operators.events import parse_props
+
+    payloads = [
+        '{"k": "9999999999"}',      # > int32, fits bigint: value on both
+        '{"k": "' + "9" * 19 + '"}',  # 19 digits > the 18 bound: NULL on both
+        '{"k": " 5"}',              # trimmed then cast: 5 on both
+        '{"k": "+5"}',              # sign prefix: NULL on both
+    ]
+    df = spark.createDataFrame([(p,) for p in payloads], "props string")
+    got = [r["k"] for r in parse_props(df).select("k").collect()]
+    duck = duckdb.connect()
+    expected = [
+        duck.execute(
+            """SELECT CASE WHEN regexp_matches(trim(json_extract_string(?, '$.k')), '^-?[0-9]{1,18}$')
+                    THEN CAST(trim(json_extract_string(?, '$.k')) AS BIGINT) END""",
+            [p, p],
+        ).fetchone()[0]
+        for p in payloads
+    ]
+    assert got == expected == [9999999999, None, 5, None]
+
+
+def test_cosine_topk_empty_query_set_returns_empty(spark, sf_dir):
+    from flink_infotheoretic_feature_selection_spark.operators.similarity import (
+        cosine_topk,
+    )
+
+    out = cosine_topk(spark, sf_dir, k=3, query_limit=0)
+    assert out.count() == 0
+    assert out.columns == ["query_id", "neighbor_id", "cos", "rank"]
