@@ -80,9 +80,16 @@ def _finish_splits(cand: np.ndarray) -> list[float]:
 
 
 def check_all_splits(splits: dict[str, list[float]]) -> bool:
-    """len ≥ 3 and strictly increasing (``FreqDisc:257-272``)."""
+    """len ≥ 3, no NaN, strictly increasing (``FreqDisc:257-272``).
+
+    NaN must be rejected EXPLICITLY: every comparison against NaN is
+    False, so ``any(a >= b ...)`` alone fails OPEN on a NaN split (from
+    a null-bearing sample) and the invalid model only blows up later
+    inside the JVM Bucketizer with an opaque error."""
     for s in splits.values():
-        if len(s) < 3 or any(a >= b for a, b in zip(s, s[1:])):
+        if len(s) < 3 or any(math.isnan(v) for v in s):
+            return False
+        if any(a >= b for a, b in zip(s, s[1:])):
             return False
     return True
 
@@ -163,8 +170,15 @@ class EqualFrequencyDiscretizer:
             .sample(withReplacement=False, fraction=fraction, seed=self.seed)
             .toPandas()
         )
-        if len(sample) == 0:  # pathological tiny fraction — fall back to full scan
-            sample = df.select(self.input_cols).toPandas()
+        if len(sample) == 0:
+            # pathological: a Bernoulli sample with expected size >= 10000
+            # returned zero rows (P ~ e^-10000; reachable only on crafted
+            # tiny inputs where fraction < 1 rounds everything away).
+            # Keep the SAME double cast as the primary path so exotic
+            # column types (decimal, string numerics) behave identically.
+            sample = df.select(
+                [F.col(c).cast("double").alias(c) for c in self.input_cols]
+            ).toPandas()
         splits = {
             c: _finish_splits(
                 _find_split_candidates(sample[c].to_numpy(), self.num_buckets - 1)

@@ -52,7 +52,6 @@ def mi_and_cmi(counts: np.ndarray, n: int, emit_f32: bool = False) -> tuple[floa
     pz = c.sum(axis=(0, 1))               # (zd,)
     pxz = c.sum(axis=1)                   # (xd, zd)
     pyz = c.sum(axis=0)                   # (yd, zd)
-    pxy = c.sum(axis=2)                   # (xd, yd)
 
     mi = mutual_info(counts.sum(axis=2), n)
 

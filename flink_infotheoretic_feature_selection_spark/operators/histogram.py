@@ -73,6 +73,13 @@ def feature_dims_and_count(
         F.count(F.lit(1)).alias("__n"),
         *[(F.max(F.col(c).cast("int")) + F.lit(1)).alias(c) for c in cols],
     ).collect()[0]
+    missing = [c for c in cols if row[c] is None]
+    if missing:
+        # F.max returns NULL for an empty input or an all-NULL column;
+        # int(None) downstream would be an opaque TypeError.
+        raise ValueError(
+            f"cannot derive dims: input is empty or columns are all-NULL: {missing}"
+        )
     return {c: min(int(row[c]), cap) for c in cols}, int(row["__n"])
 
 
@@ -127,8 +134,11 @@ def hist2d_arrow(
             )
 
     # Prune to the columns this pass reads — the Arrow exchange ships
-    # only (features + y), which matters as `remaining` shrinks.
-    needed = matrix.select(*feats, y_col) if set(matrix.columns) - {*feats, y_col} else matrix
+    # only (features + y), which matters as `remaining` shrinks.  Dedupe:
+    # y_col may BE a feature, and a duplicate-name select makes pyarrow's
+    # get_field_index return -1 (silently reading the wrong column).
+    pass_cols = list(dict.fromkeys([*feats, y_col]))
+    needed = matrix.select(*pass_cols) if set(matrix.columns) - set(pass_cols) else matrix
     partial = needed.mapInArrow(count_batches, "feat int, x int, y int, cnt long")
     return partial.groupBy("feat", "x", "y").agg(F.sum("cnt").alias("cnt"))
 
@@ -184,8 +194,9 @@ def hist3d_arrow(
                 names=["feat", "x", "y", "z", "cnt"],
             )
 
-    cols = {*feats, y_col, z_col}
-    needed = matrix.select(*feats, y_col, z_col) if set(matrix.columns) - cols else matrix
+    # dedup for the same get_field_index(-1) trap as hist2d_arrow
+    pass_cols = list(dict.fromkeys([*feats, y_col, z_col]))
+    needed = matrix.select(*pass_cols) if set(matrix.columns) - set(pass_cols) else matrix
     partial = needed.mapInArrow(count_batches, "feat int, x int, y int, z int, cnt long")
     return partial.groupBy("feat", "x", "y", "z").agg(F.sum("cnt").alias("cnt"))
 

@@ -158,11 +158,16 @@ class InfoThSelector:
         """
         from pyspark.sql import functions as F
 
+        # isNull is a separate disjunct: every other predicate evaluates
+        # to NULL for a null cell and F.sum skips NULLs, so without it a
+        # null feature passes "validation" and crashes the fit later with
+        # an unrelated indexing error.
         bad = df.select(
             *[
                 F.sum(
                     (
-                        (F.col(c) < 0)
+                        F.col(c).isNull()
+                        | (F.col(c) < 0)
                         | (F.col(c) > 255)
                         | (F.col(c).cast("double") % 1 != 0)
                     ).cast("long")
@@ -173,7 +178,7 @@ class InfoThSelector:
         offenders = [c for c in feats if (bad[c] or 0) > 0]
         if offenders:
             raise ValueError(
-                "features must be integers in [0, 255] (the range the "
+                "features must be non-null integers in [0, 255] (the range the "
                 "histogram engine indexes by; cf. InfoSelector.scala:411-414 "
                 "whose −128..127 check contradicts its own [0,255] message); "
                 f"violating columns: {offenders}"
@@ -375,8 +380,19 @@ class SparseInfoThSelector:
                 r["feat"]: int(r["d"])
                 for r in nzy.groupBy("feat").agg((F.max("x") + 1).alias("d")).collect()
             }
+            # Same 256 cap as the dense path's feature_dims: without it a
+            # single corrupt cell (x = 1e6) would size every per-feature
+            # ndarray by it — hundreds of GB of driver allocations
+            # instead of one clear error.
+            over = {i: d for i, d in drow.items() if d > 256}
+            if over:
+                raise ValueError(
+                    f"sparse feature values exceed the byte range (dim>256): {over}"
+                )
             dims = {i: max(drow.get(i, 1), 1) for i in range(nf)}
             y_dim = max(y_hist) + 1
+            if min(y_hist) < 0:
+                raise ValueError("labels must be >= 0 in the sparse path")
             n_y = np.zeros(y_dim, dtype=np.int64)
             for y_, c_ in y_hist.items():
                 n_y[y_] = c_
@@ -384,6 +400,11 @@ class SparseInfoThSelector:
             def collect2d(hdf) -> dict[int, np.ndarray]:
                 out = {i: np.zeros((dims[i], y_dim), dtype=np.int64) for i in range(nf)}
                 pdf = hdf.toPandas()
+                # negative values must ERROR: numpy fancy indexing would
+                # silently wrap them to the end of the histogram (the
+                # dense collect_hist2d raises for the same input)
+                if len(pdf) and (pdf[["x", "y"]].to_numpy() < 0).any():
+                    raise ValueError("sparse histogram indices must be >= 0")
                 for f_, x_, y_, c_ in pdf[["feat", "x", "y", "cnt"]].itertuples(index=False):
                     out[f_][x_, y_] = c_
                 # credited zeros: count(x=0, y) = N_y − Σ_{x≠0} count(x, y)
@@ -420,12 +441,13 @@ class SparseInfoThSelector:
                     nz_best = nzy.filter(F.col("feat") == best).select(
                         "row_id", F.col("x").alias("z")
                     )
-                    # full (y, z) histogram — NO Spark job: n_yz[y, z] =
-                    # count(label=y, x_best=z), which is exactly the
-                    # init-time 2-D histogram transposed (credited zeros
-                    # included).  The round-3 build re-aggregated the
-                    # selected column here every iteration.
-                    n_yz = h2[best].T.copy()
+                    # full (z, y) totals — NO Spark job: count(x_best=z,
+                    # label=y) is exactly the init-time 2-D histogram
+                    # h2[best] (credited zeros included).  The round-3
+                    # build re-aggregated the selected column every
+                    # iteration; an interim version kept a transposed
+                    # copy only to transpose it back at the use site.
+                    n_zy = h2[best]
 
                     h3df = (
                         nzy.filter(F.col("feat").isin(remaining))
@@ -443,13 +465,15 @@ class SparseInfoThSelector:
                         for i in remaining
                     }
                     pdf = h3df.toPandas()
+                    if len(pdf) and (pdf[["x", "y", "z"]].to_numpy() < 0).any():
+                        raise ValueError("sparse histogram indices must be >= 0")
                     for f_, x_, y_, z_, c_ in pdf[
                         ["feat", "x", "y", "z", "cnt"]
                     ].itertuples(index=False):
                         out[f_][x_, z_, y_] = c_
                     # credited zeros: count(x=0, z, y) = N_yz − Σ_{x≠0}
                     for i in remaining:
-                        out[i][0] = n_yz.T - out[i][1:].sum(axis=0)
+                        out[i][0] = n_zy - out[i][1:].sum(axis=0)
                         mi, cmi = mi_and_cmi(out[i], n, emit_f32=self.emit_f32)
                         state[i].update(mi, cmi)
 

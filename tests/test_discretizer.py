@@ -110,3 +110,14 @@ def test_equal_width_degenerate_column(spark):
     model = EqualWidthDiscretizer(["x"], num_buckets=4).fit(df)
     assert model.splits["x"] == [float("-inf"), 7.0, float("inf")]
     assert {r["x_bucket"] for r in model.transform(df).collect()} == {1}
+
+
+def test_check_all_splits_rejects_nan():
+    # every comparison against NaN is False, so without the explicit
+    # isnan check a NaN split list passed "strictly increasing"
+    import math
+
+    from flink_infotheoretic_feature_selection_spark.discretizer import check_all_splits
+
+    assert not check_all_splits({"c": [-math.inf, math.nan, math.inf]})
+    assert check_all_splits({"c": [-math.inf, 0.0, math.inf]})

@@ -107,3 +107,28 @@ def test_hist3d_mi_cmi_branches_agree(spark, monkeypatch):
     assert driver_side == distributed
     assert set(driver_side) == set(feats)
     assert all(mi >= -1e-12 for mi, _ in driver_side.values())
+
+
+def test_arrow_hist_routes_handle_y_col_among_features(spark):
+    # duplicate-name select trap: pyarrow get_field_index returns -1 for
+    # a duplicated column name and column(-1) silently reads the LAST
+    # column — the arrow routes must dedupe like hist3d_mi_cmi does.
+    import pandas as pd
+
+    from flink_infotheoretic_feature_selection_spark.operators.histogram import (
+        hist2d,
+        hist2d_arrow,
+    )
+
+    df = spark.createDataFrame(
+        [(0, 1, 0), (1, 0, 1), (1, 1, 1), (0, 0, 0)], "f0 int, f1 int, label int"
+    )
+    dims = {"f0": 2, "f1": 2}
+    # y participates as a feature too: y_col == 'f1'
+    via_codegen = {
+        tuple(r) for r in hist2d(df, ["f0", "f1"], "f1", dims, 2).collect()
+    }
+    via_arrow = {
+        tuple(r) for r in hist2d_arrow(df, ["f0", "f1"], "f1", dims, 2).collect()
+    }
+    assert via_arrow == via_codegen

@@ -131,3 +131,50 @@ def test_n_to_select_too_large_raises(data):
     df, _, _ = data
     with pytest.raises(ValueError):
         InfoThSelector(n_to_select=99).fit(df)
+
+
+def test_validate_rejects_null_features(spark):
+    from flink_infotheoretic_feature_selection_spark.selector import InfoThSelector
+    import pytest
+
+    df = spark.createDataFrame(
+        [(1, 0, 0), (None, 1, 1), (2, 0, 1)], "f0 int, f1 int, label int"
+    )
+    with pytest.raises(ValueError, match="non-null integers"):
+        InfoThSelector(
+            n_to_select=1, feature_cols=["f0", "f1"], validate=True
+        ).fit(df)
+
+
+def test_sparse_fit_rejects_negative_values_and_oversized_dims(spark):
+    # numpy fancy indexing would silently WRAP a negative x to the end of
+    # the histogram; and an uncapped dim would size driver ndarrays by a
+    # single corrupt cell. Both must be loud errors like the dense path.
+    import pytest
+    from flink_infotheoretic_feature_selection_spark.selector import SparseInfoThSelector
+
+    labels = spark.createDataFrame(
+        [(r, r % 2) for r in range(6)], "row_id long, y int"
+    )
+    neg = spark.createDataFrame(
+        [(0, 0, -1), (1, 1, 2), (2, 0, 1)], "row_id long, feat int, x int"
+    )
+    with pytest.raises(ValueError, match=">= 0"):
+        SparseInfoThSelector(n_features=2, n_to_select=1).fit(neg, labels)
+
+    huge = spark.createDataFrame(
+        [(0, 0, 1_000_000), (1, 1, 2)], "row_id long, feat int, x int"
+    )
+    with pytest.raises(ValueError, match="dim>256"):
+        SparseInfoThSelector(n_features=2, n_to_select=1).fit(huge, labels)
+
+
+def test_empty_input_raises_clear_error(spark):
+    import pytest
+    from flink_infotheoretic_feature_selection_spark.operators.histogram import (
+        feature_dims_and_count,
+    )
+
+    empty = spark.createDataFrame([], "f0 int, label int")
+    with pytest.raises(ValueError, match="empty or columns are all-NULL"):
+        feature_dims_and_count(empty, ["f0"])
