@@ -50,7 +50,9 @@ def main(argv: list[str] | None = None) -> int:
     elif args.type == "keel":
         from flink_infotheoretic_feature_selection_spark.sources.keel import read_keel
 
-        df = read_keel(spark, args.input, header_path=args.header)
+        # wire --label through, else the selector is built with a label
+        # column name the keel frame doesn't have
+        df = read_keel(spark, args.input, header_path=args.header, label_as=args.label)
     else:
         df = spark.read.parquet(args.input)
 

@@ -56,10 +56,17 @@ def salted_join(
 ) -> DataFrame:
     """Equi-join where ``skewed[on]`` has pathological hot keys.
 
-    The skewed side gets ``salt = xxhash64(row) % n_salts`` (deterministic
-    per row content); ``other`` is exploded ``n_salts``× so every
-    (key, salt) bucket finds its match.  The hot key's rows now spread
-    over ``n_salts`` tasks.
+    The skewed side gets ``salt = monotonically_increasing_id() %
+    n_salts``; ``other`` is exploded ``n_salts``× so every (key, salt)
+    bucket finds its match.  The hot key's rows now spread over
+    ``n_salts`` tasks.  The salt must be content-INDEPENDENT: a content
+    hash (the previous implementation) assigns fully-duplicate hot-key
+    rows — the common case after projecting to the join key plus a few
+    low-cardinality columns — one identical salt, reproducing the
+    exact straggler salting exists to break.  The id is partition-and-
+    position derived, so the spread is deterministic for a fixed input
+    partitioning (like every Spark op that depends on physical row
+    placement), not content-derived.
 
     Only join types that preserve the ``other`` side's row multiplicity
     are allowed (inner/left/left_semi/left_anti): under right/full joins
@@ -71,7 +78,7 @@ def salted_join(
             f"salted_join supports inner/left/left_semi/left_anti, not {how!r}: "
             "replicating the non-skewed side breaks right/full multiplicity"
         )
-    salt = F.pmod(F.xxhash64(*skewed.columns), F.lit(n_salts)).alias("__salt")
+    salt = F.pmod(F.monotonically_increasing_id(), F.lit(n_salts)).alias("__salt")
     left = skewed.select("*", salt)
     right = other.select(
         "*", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1))).alias("__salt")

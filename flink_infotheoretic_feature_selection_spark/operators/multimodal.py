@@ -191,7 +191,12 @@ def extract_features(media: DataFrame, dim: int = 16) -> DataFrame:
                 if len(b) == 0:
                     feats.append([0.0] * dim)
                     continue
-                hist = np.bincount(b // (256 // dim), minlength=dim)[:dim]
+                # clip: when dim doesn't divide 256 the remainder bytes
+                # (e.g. 250..255 at dim=10) land past the last bucket —
+                # truncating them loses counts and the histogram stops
+                # summing to 1; fold them into the top bucket instead
+                idx = np.minimum(b // (256 // dim), dim - 1)
+                hist = np.bincount(idx, minlength=dim)
                 feats.append((hist / len(b)).astype(np.float32).tolist())
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "features": feats})
 
@@ -301,7 +306,13 @@ def extract_features_long(media: DataFrame, dim: int = 16) -> DataFrame:
             out: dict[str, list] = {"doc_id": [], "bin": [], "cnt": [], "n_bytes": []}
             for doc_id, buf in zip(pdf["doc_id"], pdf["media"]):
                 b = np.frombuffer(bytes(buf), dtype=np.uint8)
-                hist = np.bincount(b // (256 // dim), minlength=dim)[:dim]
+                # clip like extract_features: remainder bytes fold into
+                # the top bucket when dim doesn't divide 256 (no-op for
+                # the gate's dim=16); truncation would lose their counts
+                hist = np.bincount(
+                    np.minimum(b // (256 // dim), dim - 1) if len(b) else b,
+                    minlength=dim,
+                )[:dim]
                 out["doc_id"].extend([doc_id] * dim)
                 out["bin"].extend(range(dim))
                 out["cnt"].extend(int(c) for c in hist)

@@ -90,9 +90,15 @@ def parse_keel_header(lines: list[str]) -> KeelHeader:
                             lo = hi = None
                 attributes.append(KeelAttribute(m.group("name"), kind, lo=lo, hi=hi))
         elif low.startswith("@inputs"):
-            inputs = [c.strip() for c in line.split(None, 1)[1].split(",")]
+            parts = line.split(None, 1)
+            if len(parts) < 2 or not parts[1].strip():
+                raise ValueError(f"@inputs directive with no names: {line!r}")
+            inputs = [c.strip() for c in parts[1].split(",")]
         elif low.startswith("@outputs"):
-            outputs = [c.strip() for c in line.split(None, 1)[1].split(",")]
+            parts = line.split(None, 1)
+            if len(parts) < 2 or not parts[1].strip():
+                raise ValueError(f"@outputs directive with no names: {line!r}")
+            outputs = [c.strip() for c in parts[1].split(",")]
         elif low.startswith("@data"):
             break
     if not attributes:
@@ -148,14 +154,23 @@ def read_keel(
     #   listed default to 0 (numerics) / the first declared value
     #   (nominals), Weka sparse semantics.  Mixed files work.
     trimmed = F.trim("value")
-    sparse_entries = F.map_from_entries(
-        F.expr(
-            "transform("
-            "  filter(split(regexp_replace(trim(value), '^\\\\{|\\\\}$', ''), ','),"
-            "         t -> trim(t) != ''),"
-            "  t -> struct(TRY_CAST(element_at(split(trim(t), '\\\\s+'), 1) AS INT) AS k,"
-            "              element_at(split(trim(t), '\\\\s+'), 2) AS v))"
-        )
+    _entries_sql = (
+        "transform("
+        "  filter(split(regexp_replace(trim(value), '^\\\\{|\\\\}$', ''), ','),"
+        "         t -> trim(t) != ''),"
+        "  t -> struct(TRY_CAST(element_at(split(trim(t), '\\\\s+'), 1) AS INT) AS k,"
+        "              element_at(split(trim(t), '\\\\s+'), 2) AS v))"
+    )
+    # Malformed sparse rows fail here with a READABLE error carrying the
+    # offending row text, instead of the engine's own deep-in-the-scan
+    # failures (a non-numeric index TRY_CASTs to a NULL map key -> "Cannot
+    # use null as map key"; a duplicate index hits mapKeyDedupPolicy).
+    sparse_entries = F.expr(
+        f"CASE WHEN exists({_entries_sql}, e -> e.k IS NULL) THEN "
+        f"raise_error(concat('malformed sparse KEEL entry (non-numeric index): ', trim(value))) "
+        f"WHEN size(array_distinct(transform({_entries_sql}, e -> e.k))) != size({_entries_sql}) THEN "
+        f"raise_error(concat('duplicate sparse index in KEEL row: ', trim(value))) "
+        f"ELSE map_from_entries({_entries_sql}) END"
     )
     raw = (
         spark.read.text(path)
@@ -237,10 +252,18 @@ def read_keel(
                         span
                     )
 
+    unknown = [n for n in feature_names if n not in exprs]
+    if unknown:
+        # silently dropping them would hand the selector a narrower
+        # feature frame with no diagnostic (e.g. an @inputs case typo)
+        raise ValueError(
+            f"@inputs names not declared as @attribute: {unknown}; "
+            f"declared: {sorted(exprs)}"
+        )
     cols = [
         exprs[name].alias(name)
         for name in feature_names
-        if name != header.label and name in exprs
+        if name != header.label
     ]
     cols.append(exprs[header.label].alias(label_as))
     return raw.select(*cols)

@@ -67,7 +67,12 @@ def vectors_to_wide(
 ) -> DataFrame:
     """Wide tinyint matrix f0..fN, label from (label, features) rows."""
     if num_features is None:
-        num_features = len(df.select(features_col).head()[0])
+        head = df.select(features_col).head()
+        if head is None:
+            raise ValueError(
+                "empty input: cannot infer num_features — pass it explicitly"
+            )
+        num_features = len(head[0])
     arr = vector_to_array(F.col(features_col))
     label = (
         _label_index(df, label_col) if normalize_label else F.col(label_col)
@@ -87,15 +92,25 @@ def vectors_to_long(
     features_col: str = "features",
     label_col: str = "label",
     normalize_label: bool = True,
-) -> tuple[DataFrame, DataFrame, int]:
-    """Sparse long format: (nonzeros(row_id, feat, x), labels(row_id, y), nf).
+) -> tuple[DataFrame, DataFrame, int, DataFrame]:
+    """Sparse long format: ``(nonzeros(row_id, feat, x), labels(row_id, y),
+    nf, base)``.
 
-    Nonzero extraction happens after a JVM-side densify+posexplode — at
-    scale the explode is a narrow op and the zero filter drops the bulk
-    before any shuffle.
+    ``base`` is the PERSISTED row-id'd frame both outputs derive from —
+    returned so the caller can ``base.unpersist()`` after the fit (the
+    same contract as :func:`operators.sparse.matrix_to_sparse_long`);
+    without it the cache could never be released for the session's
+    lifetime.  Nonzero extraction happens after a JVM-side
+    densify+posexplode — at scale the explode is a narrow op and the
+    zero filter drops the bulk before any shuffle.
     """
     if num_features is None:
-        num_features = len(df.select(features_col).head()[0])
+        head = df.select(features_col).head()
+        if head is None:
+            raise ValueError(
+                "empty input: cannot infer num_features — pass it explicitly"
+            )
+        num_features = len(head[0])
     label = (
         _label_index(df, label_col) if normalize_label else F.col(label_col)
     ).cast("int").alias("y")
@@ -110,7 +125,7 @@ def vectors_to_long(
         .select("row_id", "feat", F.col("x").cast("int").alias("x"))
     )
     labels = base.select("row_id", "y")
-    return nonzeros, labels, num_features
+    return nonzeros, labels, num_features, base
 
 
 def slice_vectors(

@@ -37,6 +37,8 @@ __all__ = [
     "windowed_event_agg",
     "streaming_dedup",
     "streaming_neardup",
+    "sessionize_stream",
+    "stateful_user_stats",
     "stream_text_stats",
     "stream_feature_histogram",
 ]
@@ -158,7 +160,11 @@ def stream_feature_histogram(
         .select(
             F.window("ts", "6 hours").alias("w"),
             F.col("event_type").alias("x"),
-            F.least(F.lit(9), (F.col("value") / 10).cast("int")).alias("y"),
+            # clamp BOTH ends: a negative value would produce a negative
+            # bucket id, which histogram consumers reject (or worse, wrap)
+            F.greatest(
+                F.lit(0), F.least(F.lit(9), (F.col("value") / 10).cast("int"))
+            ).alias("y"),
         )
         .groupBy("w", "x", "y")
         .agg(F.count("*").alias("cnt"))

@@ -77,3 +77,24 @@ def test_salted_join_rejects_right_and_full(spark):
     # left_anti stays legal and correct: unmatched left rows survive once
     rows = salted_join(left, right.filter("k = 3"), "k", how="left_anti").collect()
     assert [(r.k, r.v) for r in rows] == [(1, "a")]
+
+
+def test_salted_join_spreads_identical_hot_rows(spark):
+    # A content hash gives fully-duplicate rows ONE salt (the straggler
+    # survives); the content-independent salt must spread them.
+    from flink_infotheoretic_feature_selection_spark.operators.joins import salted_join
+    from pyspark.sql import functions as F
+
+    hot = spark.createDataFrame([("k", 1)] * 400, "key string, payload int")
+    dim = spark.createDataFrame([("k", "v")], "key string, val string")
+    out = salted_join(hot.repartition(8), dim, on="key", n_salts=8)
+    assert out.count() == 400
+    # inspect the salt distribution the same way the join builds it
+    salts = (
+        hot.repartition(8)
+        .select(F.pmod(F.monotonically_increasing_id(), F.lit(8)).alias("s"))
+        .groupBy("s")
+        .count()
+        .collect()
+    )
+    assert len(salts) > 1, "identical rows all landed on one salt"

@@ -51,11 +51,12 @@ def test_vectors_to_wide(libsvm_df):
 
 def test_wide_and_long_selection_agree(libsvm_df):
     wide = vectors_to_wide(libsvm_df)
-    nonzeros, labels, nf = vectors_to_long(libsvm_df)
+    nonzeros, labels, nf, base = vectors_to_long(libsvm_df)
     dm = InfoThSelector(n_to_select=2, criterion="mrmr", emit_f32=False).fit(wide)
     sm = SparseInfoThSelector(
         n_features=nf, n_to_select=2, criterion="mrmr", emit_f32=False
     ).fit(nonzeros, labels)
+    base.unpersist()
     assert [c for c, _ in sm.selection_path] == [c for c, _ in dm.selection_path]
 
 

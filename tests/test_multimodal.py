@@ -130,3 +130,19 @@ def test_resize_media_rejects_indivisible(docs):
     decoded = fake_decode(attach_media(docs), height=8, width=8)
     with _pytest.raises(Exception, match="not divisible"):
         resize_media(decoded, out_h=3, out_w=4).collect()
+
+
+def test_extract_features_non_divisor_dim_conserves_mass(spark):
+    # dim=10 doesn't divide 256: bytes 250..255 must fold into the top
+    # bucket, not silently vanish (histogram must still sum to 1).
+    from flink_infotheoretic_feature_selection_spark.operators.multimodal import (
+        extract_features,
+    )
+
+    media = spark.createDataFrame(
+        [(1, bytearray([255, 254, 250, 0, 10]))], "doc_id long, media binary"
+    )
+    feats = extract_features(media, dim=10).collect()[0]["features"]
+    assert len(feats) == 10
+    assert abs(sum(feats) - 1.0) < 1e-6
+    assert feats[9] > 0  # the >=250 bytes landed in the top bucket

@@ -300,3 +300,42 @@ def test_read_keel_missing_values_normalize_uses_present_bounds(spark, tmp_path)
     vals = sorted((r["a1"] for r in rows if r["a1"] is not None))
     assert vals == [0.0, 1.0]  # (1-1)/2, (3-1)/2
     assert any(r["a1"] is None for r in rows)
+
+
+def test_keel_malformed_sparse_rows_raise_readable_errors(spark, tmp_path):
+    from flink_infotheoretic_feature_selection_spark.sources.keel import read_keel
+
+    header = (
+        "@relation t\n@attribute a0 integer [0, 9]\n@attribute a1 integer [0, 9]\n"
+        "@attribute klass {0, 1}\n@data\n"
+    )
+    bad_index = tmp_path / "bad_index.dat"
+    bad_index.write_text(header + "{x 1, 2 0}\n")
+    with pytest.raises(Exception, match="malformed sparse KEEL entry"):
+        read_keel(spark, str(bad_index)).collect()
+
+    dup_index = tmp_path / "dup_index.dat"
+    dup_index.write_text(header + "{0 1, 0 2, 2 0}\n")
+    with pytest.raises(Exception, match="duplicate sparse index"):
+        read_keel(spark, str(dup_index)).collect()
+
+
+def test_keel_unknown_inputs_name_raises(spark, tmp_path):
+    from flink_infotheoretic_feature_selection_spark.sources.keel import read_keel
+
+    f = tmp_path / "typo.dat"
+    f.write_text(
+        "@relation t\n@attribute Att1 integer [0, 9]\n@attribute klass {0, 1}\n"
+        "@inputs att1\n@outputs klass\n@data\n1, 0\n"
+    )
+    with pytest.raises(ValueError, match="not declared as @attribute"):
+        read_keel(spark, str(f))
+
+
+def test_keel_bare_inputs_directive_raises():
+    from flink_infotheoretic_feature_selection_spark.sources.keel import parse_keel_header
+
+    with pytest.raises(ValueError, match="@inputs directive with no names"):
+        parse_keel_header(
+            ["@relation t", "@attribute a integer", "@inputs", "@data"]
+        )
