@@ -153,26 +153,17 @@ def _q_sparse_hist2d(spark: SparkSession, sf_dir: str) -> DataFrame:
     # M6 — sparse long-format histograms with implicit-zero crediting
     # (operators/sparse.py).  Derived from the dense matrix by dropping
     # zeros; must reproduce the full dense counts.
-    from flink_infotheoretic_feature_selection_spark.operators.sparse import sparse_hist2d
+    from flink_infotheoretic_feature_selection_spark.operators.sparse import (
+        matrix_to_sparse_long,
+        sparse_hist2d,
+    )
 
     feats = FEATURE_NAMES[:_SPARSE_NF]
-    base = (
-        features_dense(spark, sf_dir)
-        .select(
-            F.monotonically_increasing_id().alias("row_id"),
-            *[F.col(c).cast("int").alias(c) for c in feats],
-            F.col("label").cast("int").alias("y"),
-        )
-        .persist()
+    # the canonical long-format derivation (persist-before-branch row-id
+    # discipline lives in ONE place; this used to be a 17-line copy)
+    base, nonzeros, labels = matrix_to_sparse_long(
+        features_dense(spark, sf_dir), feats
     )
-    nonzeros = (
-        base.select(
-            "row_id",
-            F.posexplode(F.array(*feats)).alias("feat", "x"),
-        )
-        .filter(F.col("x") != 0)
-    )
-    labels = base.select("row_id", "y")
     out = sparse_hist2d(nonzeros, labels, _SPARSE_NF)
     # Materialize (dims-bounded: ≤ nf×256×|y| cells) BEFORE releasing the
     # cache — monotonically_increasing_id is only consistent between the
@@ -188,26 +179,15 @@ def _q_sparse_hist2d(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_sparse_hist3d(spark: SparkSession, sf_dir: str) -> DataFrame:
     # A7 — sparse 3-D histograms with implicit-zero crediting, conditioned
     # on f3 as the z column; must reproduce the dense (x, y, z) counts.
-    from flink_infotheoretic_feature_selection_spark.operators.sparse import sparse_hist3d
+    from flink_infotheoretic_feature_selection_spark.operators.sparse import (
+        matrix_to_sparse_long,
+        sparse_hist3d,
+    )
 
     feats = FEATURE_NAMES[:_SPARSE_NF]
-    base = (
-        features_dense(spark, sf_dir)
-        .select(
-            F.monotonically_increasing_id().alias("row_id"),
-            *[F.col(c).cast("int").alias(c) for c in feats],
-            F.col("label").cast("int").alias("y"),
-        )
-        .persist()
+    base, nonzeros, labels = matrix_to_sparse_long(
+        features_dense(spark, sf_dir), feats
     )
-    nonzeros = (
-        base.select(
-            "row_id",
-            F.posexplode(F.array(*feats)).alias("feat", "x"),
-        )
-        .filter(F.col("x") != 0)
-    )
-    labels = base.select("row_id", "y")
     zcol = base.select("row_id", F.col(feats[3]).alias("z"))
     out = sparse_hist3d(nonzeros, labels, zcol, _SPARSE_NF)
     # same materialize-then-unpersist discipline as _q_sparse_hist2d
@@ -485,11 +465,14 @@ def _q_stream_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .trigger(availableNow=True)
                 .start()
             )
-            # returns False on timeout — fail loudly, never hand the gate
-            # a partially-filled memory table
-            assert q.awaitTermination(_STREAM_BUDGET_MS // 1000), (
-                "stream_window_agg did not finish in budget"
-            )
+            # returns False on timeout: STOP the wedged stream before
+            # raising (the finally below deletes its source dir, and a
+            # still-running query would also block any retry with
+            # 'query ... is already active'); a real raise, not assert,
+            # so python -O cannot compile the check away
+            if not q.awaitTermination(_STREAM_BUDGET_MS // 1000):
+                q.stop()
+                raise RuntimeError("stream_window_agg did not finish in budget")
         return spark.table("q_stream_window_agg")
     finally:
         shutil.rmtree(d, ignore_errors=True)
@@ -522,9 +505,14 @@ def _q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .trigger(availableNow=True)
                 .start()
             )
-            assert q.awaitTermination(_STREAM_BUDGET_MS // 1000), (
-                "stream_dedup did not finish in budget"
-            )
+            # returns False on timeout: STOP the wedged stream before
+            # raising (the finally below deletes its source dir, and a
+            # still-running query would also block any retry with
+            # 'query ... is already active'); a real raise, not assert,
+            # so python -O cannot compile the check away
+            if not q.awaitTermination(_STREAM_BUDGET_MS // 1000):
+                q.stop()
+                raise RuntimeError("stream_dedup did not finish in budget")
         return spark.table("q_stream_dedup")
     finally:
         shutil.rmtree(d, ignore_errors=True)
@@ -559,9 +547,14 @@ def _q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .trigger(availableNow=True)
                 .start()
             )
-            assert q.awaitTermination(_STREAM_BUDGET_MS // 1000), (
-                "stream_sessionize did not finish in budget"
-            )
+            # returns False on timeout: STOP the wedged stream before
+            # raising (the finally below deletes its source dir, and a
+            # still-running query would also block any retry with
+            # 'query ... is already active'); a real raise, not assert,
+            # so python -O cannot compile the check away
+            if not q.awaitTermination(_STREAM_BUDGET_MS // 1000):
+                q.stop()
+                raise RuntimeError("stream_sessionize did not finish in budget")
     finally:
         shutil.rmtree(d, ignore_errors=True)
     gap_us = duration_us(SESSIONIZE_GAP)

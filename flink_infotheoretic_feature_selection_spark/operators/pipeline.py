@@ -33,6 +33,7 @@ from flink_infotheoretic_feature_selection_spark.operators.text import (
     REPETITION_MAX_DUP_FRAC,
     _lang_case,
     _stats_select,
+    pack_tail_sql,
     dup_frac_expr,
     rolling_hash_expr_duckdb,
     rolling_hash_expr_spark,
@@ -77,17 +78,7 @@ def _pipeline_sql(duck: bool) -> str:
       FROM clean
       WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
     ),
-    cum AS (
-      SELECT doc_id, shard, n_tokens,
-             sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens
-               AS tok_before
-      FROM kept
-    )
-    SELECT doc_id, CAST(shard AS INT) AS shard,
-           CAST(floor(tok_before / {PACK_BUDGET}.0) AS INT) AS seq_id,
-           CAST(n_tokens AS INT) AS n_tokens
-    FROM cum
+    {pack_tail_sql("kept", with_tok_before=False)}
     """
 
 

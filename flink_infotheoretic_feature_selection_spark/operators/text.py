@@ -220,17 +220,31 @@ def _pack_sql(duck: bool, budget: int = PACK_BUDGET, shards: int = PACK_SHARDS) 
     WITH t AS (
       SELECT doc_id, {size}({tokens}) AS n_tokens, {rh} % {shards} AS shard
       FROM documents),
-    c AS (
+    {pack_tail_sql("t", budget)}
+    """
+
+
+def pack_tail_sql(src: str, budget: int = PACK_BUDGET, with_tok_before: bool = True) -> str:
+    """Cumsum + sequence assignment over ``src(doc_id, shard, n_tokens)``
+    — the ONE definition of the packing rule, shared by
+    :func:`pack_sequences` and the composed pipeline so the semantics
+    cannot drift between the individually-gated and composed forms."""
+    extra = (
+        ",\n           CAST(tok_before AS BIGINT) AS tok_before"
+        if with_tok_before
+        else ""
+    )
+    return f"""
+    __pk_c AS (
       SELECT doc_id, shard, n_tokens,
              sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens
                AS tok_before
-      FROM t)
+      FROM {src})
     SELECT doc_id, CAST(shard AS INT) AS shard,
            CAST(floor(tok_before / {budget}.0) AS INT) AS seq_id,
-           CAST(n_tokens AS INT) AS n_tokens,
-           CAST(tok_before AS BIGINT) AS tok_before
-    FROM c
+           CAST(n_tokens AS INT) AS n_tokens{extra}
+    FROM __pk_c
     """
 
 

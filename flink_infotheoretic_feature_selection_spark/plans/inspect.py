@@ -16,6 +16,29 @@ import re
 
 from pyspark.sql import DataFrame
 
+
+def _split_top_level(body: str) -> list[str]:
+    """Split on commas at paren/angle-bracket depth 0 — plan fragments
+    like ``GreaterThan(l_quantity,30.0)`` or ``decimal(12,2)`` carry
+    commas INSIDE their arguments, so a bare ``split(',')`` corrupts
+    them into garbage fragments."""
+    parts, depth, cur = [], 0, []
+    for ch in body:
+        if ch in "(<":
+            depth += 1
+        elif ch in ")>":
+            depth -= 1
+        if ch == "," and depth == 0:
+            parts.append("".join(cur).strip())
+            cur = []
+        else:
+            cur.append(ch)
+    tail = "".join(cur).strip()
+    if tail:
+        parts.append(tail)
+    return parts
+
+
 __all__ = [
     "formatted_plan",
     "pushed_filters",
@@ -39,7 +62,7 @@ def pushed_filters(df: DataFrame) -> list[str]:
     for m in re.finditer(r"PushedFilters: \[([^\]]*)\]", formatted_plan(df)):
         body = m.group(1).strip()
         if body:
-            out.extend(s.strip() for s in body.split(","))
+            out.extend(_split_top_level(body))
     return out
 
 
@@ -47,8 +70,19 @@ def read_schema_columns(df: DataFrame) -> list[str]:
     """Columns the parquet scan actually reads (``ReadSchema``) — the
     column-pruning witness."""
     cols: list[str] = []
-    for m in re.finditer(r"ReadSchema: struct<([^>]*)>", formatted_plan(df)):
-        for field in m.group(1).split(","):
+    # struct<...> may nest types with commas AND angle brackets
+    # (decimal(12,2), array<int>) — match to the balanced closer by
+    # scanning, then split depth-aware.
+    plan = formatted_plan(df)
+    for m in re.finditer(r"ReadSchema: struct<", plan):
+        depth, i = 1, m.end()
+        while i < len(plan) and depth:
+            if plan[i] == "<":
+                depth += 1
+            elif plan[i] == ">":
+                depth -= 1
+            i += 1
+        for field in _split_top_level(plan[m.end() : i - 1]):
             name = field.split(":")[0].strip()
             if name:
                 cols.append(name)

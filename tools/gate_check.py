@@ -59,7 +59,13 @@ def duck_type_flags(duck, sql):
 
 def main() -> None:
     args = sys.argv[1:]
-    sf_dir = args[0] if args and "/" in args[0] else "/root/testdata/sf0.01"
+    # a path argument is recognized ANYWHERE (not just argv[1]) — a path
+    # after a query name used to be silently dropped, validating the
+    # default scale factor instead of the requested one
+    paths = [a for a in args if "/" in a]
+    if len(paths) > 1:
+        sys.exit(f"at most one sf_dir path argument allowed, got: {paths}")
+    sf_dir = paths[0] if paths else "/root/testdata/sf0.01"
     names = [a for a in args if "/" not in a]
 
     spark = (
@@ -109,8 +115,10 @@ def main() -> None:
                 print(f"  spark cols: {spark_cols}\n  duck cols:  {duck_cols}")
             if schema_ok and not hash_ok:
                 diff = [(x, y) for x, y in zip(a, b) if x != y][:3]
-                only_a = [x for x in a if x not in set(b)][:3]
-                only_b = [y for y in b if y not in set(a)][:3]
+                bset, aset = set(b), set(a)  # hoisted: rebuilding per
+                # element is quadratic — a 60k-row diff would hang
+                only_a = [x for x in a if x not in bset][:3]
+                only_b = [y for y in b if y not in aset][:3]
                 print(f"  first diffs: {diff}\n  only-spark: {only_a}\n  only-duck: {only_b}")
         except Exception:
             failures += 1
