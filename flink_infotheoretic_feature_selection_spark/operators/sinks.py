@@ -1,0 +1,67 @@
+"""Training-data sinks: deterministic, size-controlled corpus shards.
+
+A training pipeline's last hop is rarely one parquet directory with
+whatever file layout the final stage's partitioning produced — trainers
+want shards of a KNOWN size (dataloader parallelism, resumable epochs),
+deterministically assigned (re-running the export reproduces the same
+shard membership), and without a driver-side bottleneck.
+
+``write_corpus_shards`` does that with plain Spark machinery:
+
+- shard id = content hash mod n_shards (``xxhash64`` of a caller-chosen
+  key column) — deterministic under re-partitioning and re-runs, unlike
+  ``monotonically_increasing_id``/``spark_partition_id`` layouts;
+- one shuffle: ``repartition(n_shards, shard)`` co-locates each shard
+  into exactly one task, so ``partitionBy`` writes one directory per
+  shard without small-file spray (the naive ``df.write.partitionBy``
+  over an unrelated partitioning writes up to tasks x shards files);
+- ``maxRecordsPerFile`` caps file size inside a shard, the Spark-native
+  knob for bounded files at any scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+__all__ = ["write_corpus_shards", "read_corpus_shards"]
+
+
+def write_corpus_shards(
+    df: DataFrame,
+    path: str,
+    key_col: str,
+    n_shards: int = 16,
+    max_records_per_file: int | None = None,
+) -> None:
+    """Write ``df`` as ``path/shard=N/*.parquet`` with content-hashed,
+    deterministic shard membership.
+
+    ``key_col`` should be a stable identity column (doc_id, content
+    digest): rows keep their shard across re-runs and re-partitionings,
+    so downstream incremental consumers see stable shard contents.
+    """
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    sharded = df.withColumn(
+        "shard", F.pmod(F.xxhash64(F.col(key_col)), F.lit(n_shards)).cast("int")
+    )
+    writer = (
+        sharded.repartition(n_shards, "shard")
+        .write.mode("overwrite")
+        .partitionBy("shard")
+    )
+    if max_records_per_file is not None:
+        writer = writer.option("maxRecordsPerFile", max_records_per_file)
+    writer.parquet(path)
+
+
+def read_corpus_shards(
+    spark: SparkSession, path: str, shards: list[int] | None = None
+) -> DataFrame:
+    """Read the sharded corpus back; ``shards`` prunes to a subset via
+    partition pruning (the filter never scans the other directories)."""
+    df = spark.read.parquet(path)
+    if shards is not None:
+        df = df.filter(F.col("shard").isin(shards))
+    return df
