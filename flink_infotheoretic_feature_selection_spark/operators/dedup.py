@@ -43,6 +43,7 @@ __all__ = [
     "with_simhash64",
     "simhash64_pairs",
     "simhash64_components",
+    "min_label_union_find",
     "neardup_components",
     "neardup_groups",
     "doc_shingles",
@@ -932,6 +933,30 @@ def simhash64_pairs(
     return pairs
 
 
+def min_label_union_find(edges) -> dict[int, int]:
+    """{node: min node id of its connected component} over an edge list —
+    the driver-side twin of :func:`neardup_components`'s distributed
+    min-label propagation (identical labels by construction: keeping the
+    smaller id as root at every union makes each root the minimum of the
+    merged set, inductively).  Path-halving keeps it near-linear."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    return {x: find(x) for x in parent}
+
+
 def simhash64_components(
     spark: SparkSession,
     sf_dir: str,
@@ -979,27 +1004,9 @@ def simhash64_components(
             if len(edges) > driver_edge_limit:
                 labels = fallback_labels = neardup_components(rep_pairs)
             else:
-                # union-find with min-root labels — same component ids
-                # (min doc_id of the component) as the distributed path
-                parent: dict[int, int] = {}
-
-                def find(x: int) -> int:
-                    while parent[x] != x:
-                        parent[x] = parent[parent[x]]
-                        x = parent[x]
-                    return x
-
-                for e in edges:
-                    a, b = e["doc_a"], e["doc_b"]
-                    parent.setdefault(a, a)
-                    parent.setdefault(b, b)
-                    ra, rb = find(a), find(b)
-                    if ra != rb:
-                        # keep the SMALLER id as root so root == min label
-                        lo, hi = (ra, rb) if ra < rb else (rb, ra)
-                        parent[hi] = lo
+                comp = min_label_union_find((e["doc_a"], e["doc_b"]) for e in edges)
                 labels = spark.createDataFrame(
-                    [(x, find(x)) for x in parent], "doc_id long, component long"
+                    list(comp.items()), "doc_id long, component long"
                 )
             comp = (
                 reps.join(

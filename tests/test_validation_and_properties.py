@@ -143,3 +143,36 @@ def test_collect_hist3d_rejects_negative_values(spark):
     h = hist3d(df, ["f0"], "f1", "label", {"f0": 4}, 4, 2)
     with _pytest.raises(ValueError, match="out of range"):
         collect_hist3d(h, ["f0"], {"f0": 4}, 4, 2)
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 30), st.integers(0, 30)),
+        max_size=60,
+    )
+)
+@settings(max_examples=200, deadline=None)
+def test_min_label_union_find_matches_transitive_closure(edges):
+    from flink_infotheoretic_feature_selection_spark.operators.dedup import (
+        min_label_union_find,
+    )
+
+    got = min_label_union_find(edges)
+    # brute-force reference: repeatedly propagate min over adjacency
+    nodes = {n for e in edges for n in e}
+    assert set(got) == nodes
+    adj = {n: {n} for n in nodes}
+    for a, b in edges:
+        adj[a].add(b)
+        adj[b].add(a)
+    label = {n: n for n in nodes}
+    for _ in range(len(nodes) + 1):
+        changed = False
+        for n in nodes:
+            m = min(label[x] for x in adj[n] | {n})
+            if m < label[n]:
+                label[n] = m
+                changed = True
+        if not changed:
+            break
+    assert got == label
