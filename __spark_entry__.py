@@ -655,6 +655,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup": similarity.embedding_neardup_pairs,
         "embedding_quantize": similarity.embedding_quantize,
         "ann_ivf_topk_q8": similarity.ivf_topk_q8,
+        # learned-coarse-quantizer IVF: iterative k-means fit has no SQL
+        # analogue -> rows-only gate; recall pinned by unit test
+        "ann_ivf_kmeans": similarity.ivf_kmeans_topk,
         "label_centroids": similarity.label_centroids,
         "events_window_agg": _q_events_window_agg,
         "events_props_agg": events_ops.events_props_agg,

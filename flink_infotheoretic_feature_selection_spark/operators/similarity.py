@@ -37,6 +37,7 @@ __all__ = [
     "embedding_neardup_pairs",
     "embedding_quantize",
     "ivf_topk_q8",
+    "ivf_kmeans_topk",
     "label_centroids",
     "LABEL_CENTROIDS_ORACLE",
     "cosine_topk_oracle",
@@ -480,3 +481,94 @@ def embedding_neardup_oracle(threshold: float = 0.35) -> str:
     FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
     WHERE round(list_cosine_similarity(a.emb, b.emb), 5) >= {threshold}
     """
+
+
+# ---------------------------------------------------------------------------
+# k-means IVF — the production coarse quantizer (sign-grid is the
+# portable/oracle-friendly LSH variant; learned centroids follow the data
+# distribution, so bucket populations are balanced and recall-per-probe is
+# higher on clustered embeddings)
+# ---------------------------------------------------------------------------
+def ivf_kmeans_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = 3,
+    query_limit: int = 200,
+    n_centroids: int = 16,
+    n_probes: int = 2,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k with a LEARNED coarse quantizer: k-means
+    centroids partition the corpus; each query probes its ``n_probes``
+    nearest centroids and ranks those buckets' members by exact cosine.
+
+    Scale shape — identical to the sign-grid variants: the corpus is
+    scanned once for assignment (distributed ``KMeansModel.transform``),
+    candidates come from a bucket equi-join (probes × bucket members,
+    never all pairs), and only the bounded query side plus the
+    n_centroids × dim centroid matrix ever reach the driver.  Training
+    is `pyspark.ml` k-means|| (distributed, seeded — deterministic for a
+    fixed input).  No DuckDB oracle (the iterative fit has no SQL
+    analogue): gated rows-only, with recall pinned by unit test against
+    brute force.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    emb = _emb(spark, sf_dir)
+    vec = emb.select(
+        "vec_id",
+        array_to_vector(F.col("embedding").cast("array<double>")).alias("features"),
+    )
+    model = KMeans(k=n_centroids, seed=seed, maxIter=20).fit(vec)
+    assigned = model.transform(vec).select(
+        "vec_id", F.col("prediction").alias("bucket")
+    )
+    centers = np.stack([np.asarray(c) for c in model.clusterCenters()])
+
+    # bounded query side: nearest-n_probes centroids per query (driver)
+    q_ids, q_mat = _collect_queries(emb, query_limit)
+    if len(q_ids) == 0:
+        return spark.createDataFrame(
+            [], "query_id long, neighbor_id long, cos double, rank integer"
+        )
+    cn = centers / np.maximum(np.linalg.norm(centers, axis=1, keepdims=True), 1e-30)
+    probe_rows = [
+        (int(qid), int(b))
+        for qid, qrow in zip(q_ids, q_mat)
+        for b in np.argsort(-(qrow @ cn.T))[:n_probes]
+    ]
+    probes = spark.createDataFrame(probe_rows, "query_id long, bucket int")
+
+    e = spark.sql(
+        f"SELECT vec_id, embedding AS emb, {_norm_expr_spark('embedding')} AS nrm "
+        "FROM embeddings"
+    )
+    cand = (
+        probes.join(assigned, "bucket")
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .select("query_id", "vec_id")
+    )
+    qe = e.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("emb").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+    )
+    dot = _dot_expr_spark("q_emb", "emb")
+    pairs = (
+        cand.join(F.broadcast(qe), "query_id")
+        .join(e, "vec_id")
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(F.expr(f"{dot} / (q_nrm * nrm)"), 5).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos", "rank")
+    )

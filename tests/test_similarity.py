@@ -132,3 +132,21 @@ def test_cosine_topk_empty_query_set_returns_empty(spark, sf_dir):
     out = cosine_topk(spark, sf_dir, k=3, query_limit=0)
     assert out.count() == 0
     assert out.columns == ["query_id", "neighbor_id", "cos", "rank"]
+
+
+def test_kmeans_ivf_recall_beats_sign_grid(spark, sf_dir):
+    # Learned centroids follow the embedding distribution; with 2 probes
+    # over 16 buckets the recall should be well above the 6-bit
+    # sign-grid's single-bucket recall on the same corpus.
+    from flink_infotheoretic_feature_selection_spark.operators.similarity import (
+        ivf_kmeans_topk,
+    )
+
+    k, limit = 3, 100
+    truth = _exact_topk(sf_dir, k, limit)
+    grid = _recall(ivf_topk(spark, sf_dir, k=k, query_limit=limit).collect(), truth, k)
+    km = _recall(
+        ivf_kmeans_topk(spark, sf_dir, k=k, query_limit=limit).collect(), truth, k
+    )
+    assert km > grid, (km, grid)
+    assert km >= 0.3, (km, grid)
