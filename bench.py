@@ -156,6 +156,10 @@ def main() -> None:
     t, _ = timed(lambda: similarity.ivf_topk_q8(spark, SF_DIR).count())
     results["b9c_ann_q8"] = round(t, 3)
 
+    # learned-coarse-quantizer IVF (distributed k-means fit + probe search)
+    t, _ = timed(lambda: similarity.ivf_kmeans_topk(spark, SF_DIR).count())
+    results["b9d_ann_kmeans"] = round(t, 3)
+
     t, _ = timed(lambda: text.text_stats(spark, SF_DIR).count())
     results["b10_text_stats"] = round(t, 3)
 
