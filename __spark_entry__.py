@@ -643,6 +643,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "substring_dup_spans": dedup.substring_dup_spans,
         "scrub_dup_spans": dedup.scrub_dup_spans,
         "doc_repetition": text.doc_repetition,
+        "lm_score": text.lm_score,
         "tfidf_topk": text.tfidf_topk,
         "stratified_sample": text.stratified_sample,
         "corpus_rollup": text.corpus_rollup,
@@ -775,6 +776,7 @@ def oracle_sql() -> dict[str, str]:
         "substring_dup_spans": dedup.substring_dup_spans_oracle(),
         "scrub_dup_spans": dedup.scrub_dup_spans_oracle(),
         "doc_repetition": text.DOC_REPETITION_ORACLE,
+        "lm_score": text.lm_score_oracle(),
         "tfidf_topk": text.TFIDF_TOPK_ORACLE,
         "stratified_sample": text.STRATIFIED_SAMPLE_ORACLE,
         "corpus_rollup": text.CORPUS_ROLLUP_ORACLE,

@@ -23,6 +23,8 @@ __all__ = [
     "fingerprint",
     "corpus_clean",
     "doc_repetition",
+    "lm_score",
+    "lm_score_oracle",
     "tfidf_topk",
     "stratified_sample",
     "corpus_rollup",
@@ -673,3 +675,76 @@ def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 STRATIFIED_SAMPLE_ORACLE = _stratified_sql(duck=True)
+
+
+# ---------------------------------------------------------------------------
+# Corpus-trained bigram LM quality score (CCNet/Gopher-style signal)
+# ---------------------------------------------------------------------------
+def _lm_score_sql(duck: bool) -> str:
+    """Per-doc mean log2 Laplace-smoothed bigram probability, with the
+    LM trained on the corpus ITSELF (the standard self-scoring pass:
+    boilerplate and fluent text score high, token soup scores low).
+
+    score(doc) = mean over its bigrams of
+        log2( (count(w1 w2) + 1) / (count(w1) + V) )
+    where counts are corpus-global and V = vocabulary size.
+
+    Scale shape: two hash aggregations (bigram and unigram counts — the
+    classic map-side-combined word count), then one join of the doc
+    bigram stream against the two count tables keyed by bigram/w1, one
+    doc_id agg.  No driver state; V is a scalar subquery.  Cross-engine:
+    log2 may differ in the last ulp per term and the sum order differs,
+    so the emitted score rounds to 5 decimals on both engines (same
+    contract as the MI oracles and every cosine gate here).
+    """
+    tokens, size, _ = _dialect_tokens(duck)
+    grams = _grams_expr(duck, "ts", 2)
+    if duck:
+        explode_uni = "SELECT doc_id, unnest(ts) AS token FROM tok"
+        explode_big = (
+            f"SELECT doc_id, unnest({grams}) AS bigram FROM tok WHERE len(ts) >= 2"
+        )
+        w1 = "list_extract(string_split(b.bigram, ' '), 1)"
+    else:
+        explode_uni = (
+            "SELECT doc_id, token FROM tok "
+            "LATERAL VIEW OUTER explode(ts) t AS token WHERE size(ts) >= 1"
+        )
+        # CASE guard + OUTER explode: see _shingles_cte (sequence() on a
+        # short doc runs descending and throws if hoisted; OUTER avoids
+        # the InferFiltersFromGenerate interpreted-filter trap)
+        guarded = f"CASE WHEN size(ts) >= 2 THEN {grams} ELSE array() END"
+        explode_big = (
+            "SELECT doc_id, bigram FROM tok "
+            f"LATERAL VIEW OUTER explode({guarded}) t AS bigram "
+            "WHERE size(ts) >= 2 AND bigram IS NOT NULL"
+        )
+        w1 = "element_at(split(b.bigram, ' '), 1)"
+    return f"""
+    WITH tok AS (SELECT doc_id, {tokens} AS ts FROM documents),
+    uni AS ({explode_uni}),
+    big AS ({explode_big}),
+    ugc AS (SELECT token, count(*) AS cu FROM uni GROUP BY token),
+    bgc AS (SELECT bigram, count(*) AS cb FROM big GROUP BY bigram),
+    vocab AS (SELECT CAST(count(*) AS DOUBLE) AS v FROM ugc)
+    SELECT b.doc_id,
+           count(*) AS n_bigrams,
+           round(sum(log2((CAST(cb AS DOUBLE) + 1.0) / (CAST(cu AS DOUBLE) + v)))
+                 / count(*), 5) AS lm_logprob
+    FROM big b
+    JOIN bgc ON b.bigram = bgc.bigram
+    JOIN ugc ON {w1} = ugc.token
+    CROSS JOIN vocab
+    GROUP BY b.doc_id
+    """
+
+
+def lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-trained bigram LM score per doc (higher = more typical of
+    the corpus); docs shorter than one bigram are absent."""
+    spark.read.parquet(f"{sf_dir}/documents.parquet").createOrReplaceTempView("documents")
+    return spark.sql(_lm_score_sql(duck=False))
+
+
+def lm_score_oracle() -> str:
+    return _lm_score_sql(duck=True)

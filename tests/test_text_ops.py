@@ -85,3 +85,33 @@ def test_pack_sequences_deterministic_under_repartition(spark, sf_dir):
         for r in spark.sql(_pack_sql(duck=False)).collect()
     }
     assert a == b
+
+
+def test_lm_score_matches_hand_computation(spark):
+    # tiny corpus where the Laplace bigram math is checkable by hand
+    import math
+
+    from flink_infotheoretic_feature_selection_spark.operators.text import _lm_score_sql
+
+    rows = [(1, "a b a b"), (2, "a b"), (3, "c")]
+    spark.createDataFrame(rows, "doc_id long, text string").createOrReplaceTempView(
+        "documents"
+    )
+    try:
+        got = {
+            r["doc_id"]: (r["n_bigrams"], r["lm_logprob"])
+            for r in spark.sql(_lm_score_sql(duck=False)).collect()
+        }
+    finally:
+        spark.catalog.dropTempView("documents")
+    # unigrams: a x3, b x3, c x1 -> V = 3
+    # bigrams: "a b" x3, "b a" x1
+    p_ab = (3 + 1) / (3 + 3)  # cb(a b)=3, cu(a)=3, V=3
+    p_ba = (1 + 1) / (3 + 3)
+    doc1 = (2 * math.log2(p_ab) + math.log2(p_ba)) / 3
+    doc2 = math.log2(p_ab)
+    assert got[1] == (3, round(doc1, 5))
+    assert got[2] == (1, round(doc2, 5))
+    assert 3 not in got  # single-token doc has no bigrams
+    # fluent (corpus-typical) text outscores the rare transition
+    assert got[2][1] > got[1][1]
