@@ -166,6 +166,10 @@ def main() -> None:
     t, _ = timed(lambda: text.corpus_clean(spark, SF_DIR).count())
     results["b10b_corpus_clean"] = round(t, 3)
 
+    # corpus-trained bigram LM scoring (two count aggs + keyed join)
+    t, _ = timed(lambda: text.lm_score(spark, SF_DIR).count())
+    results["b10c_lm_score"] = round(t, 3)
+
     t, _ = timed(
         lambda: load_events(spark, SF_DIR)
         .groupBy(F.window("ts", "1 day"), "event_type")
