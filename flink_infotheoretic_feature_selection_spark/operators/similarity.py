@@ -518,9 +518,24 @@ def ivf_kmeans_topk(
     from pyspark.sql import functions as F
 
     emb = _emb(spark, sf_dir)
+    # bounded query side FIRST: the empty case must cost nothing (no
+    # k-means fit), matching cosine_topk's short-circuit discipline
+    q_ids, q_mat = _collect_queries(emb, query_limit)
+    if len(q_ids) == 0:
+        return spark.createDataFrame(
+            [], "query_id long, neighbor_id long, cos double, rank integer"
+        )
+    # Fit and assign on L2-NORMALIZED vectors: ranking is by cosine, so
+    # the coarse quantizer must partition directions, not magnitudes —
+    # and the probe ranking below must use the SAME metric as the
+    # assignment, else a query's probed buckets can exclude the very
+    # bucket its neighbors were assigned to.
+    nrm = _norm_expr_spark("embedding")
     vec = emb.select(
         "vec_id",
-        array_to_vector(F.col("embedding").cast("array<double>")).alias("features"),
+        array_to_vector(
+            F.expr(f"transform(embedding, x -> CAST(x AS DOUBLE) / {nrm})")
+        ).alias("features"),
     )
     model = KMeans(k=n_centroids, seed=seed, maxIter=20).fit(vec)
     assigned = model.transform(vec).select(
@@ -528,17 +543,14 @@ def ivf_kmeans_topk(
     )
     centers = np.stack([np.asarray(c) for c in model.clusterCenters()])
 
-    # bounded query side: nearest-n_probes centroids per query (driver)
-    q_ids, q_mat = _collect_queries(emb, query_limit)
-    if len(q_ids) == 0:
-        return spark.createDataFrame(
-            [], "query_id long, neighbor_id long, cos double, rank integer"
-        )
-    cn = centers / np.maximum(np.linalg.norm(centers, axis=1, keepdims=True), 1e-30)
+    # probes: Euclidean to the centers, exactly KMeans' assignment
+    # metric on the normalized space — ||q-c||^2 = 1 + |c|^2 - 2 q.c
+    # (q is unit), so rank ascending by |c|^2 - 2 q.c
+    c_norm2 = (centers**2).sum(axis=1)
     probe_rows = [
         (int(qid), int(b))
         for qid, qrow in zip(q_ids, q_mat)
-        for b in np.argsort(-(qrow @ cn.T))[:n_probes]
+        for b in np.argsort(c_norm2 - 2.0 * (qrow @ centers.T))[:n_probes]
     ]
     probes = spark.createDataFrame(probe_rows, "query_id long, bucket int")
 
@@ -551,7 +563,9 @@ def ivf_kmeans_topk(
         .filter(F.col("query_id") != F.col("vec_id"))
         .select("query_id", "vec_id")
     )
-    qe = e.select(
+    # broadcast ONLY the bounded query rows — broadcasting the unfiltered
+    # e would collect the whole corpus to the driver
+    qe = e.filter(F.col("vec_id") < query_limit).select(
         F.col("vec_id").alias("query_id"),
         F.col("emb").alias("q_emb"),
         F.col("nrm").alias("q_nrm"),

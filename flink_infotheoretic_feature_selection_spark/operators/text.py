@@ -700,7 +700,13 @@ def _lm_score_sql(duck: bool) -> str:
     tokens, size, _ = _dialect_tokens(duck)
     grams = _grams_expr(duck, "ts", 2)
     if duck:
-        explode_uni = "SELECT doc_id, unnest(ts) AS token FROM tok"
+        # token <> '' drops the single empty token an empty/whitespace
+        # doc produces (split of '' is ['']), which would otherwise
+        # inflate V with a phantom vocab entry
+        explode_uni = (
+            "SELECT doc_id, token FROM "
+            "(SELECT doc_id, unnest(ts) AS token FROM tok) WHERE token <> ''"
+        )
         explode_big = (
             f"SELECT doc_id, unnest({grams}) AS bigram FROM tok WHERE len(ts) >= 2"
         )
@@ -708,7 +714,8 @@ def _lm_score_sql(duck: bool) -> str:
     else:
         explode_uni = (
             "SELECT doc_id, token FROM tok "
-            "LATERAL VIEW OUTER explode(ts) t AS token WHERE size(ts) >= 1"
+            "LATERAL VIEW OUTER explode(ts) t AS token "
+            "WHERE size(ts) >= 1 AND token <> ''"
         )
         # CASE guard + OUTER explode: see _shingles_cte (sequence() on a
         # short doc runs descending and throws if hoisted; OUTER avoids
