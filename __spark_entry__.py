@@ -21,7 +21,7 @@ from flink_infotheoretic_feature_selection_spark.discretizer import (
     equal_freq_bucket_oracle,
     equal_width_bucket_oracle,
 )
-from flink_infotheoretic_feature_selection_spark.operators import dedup, multimodal, sessions, similarity, text
+from flink_infotheoretic_feature_selection_spark.operators import dedup, multimodal, sessions, similarity, temporal, text
 from flink_infotheoretic_feature_selection_spark.operators import events as events_ops
 from flink_infotheoretic_feature_selection_spark.operators import pipeline as pipeline_ops
 from flink_infotheoretic_feature_selection_spark.operators import profile as profile_ops
@@ -666,6 +666,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_clean_pack": pipeline_ops.pipeline_clean_pack,
         "sessionize": sessions.sessionize_query,
         "sessionize_skew": sessions.sessionize_skew_query,
+        "asof_join": temporal.asof_join_query,
+        "range_join_agg": temporal.range_join_query,
+        "hypertable_rollup": temporal.hypertable_rollup,
         "media_meta": _q_media_meta,
         "media_features": _q_media_features,
         "media_resize": _q_media_resize,
@@ -806,6 +809,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "sessionize": sessions.SESSIONIZE_ORACLE,
         "sessionize_skew": sessions.SESSIONIZE_ORACLE,
+        "asof_join": temporal.ASOF_JOIN_ORACLE,
+        "range_join_agg": temporal.RANGE_JOIN_ORACLE,
+        "hypertable_rollup": temporal.HYPERTABLE_ROLLUP_ORACLE,
         "events_props_agg": events_ops.EVENTS_PROPS_AGG_ORACLE,
         "profile_lineitem": profile_ops.PROFILE_LINEITEM_ORACLE,
         "pipeline_clean_pack": pipeline_ops.pipeline_oracle(),

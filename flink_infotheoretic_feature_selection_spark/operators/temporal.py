@@ -1,0 +1,267 @@
+"""Temporal join operators: as-of join, bucketed range join, hypertable
+rollup.
+
+These are the prompt-level "custom operators Spark lacks" — ABSENT from
+the reference (SURVEY.md §2.8, extension surface), standard in
+time-series engines (kdb+ ``aj``, TimescaleDB continuous aggregates,
+DuckDB ``ASOF JOIN``), and re-expressed here in the shapes that survive
+100 TB:
+
+- :func:`asof_join` — NOT a join at all on the Spark side: both inputs
+  are interleaved by ``(key, ts)`` into ONE window pass
+  (``last(..., ignorenulls)`` over a running frame).  A single shuffle
+  on the key, zero join, zero state beyond the window frame — the
+  merge-interleave formulation every production as-of implementation
+  uses, and the only one that doesn't degenerate when one side is much
+  denser than the other.
+- :func:`range_join` — point-in-interval join WITHOUT an equi-key.  The
+  naive plan is a cross product; the scale shape buckets time at the
+  maximum interval width, explodes each interval onto the ≤2 buckets it
+  covers, and equi-joins probe rows on their single floor bucket, then
+  refines with the exact predicate.  Every probe row matches a
+  candidate interval in exactly one bucket (its own), so no dedup pass
+  is needed.  Shuffle volume = rows, not rows × intervals.
+- :func:`hypertable_rollup` — multi-granularity time rollup (hour AND
+  day grains, TimescaleDB continuous-aggregate style) in ONE scan via
+  GROUPING SETS: the Expand happens map-side, the shuffle carries only
+  (bucket, event_type) cells.
+
+Hash-stability contract (driver gate, round-3 lesson): no emitted value
+is ever a cross-engine float aggregate.  Sums of the double ``value``
+column are carried as exact integer cents (``CAST(round(value*100) AS
+BIGINT)`` — the generator emits 2-decimal values, so ×100 never lands on
+a .5 tie and both engines round identically); raw doubles only ever pass
+through unchanged (bit-identical from the same parquet).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+__all__ = [
+    "asof_join",
+    "asof_join_query",
+    "ASOF_JOIN_ORACLE",
+    "range_join",
+    "range_join_query",
+    "RANGE_JOIN_ORACLE",
+    "hypertable_rollup",
+    "HYPERTABLE_ROLLUP_ORACLE",
+]
+
+
+# ---------------------------------------------------------------------------
+# As-of join
+# ---------------------------------------------------------------------------
+def asof_join(
+    left: DataFrame,
+    ref: DataFrame,
+    key: str = "user_id",
+    ts: str = "ts",
+    ref_cols: tuple[str, ...] = ("ref_value",),
+) -> DataFrame:
+    """For every ``left`` row, attach the latest ``ref`` row with
+    ``ref.ts <= left.ts`` for the same ``key`` (inclusive, i.e. kdb+
+    ``aj`` / DuckDB ``ASOF`` with ``>=`` semantics); NULLs if none.
+
+    ``ref`` MUST be unique per ``(key, ts)`` — as-of semantics are
+    ill-defined otherwise (callers dedupe with a deterministic rule
+    first; :func:`asof_join_query` keeps the max-event_id row).
+
+    Plan shape: union-interleave + one running window.  ``ref`` rows
+    sort BEFORE ``left`` rows at equal ``ts`` (side 0 < 1) so an exact
+    tie matches, per the inclusive contract.  One exchange on ``key``;
+    no join operator in the plan at all — at 100 TB this is one
+    data-sized shuffle and a linear in-partition pass, with no
+    build-side memory and no skew amplification (a hot key costs one
+    fat sorted partition, not a quadratic probe).
+    """
+    from pyspark.sql.window import Window
+
+    left_cols = [c for c in left.columns if c != key and c != ts]
+    ref_side = ref.select(
+        key,
+        ts,
+        F.lit(0).alias("__side"),
+        F.col(ts).alias("ref_ts"),
+        *[F.col(c) for c in ref_cols],
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left_cols],
+    )
+    left_side = left.select(
+        key,
+        ts,
+        F.lit(1).alias("__side"),
+        F.lit(None).cast(ref.schema[ts].dataType).alias("ref_ts"),
+        *[F.lit(None).cast(ref.schema[c].dataType).alias(c) for c in ref_cols],
+        *[F.col(c) for c in left_cols],
+    )
+    w = (
+        Window.partitionBy(key)
+        .orderBy(ts, "__side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = [F.last("ref_ts", ignorenulls=True).over(w).alias("ref_ts")] + [
+        F.last(c, ignorenulls=True).over(w).alias(c) for c in ref_cols
+    ]
+    return (
+        ref_side.unionByName(left_side)
+        .select(key, ts, "__side", *left_cols, *carried)
+        .filter(F.col("__side") == 1)
+        .drop("__side")
+    )
+
+
+def asof_join_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate entry: each ``click`` event gets the latest prior-or-equal
+    ``error`` event's (ts, value) for the same user."""
+    from flink_infotheoretic_feature_selection_spark.datasets import load_events
+
+    ev = load_events(spark, sf_dir)
+    # deterministic (user_id, ts) dedupe of the reference side: keep the
+    # max-event_id row's value (mirrored exactly in the oracle)
+    ref = (
+        ev.filter(F.col("event_type") == "error")
+        .groupBy("user_id", "ts")
+        .agg(F.max_by("value", "event_id").alias("ref_value"))
+    )
+    left = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    out = asof_join(left, ref)
+    return out.select("event_id", "ts", "user_id", "value", "ref_ts", "ref_value")
+
+
+ASOF_JOIN_ORACLE = """
+WITH ref AS (
+  SELECT user_id, ts, max_by(value, event_id) AS ref_value
+  FROM events WHERE event_type = 'error'
+  GROUP BY user_id, ts
+),
+l AS (
+  SELECT event_id, ts, user_id, value FROM events WHERE event_type = 'click'
+)
+SELECT l.event_id, l.ts, l.user_id, l.value, r.ts AS ref_ts, r.ref_value
+FROM l ASOF LEFT JOIN ref r ON l.user_id = r.user_id AND l.ts >= r.ts
+"""
+
+
+# ---------------------------------------------------------------------------
+# Bucketed range join
+# ---------------------------------------------------------------------------
+RANGE_WINDOW_SEC = 120  # interval length == bucket width
+
+
+def range_join(
+    intervals: DataFrame,
+    probe: DataFrame,
+    bucket_width_us: int,
+    ts: str = "ts",
+) -> DataFrame:
+    """Rows of ``probe`` matched to every ``intervals`` row whose
+    ``[start, end)`` contains ``probe.ts`` — no equi-key required.
+
+    ``bucket_width_us`` must be ≥ the longest interval so each interval
+    spans at most 2 buckets.  The interval side explodes onto its
+    covered buckets (≤2 rows each); the probe side computes its single
+    floor bucket — so each true match is produced exactly once and no
+    distinct/dedup pass exists in the plan.  Shuffle = one exchange of
+    both sides on ``bucket``; at 100 TB the probe side shuffles once at
+    data size and the interval side at ≤2× interval count.  (A
+    pathological hot bucket — e.g. all intervals in one hour — is the
+    same skew class as any hot join key; `joins.salted_join` composes.)
+    """
+    # integer `div`, never `/`: float division of epoch-micros can land
+    # one ulp below an exact bucket boundary and truncate into the wrong
+    # bucket (the round-1 nanos lesson, NOTES.md)
+    w = int(bucket_width_us)
+    iv = intervals.withColumn(
+        "__bucket",
+        F.explode(
+            F.sequence(
+                F.expr(f"unix_micros(start) div {w}"),
+                F.expr(f"(unix_micros(`end`) - 1) div {w}"),
+            )
+        ),
+    )
+    pb = probe.withColumn("__bucket", F.expr(f"unix_micros({ts}) div {w}"))
+    return (
+        pb.join(iv, "__bucket")
+        .filter((F.col(ts) >= F.col("start")) & (F.col(ts) < F.col("end")))
+        .drop("__bucket")
+    )
+
+
+def range_join_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate entry: per error event, the count + exact-cents sum of ALL
+    ``view`` events (any user) inside ``[error.ts, error.ts + 2 min)``.
+    """
+    from flink_infotheoretic_feature_selection_spark.datasets import load_events
+
+    ev = load_events(spark, sf_dir)
+    intervals = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("interval_id"),
+        F.col("ts").alias("start"),
+        (F.col("ts") + F.expr(f"INTERVAL {RANGE_WINDOW_SEC} SECONDS")).alias("end"),
+    )
+    probe = ev.filter(F.col("event_type") == "view").select("ts", "value")
+    matched = range_join(intervals, probe, RANGE_WINDOW_SEC * 1_000_000)
+    return matched.groupBy("interval_id").agg(
+        F.count("*").alias("n_hits"),
+        F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("sum_cents"),
+    )
+
+
+RANGE_JOIN_ORACLE = f"""
+WITH intervals AS (
+  SELECT event_id AS interval_id, ts AS start,
+         ts + INTERVAL {RANGE_WINDOW_SEC} SECOND AS "end"
+  FROM events WHERE event_type = 'error'
+)
+SELECT i.interval_id,
+       count(*) AS n_hits,
+       CAST(sum(CAST(round(e.value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+FROM intervals i
+JOIN events e
+  ON e.event_type = 'view' AND e.ts >= i.start AND e.ts < i."end"
+GROUP BY i.interval_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Hypertable rollup (multi-granularity continuous aggregate)
+# ---------------------------------------------------------------------------
+def _hypertable_sql() -> str:
+    # identical text on both engines: date_trunc, GROUPING SETS and
+    # grouping() are ANSI and behave the same in Spark SQL and DuckDB
+    return """
+SELECT CASE WHEN grouping(h) = 0 THEN 'hour' ELSE 'day' END AS grain,
+       CASE WHEN grouping(h) = 0 THEN h ELSE d END AS bucket_ts,
+       event_type,
+       count(*) AS n_events,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+FROM (SELECT date_trunc('hour', ts) AS h,
+             date_trunc('day', ts) AS d,
+             event_type, value
+      FROM events)
+GROUP BY GROUPING SETS ((h, event_type), (d, event_type))
+"""
+
+
+def hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour AND day rollups of the events stream in one scan.
+
+    The GROUPING SETS Expand is map-side (each input row emits one
+    hour-cell and one day-cell BEFORE the exchange, partial-aggregated
+    in place), so the single shuffle carries only distinct
+    (grain, bucket, event_type) cells — at 100 TB that is bounded by
+    buckets × types, independent of row count.  This is the batch
+    equivalent of a TimescaleDB continuous aggregate / Druid rollup.
+    """
+    from flink_infotheoretic_feature_selection_spark.datasets import load_events
+
+    load_events(spark, sf_dir).createOrReplaceTempView("events")
+    return spark.sql(_hypertable_sql())
+
+
+HYPERTABLE_ROLLUP_ORACLE = _hypertable_sql()

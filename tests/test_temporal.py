@@ -1,0 +1,158 @@
+"""Temporal operators: as-of join, bucketed range join, hypertable
+rollup — hand-computed semantics on crafted fixtures plus plan-shape
+witnesses (the as-of plan contains NO join; the range join is a single
+equi-join, never a cross product)."""
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from flink_infotheoretic_feature_selection_spark.operators.temporal import (
+    asof_join,
+    asof_join_query,
+    hypertable_rollup,
+    range_join,
+    range_join_query,
+)
+from flink_infotheoretic_feature_selection_spark.plans import formatted_plan
+
+
+def _ts(sec: int) -> dt.datetime:
+    return dt.datetime(2024, 1, 1) + dt.timedelta(seconds=sec)
+
+
+def test_asof_join_hand_computed(spark):
+    left = spark.createDataFrame(
+        [(1, _ts(10), 100), (1, _ts(20), 101), (1, _ts(5), 102), (2, _ts(50), 103)],
+        "user_id long, ts timestamp, event_id long",
+    )
+    ref = spark.createDataFrame(
+        [(1, _ts(8), 1.0), (1, _ts(20), 2.0), (3, _ts(1), 9.0)],
+        "user_id long, ts timestamp, ref_value double",
+    )
+    out = {
+        r["event_id"]: (r["ref_ts"], r["ref_value"])
+        for r in asof_join(left, ref).collect()
+    }
+    assert out[100] == (_ts(8), 1.0)  # latest ref at ts<=10 is ts=8
+    assert out[101] == (_ts(20), 2.0)  # exact tie is INCLUSIVE
+    assert out[102] == (None, None)  # no ref yet -> nulls
+    assert out[103] == (None, None)  # user 2 has no refs at all
+
+
+def test_asof_join_plan_has_no_join_operator(spark):
+    left = spark.createDataFrame([(1, _ts(10), 7)], "user_id long, ts timestamp, event_id long")
+    ref = spark.createDataFrame([(1, _ts(5), 1.0)], "user_id long, ts timestamp, ref_value double")
+    plan = formatted_plan(asof_join(left, ref))
+    assert "Join" not in plan  # union + window, never a join
+    assert "Window" in plan
+
+
+def test_asof_join_query_matches_per_user_scan(spark, sf_dir):
+    # brute-force check at sf0.001: for each click, linear-scan the
+    # error events of that user
+    from flink_infotheoretic_feature_selection_spark.datasets import load_events
+
+    ev = load_events(spark, sf_dir).collect()
+    errors = {}
+    for r in ev:
+        if r["event_type"] == "error":
+            errors.setdefault(r["user_id"], []).append(r)
+    expect = {}
+    for r in ev:
+        if r["event_type"] != "click":
+            continue
+        cands = [e for e in errors.get(r["user_id"], []) if e["ts"] <= r["ts"]]
+        if cands:
+            best_ts = max(e["ts"] for e in cands)
+            at_ts = [e for e in cands if e["ts"] == best_ts]
+            best = max(at_ts, key=lambda e: e["event_id"])  # dedup rule
+            expect[r["event_id"]] = (best["ts"], best["value"])
+        else:
+            expect[r["event_id"]] = (None, None)
+    got = {
+        r["event_id"]: (r["ref_ts"], r["ref_value"])
+        for r in asof_join_query(spark, sf_dir).collect()
+    }
+    assert got == expect
+
+
+def test_range_join_boundaries_and_bucket_spill(spark):
+    # interval [100s, 220s) with 60s buckets -> spans 3 buckets? No:
+    # width must be >= interval length; use 120s buckets.  Probe points
+    # pin: start inclusive, end exclusive, and a match in the SECOND
+    # covered bucket is still found exactly once.
+    iv = spark.createDataFrame(
+        [(1, _ts(100), _ts(220))], "interval_id long, start timestamp, end timestamp"
+    )
+    probe = spark.createDataFrame(
+        [(_ts(100), 1.0), (_ts(219), 2.0), (_ts(220), 3.0), (_ts(99), 4.0), (_ts(150), 5.0)],
+        "ts timestamp, value double",
+    )
+    rows = range_join(iv, probe, 120_000_000).select("ts", "interval_id").collect()
+    got = sorted(r["ts"] for r in rows)
+    assert got == [_ts(100), _ts(150), _ts(219)]  # 220 excluded, 99 before
+    assert len(rows) == len(set(got))  # exactly-once, no dedup needed
+
+
+def test_range_join_plan_is_single_equi_join(spark):
+    iv = spark.createDataFrame(
+        [(1, _ts(0), _ts(100))], "interval_id long, start timestamp, end timestamp"
+    )
+    probe = spark.createDataFrame([(_ts(5), 1.0)], "ts timestamp, value double")
+    plan = formatted_plan(range_join(iv, probe, 120_000_000))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_range_join_query_matches_brute_force(spark, sf_dir):
+    from flink_infotheoretic_feature_selection_spark.datasets import load_events
+
+    ev = load_events(spark, sf_dir).collect()
+    views = [r for r in ev if r["event_type"] == "view"]
+    expect = {}
+    for e in ev:
+        if e["event_type"] != "error":
+            continue
+        hits = [
+            v for v in views
+            if e["ts"] <= v["ts"] < e["ts"] + dt.timedelta(seconds=120)
+        ]
+        if hits:
+            expect[e["event_id"]] = (
+                len(hits),
+                sum(int(round(v["value"] * 100)) for v in hits),
+            )
+    got = {
+        r["interval_id"]: (r["n_hits"], r["sum_cents"])
+        for r in range_join_query(spark, sf_dir).collect()
+    }
+    assert got == expect
+
+
+def test_hypertable_rollup_grains_consistent(spark, sf_dir):
+    df = hypertable_rollup(spark, sf_dir).collect()
+    hour = [r for r in df if r["grain"] == "hour"]
+    day = [r for r in df if r["grain"] == "day"]
+    assert hour and day
+    # day cells == sum of their hour cells, per event_type
+    agg = {}
+    for r in hour:
+        k = (r["bucket_ts"].date(), r["event_type"])
+        n, s = agg.get(k, (0, 0))
+        agg[k] = (n + r["n_events"], s + r["sum_cents"])
+    for r in day:
+        assert agg[(r["bucket_ts"].date(), r["event_type"])] == (
+            r["n_events"],
+            r["sum_cents"],
+        )
+    # hour buckets are truncated timestamps
+    assert all(r["bucket_ts"].minute == 0 and r["bucket_ts"].second == 0 for r in hour)
+
+
+def test_hypertable_rollup_single_scan(spark, sf_dir):
+    plan = formatted_plan(hypertable_rollup(spark, sf_dir))
+    # one file-scan node == one "Location:" detail block
+    assert plan.count("Location:") == 1
+    assert "Expand" in plan  # grouping-sets expand, map-side
+    assert "partial_count" in plan  # partial agg BELOW the exchange
