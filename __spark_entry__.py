@@ -669,6 +669,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join": temporal.asof_join_query,
         "range_join_agg": temporal.range_join_query,
         "hypertable_rollup": temporal.hypertable_rollup,
+        "dedup_keep_best": dedup.dedup_keep_best,
+        "mixture_sample": text.mixture_sample,
         "media_meta": _q_media_meta,
         "media_features": _q_media_features,
         "media_resize": _q_media_resize,
@@ -812,6 +814,8 @@ def oracle_sql() -> dict[str, str]:
         "asof_join": temporal.ASOF_JOIN_ORACLE,
         "range_join_agg": temporal.RANGE_JOIN_ORACLE,
         "hypertable_rollup": temporal.HYPERTABLE_ROLLUP_ORACLE,
+        "dedup_keep_best": dedup.dedup_keep_best_oracle(),
+        "mixture_sample": text.MIXTURE_SAMPLE_ORACLE,
         "events_props_agg": events_ops.EVENTS_PROPS_AGG_ORACLE,
         "profile_lineitem": profile_ops.PROFILE_LINEITEM_ORACLE,
         "pipeline_clean_pack": pipeline_ops.pipeline_oracle(),

@@ -64,6 +64,8 @@ __all__ = [
     "substring_dup_spans_oracle",
     "scrub_dup_spans",
     "scrub_dup_spans_oracle",
+    "dedup_keep_best",
+    "dedup_keep_best_oracle",
 ]
 
 # MinHash parameters: h_i(x) = (A_i * x + B_i) mod P over the shingle's
@@ -1476,4 +1478,87 @@ def neardup_groups_oracle(threshold: float = 0.2, n: int = 3) -> str:
     )
     SELECT a AS doc_id, least(a, min(b)) AS component
     FROM reach GROUP BY a
+    """
+
+
+def _components_ctes(threshold: float, n: int) -> str:
+    """Shared recursive-CTE chain computing (doc_id, component) — the
+    DuckDB twin of :func:`neardup_groups`, reused by every oracle that
+    composes on top of near-dup components."""
+    return f"""pairs AS ({_lsh_sql(duck=True, threshold=threshold, n=n)}),
+    edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION
+      SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(a, b) AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a WHERE e.b <> r.a
+    ),
+    comp AS (
+      SELECT a AS doc_id, least(a, min(b)) AS component
+      FROM reach GROUP BY a
+    )"""
+
+
+def dedup_keep_best(
+    spark: SparkSession, sf_dir: str, threshold: float = 0.2, n: int = 3
+) -> DataFrame:
+    """Full-corpus keep/drop decision: one representative per near-dup
+    group, everything ungrouped kept.
+
+    The representative is the LONGEST doc of its group (``n_chars``
+    desc), ties to the lowest ``doc_id`` — i.e. "keep the highest-
+    quality copy", the policy production dedup pipelines actually want
+    (vs :func:`neardup_groups`' min-id label, which is a group NAME,
+    not a quality choice).
+
+    Output: ``(doc_id, component, keep)`` for EVERY document —
+    ``component`` NULL for ungrouped docs (always kept).
+
+    Scale shape: ``groups`` is bounded by the number of near-duplicate
+    docs (tiny vs the corpus), so both corpus-side joins broadcast it —
+    two narrow scans of ``documents``, zero corpus shuffle; the
+    ``row_number`` window shuffles only the grouped subset.  At 100 TB
+    with a pathological dup-rate the broadcast degrades to a standard
+    shuffle join automatically (Spark falls back when the side exceeds
+    the threshold) and the plan is still join + window over the dup
+    subset, never the corpus.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "n_chars")
+    # eager lineage-free materialization: groups feeds TWO joins below;
+    # without it the whole LSH+components pipeline would execute twice
+    # (same lifecycle pattern as minhash_lsh_pairs' shingle cache)
+    groups = neardup_groups(spark, sf_dir, threshold, n).localCheckpoint(eager=True)
+    w = Window.partitionBy("component").orderBy(F.col("n_chars").desc(), "doc_id")
+    grouped = (
+        docs.join(F.broadcast(groups), "doc_id")
+        .withColumn("rn", F.row_number().over(w))
+        .select("doc_id", "component", (F.col("rn") == 1).alias("keep"))
+    )
+    ungrouped = docs.join(F.broadcast(groups), "doc_id", "left_anti").select(
+        "doc_id",
+        F.lit(None).cast("long").alias("component"),
+        F.lit(True).alias("keep"),
+    )
+    return grouped.unionByName(ungrouped)
+
+
+def dedup_keep_best_oracle(threshold: float = 0.2, n: int = 3) -> str:
+    return f"""
+    WITH RECURSIVE {_components_ctes(threshold, n)},
+    grouped AS (
+      SELECT d.doc_id, c.component,
+             row_number() OVER (PARTITION BY c.component
+                                ORDER BY d.n_chars DESC, d.doc_id) AS rn
+      FROM documents d JOIN comp c ON d.doc_id = c.doc_id)
+    SELECT doc_id, component, rn = 1 AS keep FROM grouped
+    UNION ALL
+    SELECT d.doc_id, CAST(NULL AS BIGINT) AS component, TRUE AS keep
+    FROM documents d
+    WHERE d.doc_id NOT IN (SELECT doc_id FROM comp)
     """

@@ -43,6 +43,8 @@ __all__ = [
     "DOC_REPETITION_ORACLE",
     "TFIDF_TOPK_ORACLE",
     "STRATIFIED_SAMPLE_ORACLE",
+    "mixture_sample",
+    "MIXTURE_SAMPLE_ORACLE",
 ]
 
 STOPWORDS_EN = ("the", "a", "and", "of", "to", "in", "is")
@@ -755,3 +757,67 @@ def lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def lm_score_oracle() -> str:
     return _lm_score_sql(duck=True)
+
+
+# ---------------------------------------------------------------------------
+# Mixture sampling (per-source up/down-weighting for training-data mixes)
+# ---------------------------------------------------------------------------
+# weights in percent: 250 = 2.5x upsample (2 guaranteed copies + a 50%
+# third), 100 = keep once, 40 = keep 40%, 0 = drop the source entirely.
+MIXTURE_WEIGHTS_PCT = {"src0": 250, "src1": 125, "src2": 100, "src3": 60, "src17": 0}
+MIXTURE_DEFAULT_PCT = 40
+
+
+def _mixture_sql(duck: bool) -> str:
+    rh = (
+        rolling_hash_expr_duckdb("lower(trim(text))")
+        if duck
+        else rolling_hash_expr_spark("lower(trim(text))")
+    )
+    n_copies_case = " ".join(
+        f"WHEN '{s}' THEN {w // 100} + (CASE WHEN bucket < {w % 100} THEN 1 ELSE 0 END)"
+        for s, w in MIXTURE_WEIGHTS_PCT.items()
+    )
+    d, w = MIXTURE_DEFAULT_PCT // 100, MIXTURE_DEFAULT_PCT % 100
+    default = f"{d} + (CASE WHEN bucket < {w} THEN 1 ELSE 0 END)"
+    # Spark's sequence(1, 0) is the DESCENDING [1, 0] (default step -1),
+    # not empty — the n_copies >= 1 filter must come BEFORE the explode
+    # on both engines.
+    explode = (
+        "unnest(generate_series(1, n_copies))"
+        if duck
+        else "explode(sequence(1, n_copies))"
+    )
+    # generators can't be nested in expressions (Spark 42K0E): explode in
+    # its own subquery, the type-unifying CAST outside (generate_series
+    # yields BIGINT, sequence INT)
+    return f"""
+    WITH tagged AS (
+      SELECT doc_id, source, {rh} % 100 AS bucket FROM documents),
+    counted AS (
+      SELECT doc_id, source,
+             CASE source {n_copies_case} ELSE {default} END AS n_copies
+      FROM tagged)
+    SELECT doc_id, source, CAST(copy AS INT) AS copy
+    FROM (SELECT doc_id, source, {explode} AS copy
+          FROM counted WHERE n_copies >= 1)
+    """
+
+
+def mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-source corpus mixing: each source gets a weight
+    (percent); weight > 100 UPSAMPLES by emitting multiple copies (the
+    ``copy`` index lets downstream shuffling/packing treat them as
+    distinct rows), fractional parts resolve by content-hash bucket —
+    no RNG, reproducible across engines, partitionings and reruns.
+
+    This is the data-mixing primitive LLM pipelines run right before
+    sequence packing (e.g. "3x Wikipedia, 0.5x CommonCrawl").  Plan
+    shape: narrow per-row expressions + a generator — zero shuffle,
+    zero state; at 100 TB it is scan-speed and embarrassingly parallel.
+    """
+    spark.read.parquet(f"{sf_dir}/documents.parquet").createOrReplaceTempView("documents")
+    return spark.sql(_mixture_sql(duck=False))
+
+
+MIXTURE_SAMPLE_ORACLE = _mixture_sql(duck=True)

@@ -1,0 +1,64 @@
+"""Mixture sampling + keep-best dedup representative selection."""
+
+from collections import Counter
+
+from flink_infotheoretic_feature_selection_spark.operators.dedup import dedup_keep_best
+from flink_infotheoretic_feature_selection_spark.operators.text import (
+    MIXTURE_DEFAULT_PCT,
+    MIXTURE_WEIGHTS_PCT,
+    mixture_sample,
+)
+from flink_infotheoretic_feature_selection_spark.plans import exchange_count
+
+
+def test_mixture_sample_copy_semantics(spark, sf_dir):
+    rows = mixture_sample(spark, sf_dir).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault((r["doc_id"], r["source"]), []).append(r["copy"])
+    for (doc, src), copies in by_doc.items():
+        # copy indexes are contiguous 1..n
+        assert sorted(copies) == list(range(1, len(copies) + 1))
+        w = MIXTURE_WEIGHTS_PCT.get(src, MIXTURE_DEFAULT_PCT)
+        assert w // 100 <= len(copies) <= w // 100 + 1
+    # a zero-weight source is dropped entirely
+    assert not any(src == "src17" for _, src in by_doc)
+    # upsampled source emits more rows than docs; downsampled fewer
+    n_docs = Counter(
+        r["source"]
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    )
+    n_rows = Counter(r["source"] for r in rows)
+    assert n_rows["src0"] > n_docs["src0"]  # 2.5x
+    assert n_rows["src4"] < n_docs["src4"]  # 0.4x default
+
+
+def test_mixture_sample_deterministic_and_narrow(spark, sf_dir):
+    a = sorted(map(tuple, mixture_sample(spark, sf_dir).collect()))
+    b = sorted(map(tuple, mixture_sample(spark, sf_dir).collect()))
+    assert a == b
+    # scan-speed contract: no shuffle anywhere in the plan
+    assert exchange_count(mixture_sample(spark, sf_dir)) == 0
+
+
+def test_dedup_keep_best_invariants(spark, sf_dir):
+    rows = dedup_keep_best(spark, sf_dir).collect()
+    docs = {
+        r["doc_id"]: r["n_chars"]
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    }
+    # every doc decided exactly once
+    assert sorted(r["doc_id"] for r in rows) == sorted(docs)
+    groups = {}
+    for r in rows:
+        if r["component"] is None:
+            assert r["keep"] is True
+        else:
+            groups.setdefault(r["component"], []).append(r)
+    assert groups, "fixture corpus has near-dup groups"
+    for comp, members in groups.items():
+        kept = [r for r in members if r["keep"]]
+        assert len(kept) == 1
+        # keeper = longest text, ties to lowest doc_id
+        best = min(members, key=lambda r: (-docs[r["doc_id"]], r["doc_id"]))
+        assert kept[0]["doc_id"] == best["doc_id"]
