@@ -190,6 +190,15 @@ def main() -> None:
     )
     results["b12_media_features"] = round(t, 3)
 
+    from flink_infotheoretic_feature_selection_spark.operators import temporal
+
+    t, _ = timed(lambda: temporal.asof_join_query(spark, SF_DIR).count())
+    results["b14_asof_join"] = round(t, 3)
+    t, _ = timed(lambda: temporal.range_join_query(spark, SF_DIR).count())
+    results["b14b_range_join"] = round(t, 3)
+    t, _ = timed(lambda: temporal.hypertable_rollup(spark, SF_DIR).count())
+    results["b14c_hypertable"] = round(t, 3)
+
 
     total = round(sum(v for k, v in results.items() if not k.endswith(("per_iter", "per_sec"))), 3)
     print(

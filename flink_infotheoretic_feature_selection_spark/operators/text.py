@@ -45,6 +45,8 @@ __all__ = [
     "STRATIFIED_SAMPLE_ORACLE",
     "mixture_sample",
     "MIXTURE_SAMPLE_ORACLE",
+    "token_mi_topk",
+    "token_mi_topk_oracle",
 ]
 
 STOPWORDS_EN = ("the", "a", "and", "of", "to", "in", "is")
@@ -821,3 +823,81 @@ def mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 MIXTURE_SAMPLE_ORACLE = _mixture_sql(duck=True)
+
+
+# ---------------------------------------------------------------------------
+# MI-based discriminative-token selection (the reference's core measure,
+# pointed at the corpus)
+# ---------------------------------------------------------------------------
+TOKEN_MI_TOP = 25
+TOKEN_MI_MIN_DF = 5
+
+
+def _token_mi_sql(duck: bool, top: int = TOKEN_MI_TOP, min_df: int = TOKEN_MI_MIN_DF) -> str:
+    """MI(token-presence; source) per vocabulary term, top-k.
+
+    Exactly the reference's relevance measure (InfoTheory.scala:431's
+    MI(feature; class)) with feature = the binary "doc contains term"
+    indicator and class = the doc's source — i.e. feature selection over
+    a text corpus, which is what the reference's MI machinery is FOR,
+    re-expressed against the documents table.
+
+    Scale shape: one distinct over (doc, term) pairs (the only
+    data-sized shuffle), then every aggregate is vocabulary-sized; the
+    (term × source) grid is dense-completed with a LEFT JOIN so
+    zero-count present-cells contribute their absent-cell mass (xlogx(0)
+    = 0 cells are skipped, matching InfoTheory.scala:150-168's guard).
+    ``min_df`` bounds the vocabulary at 100 TB exactly like the
+    reference's distinct-value cap (A3) bounds feature arity.
+
+    Float contract: MI is round-5 like every MI gate in the repo
+    (identical integer counts on both engines; the rounded sum of ~40
+    doubles is the established relevance_mi/lm_score pattern), and the
+    top-k boundary is decided on the ROUNDED value with term as the
+    tiebreak, so ranking can never diverge across engines.
+    """
+    words = _word_explode(duck)
+    return f"""
+    WITH toks AS (
+      SELECT DISTINCT doc_id, term FROM ({words}) WHERE term IS NOT NULL),
+    ns AS (SELECT source, count(*) AS n_s FROM documents GROUP BY source),
+    nn AS (SELECT count(*) AS n FROM documents),
+    df AS (SELECT term, count(*) AS c1tot FROM toks
+           GROUP BY term HAVING count(*) >= {min_df}),
+    c1s AS (
+      SELECT t.term, d.source, count(*) AS c1
+      FROM toks t JOIN documents d USING (doc_id) JOIN df USING (term)
+      GROUP BY t.term, d.source),
+    grid AS (SELECT df.term, ns.source, ns.n_s, df.c1tot FROM df CROSS JOIN ns),
+    cells AS (
+      SELECT g.term, g.n_s, g.c1tot, coalesce(c1s.c1, 0) AS c1
+      FROM grid g LEFT JOIN c1s ON g.term = c1s.term AND g.source = c1s.source),
+    mi AS (
+      SELECT term,
+             round(sum(
+               CASE WHEN c1 > 0
+                    THEN (CAST(c1 AS DOUBLE) / n) *
+                         log2(CAST(c1 AS DOUBLE) * n /
+                              (CAST(c1tot AS DOUBLE) * n_s))
+                    ELSE 0 END
+             + CASE WHEN n_s - c1 > 0 AND n - c1tot > 0
+                    THEN (CAST(n_s - c1 AS DOUBLE) / n) *
+                         log2(CAST(n_s - c1 AS DOUBLE) * n /
+                              (CAST(n - c1tot AS DOUBLE) * n_s))
+                    ELSE 0 END), 5) AS mi
+      FROM cells CROSS JOIN nn
+      GROUP BY term)
+    SELECT term, mi FROM mi ORDER BY mi DESC, term LIMIT {top}
+    """
+
+
+def token_mi_topk(
+    spark: SparkSession, sf_dir: str, top: int = TOKEN_MI_TOP, min_df: int = TOKEN_MI_MIN_DF
+) -> DataFrame:
+    """Top-k tokens most informative about a doc's source, by MI."""
+    spark.read.parquet(f"{sf_dir}/documents.parquet").createOrReplaceTempView("documents")
+    return spark.sql(_token_mi_sql(duck=False, top=top, min_df=min_df))
+
+
+def token_mi_topk_oracle(top: int = TOKEN_MI_TOP, min_df: int = TOKEN_MI_MIN_DF) -> str:
+    return _token_mi_sql(duck=True, top=top, min_df=min_df)

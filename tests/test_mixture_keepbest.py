@@ -62,3 +62,37 @@ def test_dedup_keep_best_invariants(spark, sf_dir):
         # keeper = longest text, ties to lowest doc_id
         best = min(members, key=lambda r: (-docs[r["doc_id"]], r["doc_id"]))
         assert kept[0]["doc_id"] == best["doc_id"]
+
+
+def test_token_mi_topk_matches_brute_force(spark, sf_dir):
+    import math
+    import re
+
+    from flink_infotheoretic_feature_selection_spark.operators.text import token_mi_topk
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    n = len(docs)
+    n_s = {}
+    present = {}
+    for d in docs:
+        n_s[d["source"]] = n_s.get(d["source"], 0) + 1
+        for t in set(re.findall(r"[a-z]+", d["text"].lower())):
+            present.setdefault(t, {}).setdefault(d["source"], 0)
+            present[t][d["source"]] += 1
+    expect = {}
+    for t, by_src in present.items():
+        c1tot = sum(by_src.values())
+        if c1tot < 5:
+            continue
+        mi = 0.0
+        for s, ns in n_s.items():
+            c1 = by_src.get(s, 0)
+            if c1 > 0:
+                mi += (c1 / n) * math.log2(c1 * n / (c1tot * ns))
+            c0 = ns - c1
+            if c0 > 0 and n - c1tot > 0:
+                mi += (c0 / n) * math.log2(c0 * n / ((n - c1tot) * ns))
+        expect[t] = round(mi, 5)
+    want = sorted(expect.items(), key=lambda kv: (-kv[1], kv[0]))[:25]
+    got = [(r["term"], r["mi"]) for r in token_mi_topk(spark, sf_dir).collect()]
+    assert got == want
