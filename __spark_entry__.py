@@ -672,6 +672,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_keep_best": dedup.dedup_keep_best,
         "mixture_sample": text.mixture_sample,
         "token_mi_topk": text.token_mi_topk,
+        "quality_quantile_filter": text.quality_quantile_filter,
         "media_meta": _q_media_meta,
         "media_features": _q_media_features,
         "media_resize": _q_media_resize,
@@ -818,6 +819,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_keep_best": dedup.dedup_keep_best_oracle(),
         "mixture_sample": text.MIXTURE_SAMPLE_ORACLE,
         "token_mi_topk": text.token_mi_topk_oracle(),
+        "quality_quantile_filter": text.quality_quantile_filter_oracle(),
         "events_props_agg": events_ops.EVENTS_PROPS_AGG_ORACLE,
         "profile_lineitem": profile_ops.PROFILE_LINEITEM_ORACLE,
         "pipeline_clean_pack": pipeline_ops.pipeline_oracle(),

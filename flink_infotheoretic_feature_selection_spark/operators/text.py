@@ -47,6 +47,8 @@ __all__ = [
     "MIXTURE_SAMPLE_ORACLE",
     "token_mi_topk",
     "token_mi_topk_oracle",
+    "quality_quantile_filter",
+    "quality_quantile_filter_oracle",
 ]
 
 STOPWORDS_EN = ("the", "a", "and", "of", "to", "in", "is")
@@ -67,6 +69,19 @@ _BPE = r"regexp_extract_all(lower(text), '[a-z]+|[0-9]|[^a-z0-9\\s]', 0)"
 _BPE_DUCK = r"regexp_extract_all(lower(text), '[a-z]+|[0-9]|[^a-z0-9\s]')"
 
 
+def _quality_expr(duck: bool) -> str:
+    """Just the round-5 quality-score expression (no alias) — shared by
+    text_stats and the per-language quantile filter so the two can never
+    disagree on what quality means."""
+    tokens = _TOKENS_DUCK if duck else _TOKENS
+    size = "len" if duck else "size"
+    return f"""round(least(CAST(1.0 AS DOUBLE), {size}({tokens}) / CAST(97.0 AS DOUBLE))
+            * (CAST(0.5 AS DOUBLE)
+               + CAST(0.5 AS DOUBLE) * least(CAST(length(replace(text, ' ', '')) AS DOUBLE)
+                                  / {size}({tokens}) / CAST(7.3 AS DOUBLE),
+                                  CAST(1.0 AS DOUBLE))), 5)"""
+
+
 def _stats_select(duck: bool) -> str:
     tokens = _TOKENS_DUCK if duck else _TOKENS
     words = _WORDS_DUCK if duck else _WORDS
@@ -85,11 +100,7 @@ def _stats_select(duck: bool) -> str:
       round(CAST(length(replace(text, ' ', '')) AS DOUBLE)
             / {size}({tokens}), 5) AS avg_token_len,
       round(CAST({stop_filter} AS DOUBLE) / {size}({tokens}), 5) AS stopword_ratio,
-      round(least(CAST(1.0 AS DOUBLE), {size}({tokens}) / CAST(97.0 AS DOUBLE))
-            * (CAST(0.5 AS DOUBLE)
-               + CAST(0.5 AS DOUBLE) * least(CAST(length(replace(text, ' ', '')) AS DOUBLE)
-                                  / {size}({tokens}) / CAST(7.3 AS DOUBLE),
-                                  CAST(1.0 AS DOUBLE))), 5) AS quality_score
+      {_quality_expr(duck)} AS quality_score
     """
 
 
@@ -901,3 +912,52 @@ def token_mi_topk(
 
 def token_mi_topk_oracle(top: int = TOKEN_MI_TOP, min_df: int = TOKEN_MI_MIN_DF) -> str:
     return _token_mi_sql(duck=True, top=top, min_df=min_df)
+
+
+# ---------------------------------------------------------------------------
+# Per-language quality-quantile filter
+# ---------------------------------------------------------------------------
+QUANTILE_KEEP = 0.5  # keep the top half of each language
+
+
+def _quantile_filter_sql(duck: bool, keep: float = QUANTILE_KEEP) -> str:
+    """Keep each language's top ``keep`` fraction by quality score.
+
+    Absolute quality thresholds are the classic corpus-curation mistake
+    — a cutoff tuned on English drops most of every lower-resource
+    language.  Ranking WITHIN language and cutting at a per-language
+    quantile is the standard fix, and it is one window over the scan:
+    shuffle = one exchange on lang_pred (same skew class as any
+    group-by; a corpus that is 90% one language is the sessionize_skew
+    situation and the same bucket+stitch applies if a single language
+    partition ever exceeds an executor).
+
+    Determinism/hash-stability: quality is the shared round-5
+    expression, the window order has a doc_id tiebreak (no rank ties →
+    percent_rank is the exact rational (rank-1)/(n-1), bit-identical on
+    both engines), and the keep boundary compares those exact doubles.
+    """
+    return f"""
+    WITH scored AS (
+      SELECT doc_id, {_lang_case(duck)} AS lang_pred, {_quality_expr(duck)} AS quality_score
+      FROM documents),
+    ranked AS (
+      SELECT doc_id, lang_pred, quality_score,
+             percent_rank() OVER (PARTITION BY lang_pred
+                                  ORDER BY quality_score DESC, doc_id) AS pr
+      FROM scored)
+    SELECT doc_id, lang_pred, quality_score, round(pr, 5) AS pr
+    FROM ranked WHERE pr <= {keep}
+    """
+
+
+def quality_quantile_filter(
+    spark: SparkSession, sf_dir: str, keep: float = QUANTILE_KEEP
+) -> DataFrame:
+    """Per-language top-``keep``-fraction quality filter."""
+    spark.read.parquet(f"{sf_dir}/documents.parquet").createOrReplaceTempView("documents")
+    return spark.sql(_quantile_filter_sql(duck=False, keep=keep))
+
+
+def quality_quantile_filter_oracle(keep: float = QUANTILE_KEEP) -> str:
+    return _quantile_filter_sql(duck=True, keep=keep)

@@ -37,6 +37,7 @@ __all__ = [
     "windowed_event_agg",
     "streaming_dedup",
     "streaming_neardup",
+    "stream_range_join",
     "sessionize_stream",
     "stateful_user_stats",
     "stream_text_stats",
@@ -276,3 +277,52 @@ def streaming_neardup(
         .withWatermark(ts_col, watermark)
         .dropDuplicatesWithinWatermark(["simhash64"])
     )
+
+
+def stream_range_join(
+    intervals: DataFrame,
+    probe: DataFrame,
+    window_sec: int = 120,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Stream-stream point-in-interval join with watermark-bounded state.
+
+    The streaming twin of :func:`~..operators.temporal.range_join`:
+    every probe row joins each interval whose ``[start, start +
+    window_sec)`` contains its event time.
+
+    Spark REFUSES stream-stream joins without an equality predicate
+    (state matching would be all-pairs) — and the batch operator's
+    max-width time-bucket trick is exactly the missing equi-key: the
+    interval side explodes onto the ≤2 buckets it covers, the probe
+    side computes its single floor bucket, and the join is
+    ``bucket = bucket AND ts ∈ [start, start+w)``.  Both sides carry
+    watermarks and the bucket+range condition bounds each side's match
+    horizon, so both join buffers evict by watermark — state is O(rows
+    in one horizon), never unbounded.  Late data beyond the watermark
+    is dropped, matching every other streaming op in this module.
+    """
+    from pyspark.sql import functions as F
+
+    w_us = int(window_sec) * 1_000_000
+    iv = (
+        intervals.withWatermark("start", watermark)
+        .withColumn(
+            "__bucket",
+            F.explode(
+                F.sequence(
+                    F.expr(f"unix_micros(start) div {w_us}"),
+                    F.expr(f"(unix_micros(start) + {w_us} - 1) div {w_us}"),
+                )
+            ),
+        )
+    )
+    pb = probe.withWatermark("ts", watermark).withColumn(
+        "__bucket", F.expr(f"unix_micros(ts) div {w_us}")
+    )
+    cond = (
+        (pb["__bucket"] == iv["__bucket"])
+        & (pb["ts"] >= iv["start"])
+        & (pb["ts"] < iv["start"] + F.expr(f"interval {int(window_sec)} seconds"))
+    )
+    return pb.join(iv, cond, "inner").drop("__bucket")

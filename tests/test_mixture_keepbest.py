@@ -96,3 +96,30 @@ def test_token_mi_topk_matches_brute_force(spark, sf_dir):
     want = sorted(expect.items(), key=lambda kv: (-kv[1], kv[0]))[:25]
     got = [(r["term"], r["mi"]) for r in token_mi_topk(spark, sf_dir).collect()]
     assert got == want
+
+
+def test_quality_quantile_filter_matches_brute_force(spark, sf_dir):
+    from flink_infotheoretic_feature_selection_spark.operators.text import (
+        lang_id,
+        quality_quantile_filter,
+        text_stats,
+    )
+
+    q = {r["doc_id"]: r["quality_score"] for r in text_stats(spark, sf_dir).collect()}
+    lang = {r["doc_id"]: r["lang_pred"] for r in lang_id(spark, sf_dir).collect()}
+    by_lang = {}
+    for doc, lp in lang.items():
+        by_lang.setdefault(lp, []).append(doc)
+    expect = {}
+    for lp, docs in by_lang.items():
+        ordered = sorted(docs, key=lambda d: (-q[d], d))
+        n = len(ordered)
+        for rank, d in enumerate(ordered):  # no ties (doc_id tiebreak)
+            pr = 0.0 if n == 1 else rank / (n - 1)
+            if pr <= 0.5:
+                expect[d] = (lp, q[d], round(pr, 5))
+    got = {
+        r["doc_id"]: (r["lang_pred"], r["quality_score"], r["pr"])
+        for r in quality_quantile_filter(spark, sf_dir).collect()
+    }
+    assert got == expect

@@ -398,3 +398,66 @@ def test_streaming_neardup_drops_bag_of_words_dups(spark, tmp_path):
     assert 3 in kept_ids
     assert len(kept_ids) == 2
     assert len(kept_ids & {1, 2}) == 1
+
+
+def test_stream_range_join_matches_batch(spark, sf_dir, events_dir):
+    # stream-stream interval join == the batch bucketed range join on
+    # the same data (both sides read the same landing dir, filtered by
+    # type inside the stream).
+    from flink_infotheoretic_feature_selection_spark.operators.temporal import (
+        range_join_query,
+    )
+    from flink_infotheoretic_feature_selection_spark.streaming.ops import (
+        read_events_stream,
+        stream_range_join,
+    )
+
+    intervals = (
+        read_events_stream(spark, events_dir)
+        .filter(F.col("event_type") == "error")
+        .select(F.col("event_id").alias("interval_id"), F.col("ts").alias("start"))
+    )
+    probe = (
+        read_events_stream(spark, events_dir)
+        .filter(F.col("event_type") == "view")
+        .select("ts", "value")
+    )
+    joined = stream_range_join(intervals, probe, window_sec=120)
+    got = (
+        run_to_memory(joined, "range_join_stream")
+        .groupBy("interval_id")
+        .agg(
+            F.count("*").alias("n_hits"),
+            F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("sum_cents"),
+        )
+        .collect()
+    )
+    exp = range_join_query(spark, sf_dir).collect()
+    got_map = {r["interval_id"]: (r["n_hits"], r["sum_cents"]) for r in got}
+    exp_map = {r["interval_id"]: (r["n_hits"], r["sum_cents"]) for r in exp}
+    assert got_map == exp_map
+
+
+def test_stream_range_join_state_is_watermark_bounded(spark, events_dir):
+    # the physical streaming plan must contain a stream-stream join with
+    # watermarks on BOTH sides (the bounded-state contract); an
+    # un-range-bound condition would reject or buffer forever.
+    from flink_infotheoretic_feature_selection_spark.streaming.ops import (
+        read_events_stream,
+        stream_range_join,
+    )
+
+    intervals = (
+        read_events_stream(spark, events_dir)
+        .filter(F.col("event_type") == "error")
+        .select(F.col("event_id").alias("interval_id"), F.col("ts").alias("start"))
+    )
+    probe = (
+        read_events_stream(spark, events_dir)
+        .filter(F.col("event_type") == "view")
+        .select("ts", "value")
+    )
+    joined = stream_range_join(intervals, probe, window_sec=120)
+    assert joined.isStreaming
+    plan = joined._jdf.queryExecution().analyzed().toString()
+    assert plan.count("EventTimeWatermark") == 2
