@@ -673,6 +673,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_sample": text.mixture_sample,
         "token_mi_topk": text.token_mi_topk,
         "quality_quantile_filter": text.quality_quantile_filter,
+        "hash_split": text.hash_split,
+        "key_skew_profile": profile_ops.key_skew_profile_query,
         "media_meta": _q_media_meta,
         "media_features": _q_media_features,
         "media_resize": _q_media_resize,
@@ -820,6 +822,8 @@ def oracle_sql() -> dict[str, str]:
         "mixture_sample": text.MIXTURE_SAMPLE_ORACLE,
         "token_mi_topk": text.token_mi_topk_oracle(),
         "quality_quantile_filter": text.quality_quantile_filter_oracle(),
+        "hash_split": text.HASH_SPLIT_ORACLE,
+        "key_skew_profile": profile_ops.KEY_SKEW_PROFILE_ORACLE,
         "events_props_agg": events_ops.EVENTS_PROPS_AGG_ORACLE,
         "profile_lineitem": profile_ops.PROFILE_LINEITEM_ORACLE,
         "pipeline_clean_pack": pipeline_ops.pipeline_oracle(),

@@ -15,7 +15,14 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-__all__ = ["profile_columns", "profile_lineitem", "PROFILE_LINEITEM_ORACLE"]
+__all__ = [
+    "profile_columns",
+    "profile_lineitem",
+    "PROFILE_LINEITEM_ORACLE",
+    "key_skew_profile",
+    "key_skew_profile_query",
+    "KEY_SKEW_PROFILE_ORACLE",
+]
 
 # numeric lineitem columns profiled by the gate query (stable order)
 _LINEITEM_NUMERIC = [
@@ -65,3 +72,57 @@ PROFILE_LINEITEM_ORACLE = "\nUNION ALL\n".join(
 FROM lineitem"""
     for c in _LINEITEM_NUMERIC
 )
+
+
+# ---------------------------------------------------------------------------
+# Join-key skew profile
+# ---------------------------------------------------------------------------
+SKEW_TOP = 20
+
+
+def key_skew_profile(df: DataFrame, key: str, top: int = SKEW_TOP) -> DataFrame:
+    """Top-``top`` heaviest values of ``key`` with their share of all
+    rows — the diagnostic you run BEFORE a big join to decide between a
+    plain shuffle join, AQE skew splitting, or `joins.salted_join`.
+
+    One partial+final count agg (shuffle carries key cells, not rows)
+    + a TakeOrderedAndProject for the top slice.  The total is a
+    1-row aggregate broadcast back onto the cells — NOT an
+    ``OVER ()`` window, which would funnel every distinct key through
+    a single partition (billions of cells at 100 TB).  Ties rank by
+    key value so the slice is deterministic.
+
+    The count agg is evaluated twice (once for cells, once for the
+    total) — callers profiling a table they already have cached pay
+    one scan; for a one-off diagnostic the second pass of an
+    already-pruned single-column scan is the explicit price of keeping
+    the plan window-free.  ``.persist()`` the input to collapse it.
+    """
+    from pyspark.sql import functions as F
+
+    counts = df.groupBy(F.col(key).alias("key")).agg(F.count("*").alias("n"))
+    total = counts.agg(F.sum("n").alias("__total"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .withColumn("share", F.round(F.col("n") / F.col("__total"), 5))
+        .drop("__total")
+        .orderBy(F.col("n").desc(), "key")
+        .limit(top)
+    )
+
+
+def key_skew_profile_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate query: heaviest users in the events table."""
+    from flink_infotheoretic_feature_selection_spark.datasets import load_events
+
+    return key_skew_profile(load_events(spark, sf_dir), "user_id")
+
+
+KEY_SKEW_PROFILE_ORACLE = f"""
+WITH counts AS (
+  SELECT user_id AS key, count(*) AS n FROM events GROUP BY user_id)
+SELECT key, n, round(CAST(n AS DOUBLE) / sum(n) OVER (), 5) AS share
+FROM counts
+ORDER BY n DESC, key
+LIMIT {SKEW_TOP}
+"""

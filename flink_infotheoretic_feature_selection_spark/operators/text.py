@@ -49,6 +49,8 @@ __all__ = [
     "token_mi_topk_oracle",
     "quality_quantile_filter",
     "quality_quantile_filter_oracle",
+    "hash_split",
+    "HASH_SPLIT_ORACLE",
 ]
 
 STOPWORDS_EN = ("the", "a", "and", "of", "to", "in", "is")
@@ -961,3 +963,41 @@ def quality_quantile_filter(
 
 def quality_quantile_filter_oracle(keep: float = QUANTILE_KEEP) -> str:
     return _quantile_filter_sql(duck=True, keep=keep)
+
+
+# ---------------------------------------------------------------------------
+# Deterministic train/val/test split
+# ---------------------------------------------------------------------------
+SPLIT_PCTS = {"train": 80, "val": 10}  # remainder = test
+
+
+def _hash_split_sql(duck: bool) -> str:
+    rh = (
+        rolling_hash_expr_duckdb("lower(trim(text))")
+        if duck
+        else rolling_hash_expr_spark("lower(trim(text))")
+    )
+    train, val = SPLIT_PCTS["train"], SPLIT_PCTS["val"]
+    return f"""
+    SELECT doc_id,
+           CASE WHEN bucket < {train} THEN 'train'
+                WHEN bucket < {train + val} THEN 'val'
+                ELSE 'test' END AS split
+    FROM (SELECT doc_id, {rh} % 100 AS bucket FROM documents)
+    """
+
+
+def hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic content-hash train/val/test assignment (80/10/10).
+
+    Content-keyed (not id-keyed) on purpose: re-ingesting the same
+    document under a new doc_id lands in the SAME split, so eval can
+    never silently leak into train across pipeline reruns — the
+    property random or id-keyed splits lose.  Narrow per-row
+    expression, zero shuffle, scan-speed at any scale.
+    """
+    spark.read.parquet(f"{sf_dir}/documents.parquet").createOrReplaceTempView("documents")
+    return spark.sql(_hash_split_sql(duck=False))
+
+
+HASH_SPLIT_ORACLE = _hash_split_sql(duck=True)

@@ -123,3 +123,41 @@ def test_quality_quantile_filter_matches_brute_force(spark, sf_dir):
         for r in quality_quantile_filter(spark, sf_dir).collect()
     }
     assert got == expect
+
+
+def test_hash_split_deterministic_and_content_keyed(spark, sf_dir):
+    from flink_infotheoretic_feature_selection_spark.operators.text import hash_split
+
+    rows = hash_split(spark, sf_dir).collect()
+    assert {r["split"] for r in rows} == {"train", "val", "test"}
+    # content-keyed: identical text -> identical split, whatever the id
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    split = {r["doc_id"]: r["split"] for r in rows}
+    by_text = {}
+    for d in docs:
+        by_text.setdefault(d["text"].strip().lower(), set()).add(split[d["doc_id"]])
+    assert all(len(s) == 1 for s in by_text.values())
+    # roughly 80/10/10 (content hash, so loose bounds)
+    from collections import Counter
+
+    c = Counter(r["split"] for r in rows)
+    n = len(rows)
+    assert 0.6 < c["train"] / n < 0.95
+    assert exchange_count(hash_split(spark, sf_dir)) == 0
+
+
+def test_key_skew_profile_hand_computed(spark):
+    from pyspark.sql import functions as F
+
+    from flink_infotheoretic_feature_selection_spark.operators.profile import (
+        key_skew_profile,
+    )
+
+    df = spark.range(100).select(
+        F.when(F.col("id") < 60, F.lit(7)).otherwise(F.col("id")).alias("k")
+    )
+    rows = key_skew_profile(df, "k", top=3).collect()
+    assert (rows[0]["key"], rows[0]["n"], rows[0]["share"]) == (7, 60, 0.6)
+    # remaining keys all have n=1; ties resolve by key ascending
+    assert [r["key"] for r in rows[1:]] == [60, 61]
+    assert all(r["share"] == 0.01 for r in rows[1:])
