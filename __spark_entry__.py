@@ -674,6 +674,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_mi_topk": text.token_mi_topk,
         "quality_quantile_filter": text.quality_quantile_filter,
         "hash_split": text.hash_split,
+        "pipeline_curate_split": pipeline_ops.pipeline_curate_split,
         "key_skew_profile": profile_ops.key_skew_profile_query,
         "media_meta": _q_media_meta,
         "media_features": _q_media_features,
@@ -823,6 +824,7 @@ def oracle_sql() -> dict[str, str]:
         "token_mi_topk": text.token_mi_topk_oracle(),
         "quality_quantile_filter": text.quality_quantile_filter_oracle(),
         "hash_split": text.HASH_SPLIT_ORACLE,
+        "pipeline_curate_split": pipeline_ops.pipeline_curate_split_oracle(),
         "key_skew_profile": profile_ops.KEY_SKEW_PROFILE_ORACLE,
         "events_props_agg": events_ops.EVENTS_PROPS_AGG_ORACLE,
         "profile_lineitem": profile_ops.PROFILE_LINEITEM_ORACLE,

@@ -39,7 +39,12 @@ from flink_infotheoretic_feature_selection_spark.operators.text import (
     rolling_hash_expr_spark,
 )
 
-__all__ = ["pipeline_clean_pack", "pipeline_oracle"]
+__all__ = [
+    "pipeline_clean_pack",
+    "pipeline_oracle",
+    "pipeline_curate_split",
+    "pipeline_curate_split_oracle",
+]
 
 
 def _pipeline_sql(duck: bool) -> str:
@@ -90,3 +95,87 @@ def pipeline_clean_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def pipeline_oracle() -> str:
     return _pipeline_sql(duck=True)
+
+
+def _curate_split_sql(duck: bool) -> str:
+    """quantile-filter → hash-split → mixture-upsample(train), composed.
+
+    The split assignment and the mixture's fractional draw BOTH need a
+    uniform hash in [0,100) — but using the SAME bucket would correlate
+    them (every upsampled doc would also sit in the low-bucket corner of
+    the train split).  The mixture draw therefore uses the NEXT two
+    digits of the same rolling hash (``(h DIV 100) % 100``), an
+    independent stream from one hash computation.
+    """
+    from flink_infotheoretic_feature_selection_spark.operators.text import (
+        MIXTURE_DEFAULT_PCT,
+        MIXTURE_WEIGHTS_PCT,
+        QUANTILE_KEEP,
+        SPLIT_PCTS,
+        _lang_case,
+        _quality_expr,
+    )
+
+    rh = (
+        rolling_hash_expr_duckdb("lower(trim(text))")
+        if duck
+        else rolling_hash_expr_spark("lower(trim(text))")
+    )
+    idiv = "//" if duck else "DIV"
+    train, val = SPLIT_PCTS["train"], SPLIT_PCTS["val"]
+    n_copies_case = " ".join(
+        f"WHEN '{s}' THEN {w // 100} + (CASE WHEN bucket2 < {w % 100} THEN 1 ELSE 0 END)"
+        for s, w in MIXTURE_WEIGHTS_PCT.items()
+    )
+    d, frac = MIXTURE_DEFAULT_PCT // 100, MIXTURE_DEFAULT_PCT % 100
+    default = f"{d} + (CASE WHEN bucket2 < {frac} THEN 1 ELSE 0 END)"
+    explode = (
+        "unnest(generate_series(1, n_copies))"
+        if duck
+        else "explode(sequence(1, n_copies))"
+    )
+    return f"""
+    WITH scored AS (
+      SELECT doc_id, source,
+             {_lang_case(duck)} AS lang_pred,
+             {_quality_expr(duck)} AS quality_score,
+             {rh} AS h
+      FROM documents),
+    ranked AS (
+      SELECT doc_id, source, h,
+             percent_rank() OVER (PARTITION BY lang_pred
+                                  ORDER BY quality_score DESC, doc_id) AS pr
+      FROM scored),
+    kept AS (
+      SELECT doc_id, source, h % 100 AS bucket, (h {idiv} 100) % 100 AS bucket2
+      FROM ranked WHERE pr <= {QUANTILE_KEEP}),
+    splits AS (
+      SELECT doc_id, source, bucket2,
+             CASE WHEN bucket < {train} THEN 'train'
+                  WHEN bucket < {train + val} THEN 'val'
+                  ELSE 'test' END AS split
+      FROM kept),
+    counted AS (
+      SELECT doc_id, source, split,
+             CASE WHEN split <> 'train' THEN 1
+                  ELSE CASE source {n_copies_case} ELSE {default} END
+             END AS n_copies
+      FROM splits)
+    SELECT doc_id, source, split, CAST(copy AS INT) AS copy
+    FROM (SELECT doc_id, source, split, {explode} AS copy
+          FROM counted WHERE n_copies >= 1)
+    """
+
+
+def pipeline_curate_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed curation: per-language quality-quantile filter →
+    content-hash train/val/test split → per-source mixture upsampling of
+    the train split (val/test never duplicated).  One statement; the
+    only shuffle is the quantile window's exchange on lang_pred —
+    everything downstream is narrow."""
+    spark.read.parquet(f"{sf_dir}/documents.parquet").createOrReplaceTempView("documents")
+    return spark.sql(_curate_split_sql(duck=False))
+
+
+def pipeline_curate_split_oracle() -> str:
+    return _curate_split_sql(duck=True)

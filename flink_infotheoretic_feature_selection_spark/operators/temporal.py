@@ -60,31 +60,37 @@ def asof_join(
     key: str = "user_id",
     ts: str = "ts",
     ref_cols: tuple[str, ...] = ("ref_value",),
+    ref_tiebreak: str | None = None,
 ) -> DataFrame:
     """For every ``left`` row, attach the latest ``ref`` row with
     ``ref.ts <= left.ts`` for the same ``key`` (inclusive, i.e. kdb+
     ``aj`` / DuckDB ``ASOF`` with ``>=`` semantics); NULLs if none.
 
-    ``ref`` MUST be unique per ``(key, ts)`` — as-of semantics are
-    ill-defined otherwise (callers dedupe with a deterministic rule
-    first; :func:`asof_join_query` keeps the max-event_id row).
+    ``ref`` must be unique per ``(key, ts)`` — OR pass ``ref_tiebreak``,
+    a ref column whose MAXIMUM picks the winning row among equal
+    ``(key, ts)`` duplicates.  The tiebreak folds into the window SORT
+    ORDER (duplicates sort ascending, ``last()`` keeps the max) instead
+    of a pre-aggregation, which would cost a second exchange on
+    ``(key, ts)`` before the window's exchange on ``key``.
 
     Plan shape: union-interleave + one running window.  ``ref`` rows
     sort BEFORE ``left`` rows at equal ``ts`` (side 0 < 1) so an exact
-    tie matches, per the inclusive contract.  One exchange on ``key``;
-    no join operator in the plan at all — at 100 TB this is one
-    data-sized shuffle and a linear in-partition pass, with no
-    build-side memory and no skew amplification (a hot key costs one
-    fat sorted partition, not a quadratic probe).
+    tie matches, per the inclusive contract.  ONE exchange on ``key``
+    total (plan-pinned); no join operator in the plan at all — at
+    100 TB this is one data-sized shuffle and a linear in-partition
+    pass, with no build-side memory and no skew amplification (a hot
+    key costs one fat sorted partition, not a quadratic probe).
     """
     from pyspark.sql.window import Window
 
     left_cols = [c for c in left.columns if c != key and c != ts]
+    tb_type = ref.schema[ref_tiebreak].dataType if ref_tiebreak else None
     ref_side = ref.select(
         key,
         ts,
         F.lit(0).alias("__side"),
         F.col(ts).alias("ref_ts"),
+        *([F.col(ref_tiebreak).alias("__tb")] if ref_tiebreak else []),
         *[F.col(c) for c in ref_cols],
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left_cols],
     )
@@ -93,12 +99,17 @@ def asof_join(
         ts,
         F.lit(1).alias("__side"),
         F.lit(None).cast(ref.schema[ts].dataType).alias("ref_ts"),
+        *([F.lit(None).cast(tb_type).alias("__tb")] if ref_tiebreak else []),
         *[F.lit(None).cast(ref.schema[c].dataType).alias(c) for c in ref_cols],
         *[F.col(c) for c in left_cols],
     )
+    # among equal (key, ts) ref duplicates, ascending tiebreak puts the
+    # max LAST so the running last() picks it; left rows' NULL tiebreak
+    # is irrelevant because __side already orders them after every ref
+    order = [ts, "__side"] + (["__tb"] if ref_tiebreak else [])
     w = (
         Window.partitionBy(key)
-        .orderBy(ts, "__side")
+        .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = [F.last("ref_ts", ignorenulls=True).over(w).alias("ref_ts")] + [
@@ -118,17 +129,16 @@ def asof_join_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     from flink_infotheoretic_feature_selection_spark.datasets import load_events
 
     ev = load_events(spark, sf_dir)
-    # deterministic (user_id, ts) dedupe of the reference side: keep the
-    # max-event_id row's value (mirrored exactly in the oracle)
-    ref = (
-        ev.filter(F.col("event_type") == "error")
-        .groupBy("user_id", "ts")
-        .agg(F.max_by("value", "event_id").alias("ref_value"))
+    # duplicate (user_id, ts) refs resolve to the max-event_id row — as
+    # a window-order tiebreak, NOT a pre-aggregation (saves a second
+    # exchange; the oracle states the same rule as max_by)
+    ref = ev.filter(F.col("event_type") == "error").select(
+        "user_id", "ts", "event_id", F.col("value").alias("ref_value")
     )
     left = ev.filter(F.col("event_type") == "click").select(
         "user_id", "ts", "event_id", "value"
     )
-    out = asof_join(left, ref)
+    out = asof_join(left, ref, ref_tiebreak="event_id")
     return out.select("event_id", "ts", "user_id", "value", "ref_ts", "ref_value")
 
 

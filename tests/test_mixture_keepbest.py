@@ -161,3 +161,38 @@ def test_key_skew_profile_hand_computed(spark):
     # remaining keys all have n=1; ties resolve by key ascending
     assert [r["key"] for r in rows[1:]] == [60, 61]
     assert all(r["share"] == 0.01 for r in rows[1:])
+
+
+def test_pipeline_curate_split_composes_stage_semantics(spark, sf_dir):
+    from collections import Counter
+
+    from flink_infotheoretic_feature_selection_spark.operators.pipeline import (
+        pipeline_curate_split,
+    )
+    from flink_infotheoretic_feature_selection_spark.operators.text import (
+        MIXTURE_DEFAULT_PCT,
+        MIXTURE_WEIGHTS_PCT,
+        quality_quantile_filter,
+    )
+
+    rows = pipeline_curate_split(spark, sf_dir).collect()
+    kept = {r["doc_id"] for r in quality_quantile_filter(spark, sf_dir).collect()}
+    # every emitted doc survived the quantile stage; nothing else did
+    assert {r["doc_id"] for r in rows} <= kept
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for doc, rs in by_doc.items():
+        splits = {r["split"] for r in rs}
+        assert len(splits) == 1  # one split per doc
+        copies = sorted(r["copy"] for r in rs)
+        assert copies == list(range(1, len(copies) + 1))
+        if splits != {"train"}:
+            assert len(rs) == 1  # val/test never upsampled
+        else:
+            w = MIXTURE_WEIGHTS_PCT.get(rs[0]["source"], MIXTURE_DEFAULT_PCT)
+            assert max(w // 100, 1) <= len(rs) <= w // 100 + 1
+    # zero-weight source can still appear in val/test (mixture only
+    # applies to train) but never with >0 train copies
+    train_srcs = Counter(r["source"] for r in rows if r["split"] == "train")
+    assert train_srcs.get("src17", 0) == 0

@@ -156,3 +156,78 @@ def test_hypertable_rollup_single_scan(spark, sf_dir):
     assert plan.count("Location:") == 1
     assert "Expand" in plan  # grouping-sets expand, map-side
     assert "partial_count" in plan  # partial agg BELOW the exchange
+
+
+def test_asof_join_randomized_vs_brute_force(spark):
+    # seeded-random micro-tables (duplicate ts on both sides, sparse
+    # keys) checked against a linear-scan reference — one Spark job per
+    # seed, not per hypothesis example
+    import random
+
+    for seed in (1, 7, 42):
+        rng = random.Random(seed)
+        left_rows = [
+            (rng.randint(1, 4), _ts(rng.randint(0, 50)), i)
+            for i in range(40)
+        ]
+        ref_rows = [
+            (rng.randint(1, 4), _ts(rng.randint(0, 50)), float(i))
+            for i in range(30)
+        ]
+        left = spark.createDataFrame(left_rows, "user_id long, ts timestamp, event_id long")
+        # dedupe ref to unique (key, ts) with max-value rule (mirrors
+        # asof_join_query's max_by discipline)
+        best = {}
+        for k, t, v in ref_rows:
+            if (k, t) not in best or v > best[(k, t)]:
+                best[(k, t)] = v
+        ref = spark.createDataFrame(
+            [(k, t, v) for (k, t), v in best.items()],
+            "user_id long, ts timestamp, ref_value double",
+        )
+        got = {
+            r["event_id"]: (r["ref_ts"], r["ref_value"])
+            for r in asof_join(left, ref).collect()
+        }
+        for k, t, i in left_rows:
+            cands = [(rt, v) for (rk, rt), v in best.items() if rk == k and rt <= t]
+            expect = max(cands, key=lambda c: c[0]) if cands else (None, None)
+            assert got[i] == expect, (seed, i)
+
+
+def test_range_join_randomized_vs_brute_force(spark):
+    import datetime as dtm
+    import random
+
+    for seed in (3, 9):
+        rng = random.Random(seed)
+        iv_rows = [
+            (i, _ts(rng.randint(0, 300)))
+            for i in range(15)
+        ]
+        probe_rows = [(_ts(rng.randint(0, 500)), float(i)) for i in range(80)]
+        iv = spark.createDataFrame(
+            [(i, s, s + dtm.timedelta(seconds=120)) for i, s in iv_rows],
+            "interval_id long, start timestamp, end timestamp",
+        )
+        probe = spark.createDataFrame(probe_rows, "ts timestamp, value double")
+        got = sorted(
+            (r["interval_id"], r["ts"], r["value"])
+            for r in range_join(iv, probe, 120_000_000).collect()
+        )
+        expect = sorted(
+            (i, t, v)
+            for i, s in iv_rows
+            for t, v in probe_rows
+            if s <= t < s + dtm.timedelta(seconds=120)
+        )
+        assert got == expect, seed
+
+
+def test_asof_join_single_exchange(spark, sf_dir):
+    from flink_infotheoretic_feature_selection_spark.operators.temporal import asof_join_query
+    from flink_infotheoretic_feature_selection_spark.plans import exchange_count
+
+    # union-interleave: both sides flow into ONE exchange (the window's
+    # hashpartitioning on user_id) — the whole point of the no-join shape
+    assert exchange_count(asof_join_query(spark, sf_dir)) == 1
