@@ -231,3 +231,19 @@ def test_asof_join_single_exchange(spark, sf_dir):
     # union-interleave: both sides flow into ONE exchange (the window's
     # hashpartitioning on user_id) — the whole point of the no-join shape
     assert exchange_count(asof_join_query(spark, sf_dir)) == 1
+
+
+def test_asof_join_ref_tiebreak_resolves_duplicates(spark):
+    left = spark.createDataFrame(
+        [(1, _ts(10), 100), (1, _ts(5), 101)], "user_id long, ts timestamp, event_id long"
+    )
+    # three refs at the SAME (user, ts): winner must be max event_id (=9)
+    ref = spark.createDataFrame(
+        [(1, _ts(5), 7, 1.0), (1, _ts(5), 9, 2.0), (1, _ts(5), 8, 3.0)],
+        "user_id long, ts timestamp, event_id long, ref_value double",
+    )
+    out = {
+        r["event_id"]: r["ref_value"]
+        for r in asof_join(left, ref, ref_tiebreak="event_id").collect()
+    }
+    assert out == {100: 2.0, 101: 2.0}  # exact tie inclusive, max-id wins
