@@ -1463,21 +1463,11 @@ def scrub_dup_spans_oracle(L: int = SUBSTR_L, mod: int = SUBSTR_MOD) -> str:
 
 
 def neardup_groups_oracle(threshold: float = 0.2, n: int = 3) -> str:
-    # transitive closure via recursive CTE; component = min reachable id
+    # transitive closure via the shared recursive-CTE chain (ONE
+    # definition; dedup_keep_best_oracle composes the same chain)
     return f"""
-    WITH RECURSIVE pairs AS ({_lsh_sql(duck=True, threshold=threshold, n=n)}),
-    edges AS (
-      SELECT doc_a AS a, doc_b AS b FROM pairs
-      UNION
-      SELECT doc_b, doc_a FROM pairs
-    ),
-    reach(a, b) AS (
-      SELECT a, b FROM edges
-      UNION
-      SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a WHERE e.b <> r.a
-    )
-    SELECT a AS doc_id, least(a, min(b)) AS component
-    FROM reach GROUP BY a
+    WITH RECURSIVE {_components_ctes(threshold, n)}
+    SELECT doc_id, component FROM comp
     """
 
 

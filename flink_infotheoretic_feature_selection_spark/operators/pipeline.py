@@ -108,12 +108,12 @@ def _curate_split_sql(duck: bool) -> str:
     independent stream from one hash computation.
     """
     from flink_infotheoretic_feature_selection_spark.operators.text import (
-        MIXTURE_DEFAULT_PCT,
-        MIXTURE_WEIGHTS_PCT,
         QUANTILE_KEEP,
-        SPLIT_PCTS,
         _lang_case,
         _quality_expr,
+        copy_explode_expr,
+        mixture_copies_case,
+        split_case,
     )
 
     rh = (
@@ -122,18 +122,6 @@ def _curate_split_sql(duck: bool) -> str:
         else rolling_hash_expr_spark("lower(trim(text))")
     )
     idiv = "//" if duck else "DIV"
-    train, val = SPLIT_PCTS["train"], SPLIT_PCTS["val"]
-    n_copies_case = " ".join(
-        f"WHEN '{s}' THEN {w // 100} + (CASE WHEN bucket2 < {w % 100} THEN 1 ELSE 0 END)"
-        for s, w in MIXTURE_WEIGHTS_PCT.items()
-    )
-    d, frac = MIXTURE_DEFAULT_PCT // 100, MIXTURE_DEFAULT_PCT % 100
-    default = f"{d} + (CASE WHEN bucket2 < {frac} THEN 1 ELSE 0 END)"
-    explode = (
-        "unnest(generate_series(1, n_copies))"
-        if duck
-        else "explode(sequence(1, n_copies))"
-    )
     return f"""
     WITH scored AS (
       SELECT doc_id, source,
@@ -151,18 +139,16 @@ def _curate_split_sql(duck: bool) -> str:
       FROM ranked WHERE pr <= {QUANTILE_KEEP}),
     splits AS (
       SELECT doc_id, source, bucket2,
-             CASE WHEN bucket < {train} THEN 'train'
-                  WHEN bucket < {train + val} THEN 'val'
-                  ELSE 'test' END AS split
+             {split_case()} AS split
       FROM kept),
     counted AS (
       SELECT doc_id, source, split,
              CASE WHEN split <> 'train' THEN 1
-                  ELSE CASE source {n_copies_case} ELSE {default} END
+                  ELSE {mixture_copies_case("bucket2")}
              END AS n_copies
       FROM splits)
     SELECT doc_id, source, split, CAST(copy AS INT) AS copy
-    FROM (SELECT doc_id, source, split, {explode} AS copy
+    FROM (SELECT doc_id, source, split, {copy_explode_expr(duck)} AS copy
           FROM counted WHERE n_copies >= 1)
     """
 

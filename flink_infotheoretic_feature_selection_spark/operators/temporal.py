@@ -81,26 +81,36 @@ def asof_join(
     pass, with no build-side memory and no skew amplification (a hot
     key costs one fat sorted partition, not a quadratic probe).
     """
+    from pyspark.sql.types import StructField, StructType
     from pyspark.sql.window import Window
 
     left_cols = [c for c in left.columns if c != key and c != ts]
     tb_type = ref.schema[ref_tiebreak].dataType if ref_tiebreak else None
+    # the whole ref row travels as ONE struct: per-column
+    # last(ignorenulls) would mix columns from DIFFERENT ref rows when a
+    # ref column is NULL (a frankenrow the ASOF contract forbids); the
+    # struct itself is non-null for every ref row even when its members
+    # are null, so last() carries the latest ref row atomically
+    ref_struct_type = StructType(
+        [StructField("ref_ts", ref.schema[ts].dataType)]
+        + [StructField(c, ref.schema[c].dataType) for c in ref_cols]
+    )
     ref_side = ref.select(
         key,
         ts,
         F.lit(0).alias("__side"),
-        F.col(ts).alias("ref_ts"),
         *([F.col(ref_tiebreak).alias("__tb")] if ref_tiebreak else []),
-        *[F.col(c) for c in ref_cols],
+        F.struct(
+            F.col(ts).alias("ref_ts"), *[F.col(c) for c in ref_cols]
+        ).alias("__ref"),
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left_cols],
     )
     left_side = left.select(
         key,
         ts,
         F.lit(1).alias("__side"),
-        F.lit(None).cast(ref.schema[ts].dataType).alias("ref_ts"),
         *([F.lit(None).cast(tb_type).alias("__tb")] if ref_tiebreak else []),
-        *[F.lit(None).cast(ref.schema[c].dataType).alias(c) for c in ref_cols],
+        F.lit(None).cast(ref_struct_type).alias("__ref"),
         *[F.col(c) for c in left_cols],
     )
     # among equal (key, ts) ref duplicates, ascending tiebreak puts the
@@ -112,12 +122,17 @@ def asof_join(
         .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    carried = [F.last("ref_ts", ignorenulls=True).over(w).alias("ref_ts")] + [
-        F.last(c, ignorenulls=True).over(w).alias(c) for c in ref_cols
-    ]
+    carried = F.last("__ref", ignorenulls=True).over(w)
     return (
         ref_side.unionByName(left_side)
-        .select(key, ts, "__side", *left_cols, *carried)
+        .select(
+            key,
+            ts,
+            "__side",
+            *left_cols,
+            carried.getField("ref_ts").alias("ref_ts"),
+            *[carried.getField(c).alias(c) for c in ref_cols],
+        )
         .filter(F.col("__side") == 1)
         .drop("__side")
     )
@@ -185,6 +200,11 @@ def range_join(
     # one ulp below an exact bucket boundary and truncate into the wrong
     # bucket (the round-1 nanos lesson, NOTES.md)
     w = int(bucket_width_us)
+    # guard empty/inverted intervals BEFORE the explode: Spark's
+    # sequence(a, b) with b < a runs DESCENDING (default step -1), so one
+    # corrupted end<=start row would fan out into thousands of spurious
+    # bucket rows (filtered later, but after shuffling them)
+    intervals = intervals.filter(F.col("end") > F.col("start"))
     iv = intervals.withColumn(
         "__bucket",
         F.explode(

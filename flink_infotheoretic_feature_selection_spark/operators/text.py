@@ -51,6 +51,9 @@ __all__ = [
     "quality_quantile_filter_oracle",
     "hash_split",
     "HASH_SPLIT_ORACLE",
+    "mixture_copies_case",
+    "split_case",
+    "copy_explode_expr",
 ]
 
 STOPWORDS_EN = ("the", "a", "and", "of", "to", "in", "is")
@@ -783,38 +786,50 @@ MIXTURE_WEIGHTS_PCT = {"src0": 250, "src1": 125, "src2": 100, "src3": 60, "src17
 MIXTURE_DEFAULT_PCT = 40
 
 
+def mixture_copies_case(bucket_col: str = "bucket") -> str:
+    """The per-source ``n_copies`` CASE over a [0,100) hash bucket column
+    — ONE definition shared by the standalone op and the composed
+    pipeline so mixture semantics can never drift between them."""
+    cases = " ".join(
+        f"WHEN '{s}' THEN {w // 100} + (CASE WHEN {bucket_col} < {w % 100} THEN 1 ELSE 0 END)"
+        for s, w in MIXTURE_WEIGHTS_PCT.items()
+    )
+    d, f = MIXTURE_DEFAULT_PCT // 100, MIXTURE_DEFAULT_PCT % 100
+    return (
+        f"CASE source {cases} "
+        f"ELSE {d} + (CASE WHEN {bucket_col} < {f} THEN 1 ELSE 0 END) END"
+    )
+
+
+def copy_explode_expr(duck: bool) -> str:
+    """Engine-specific copy-index generator.  Spark's sequence(1, 0) is
+    the DESCENDING [1, 0] (default step -1), not empty — callers MUST
+    filter ``n_copies >= 1`` BEFORE this explode on both engines; and
+    generators can't be nested in expressions (Spark 42K0E), so it needs
+    its own subquery with the type-unifying CAST outside (generate_series
+    yields BIGINT, sequence INT)."""
+    return (
+        "unnest(generate_series(1, n_copies))"
+        if duck
+        else "explode(sequence(1, n_copies))"
+    )
+
+
 def _mixture_sql(duck: bool) -> str:
     rh = (
         rolling_hash_expr_duckdb("lower(trim(text))")
         if duck
         else rolling_hash_expr_spark("lower(trim(text))")
     )
-    n_copies_case = " ".join(
-        f"WHEN '{s}' THEN {w // 100} + (CASE WHEN bucket < {w % 100} THEN 1 ELSE 0 END)"
-        for s, w in MIXTURE_WEIGHTS_PCT.items()
-    )
-    d, w = MIXTURE_DEFAULT_PCT // 100, MIXTURE_DEFAULT_PCT % 100
-    default = f"{d} + (CASE WHEN bucket < {w} THEN 1 ELSE 0 END)"
-    # Spark's sequence(1, 0) is the DESCENDING [1, 0] (default step -1),
-    # not empty — the n_copies >= 1 filter must come BEFORE the explode
-    # on both engines.
-    explode = (
-        "unnest(generate_series(1, n_copies))"
-        if duck
-        else "explode(sequence(1, n_copies))"
-    )
-    # generators can't be nested in expressions (Spark 42K0E): explode in
-    # its own subquery, the type-unifying CAST outside (generate_series
-    # yields BIGINT, sequence INT)
     return f"""
     WITH tagged AS (
       SELECT doc_id, source, {rh} % 100 AS bucket FROM documents),
     counted AS (
       SELECT doc_id, source,
-             CASE source {n_copies_case} ELSE {default} END AS n_copies
+             {mixture_copies_case()} AS n_copies
       FROM tagged)
     SELECT doc_id, source, CAST(copy AS INT) AS copy
-    FROM (SELECT doc_id, source, {explode} AS copy
+    FROM (SELECT doc_id, source, {copy_explode_expr(duck)} AS copy
           FROM counted WHERE n_copies >= 1)
     """
 
@@ -971,18 +986,25 @@ def quality_quantile_filter_oracle(keep: float = QUANTILE_KEEP) -> str:
 SPLIT_PCTS = {"train": 80, "val": 10}  # remainder = test
 
 
+def split_case(bucket_col: str = "bucket") -> str:
+    """The train/val/test CASE over a [0,100) hash bucket column —
+    shared by the standalone split and the composed pipeline."""
+    train, val = SPLIT_PCTS["train"], SPLIT_PCTS["val"]
+    return (
+        f"CASE WHEN {bucket_col} < {train} THEN 'train' "
+        f"WHEN {bucket_col} < {train + val} THEN 'val' ELSE 'test' END"
+    )
+
+
 def _hash_split_sql(duck: bool) -> str:
     rh = (
         rolling_hash_expr_duckdb("lower(trim(text))")
         if duck
         else rolling_hash_expr_spark("lower(trim(text))")
     )
-    train, val = SPLIT_PCTS["train"], SPLIT_PCTS["val"]
     return f"""
     SELECT doc_id,
-           CASE WHEN bucket < {train} THEN 'train'
-                WHEN bucket < {train + val} THEN 'val'
-                ELSE 'test' END AS split
+           {split_case()} AS split
     FROM (SELECT doc_id, {rh} % 100 AS bucket FROM documents)
     """
 

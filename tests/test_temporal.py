@@ -247,3 +247,32 @@ def test_asof_join_ref_tiebreak_resolves_duplicates(spark):
         for r in asof_join(left, ref, ref_tiebreak="event_id").collect()
     }
     assert out == {100: 2.0, 101: 2.0}  # exact tie inclusive, max-id wins
+
+
+def test_asof_join_null_ref_column_carries_whole_row(spark):
+    # review finding: per-column last(ignorenulls) built a "frankenrow"
+    # mixing columns from different ref rows when a ref column was NULL.
+    # The latest ref row must win ATOMICALLY, nulls and all.
+    left = spark.createDataFrame(
+        [(1, _ts(20), 100)], "user_id long, ts timestamp, event_id long"
+    )
+    ref = spark.createDataFrame(
+        [(1, _ts(5), 5.0), (1, _ts(10), None)],
+        "user_id long, ts timestamp, ref_value double",
+    )
+    r = asof_join(left, ref).collect()[0]
+    assert r["ref_ts"] == _ts(10)
+    assert r["ref_value"] is None  # NOT 5.0 carried from the older row
+
+
+def test_range_join_ignores_inverted_intervals(spark):
+    # review finding: sequence(a, b) with b < a runs DESCENDING — an
+    # end<=start interval must produce zero matches and zero fan-out,
+    # not thousands of spurious bucket rows.
+    iv = spark.createDataFrame(
+        [(1, _ts(1000), _ts(0)), (2, _ts(0), _ts(0)), (3, _ts(0), _ts(100))],
+        "interval_id long, start timestamp, end timestamp",
+    )
+    probe = spark.createDataFrame([(_ts(50), 1.0)], "ts timestamp, value double")
+    rows = range_join(iv, probe, 120_000_000).collect()
+    assert [r["interval_id"] for r in rows] == [3]

@@ -14,8 +14,6 @@ from __future__ import annotations
 
 import sys
 
-sys.path.insert(0, "/root/repo")
-
 
 def main() -> None:
     import pyarrow as pa
@@ -39,6 +37,8 @@ def main() -> None:
             elif name == "event_id":
                 col = pa.compute.add(col, copy * 1_000_000_000)
             elif name == "ts":
+                # assumes the timestamp[us] layout (sf* default); an
+                # int64-nanos events build would need an integer add instead
                 col = pa.compute.add(col, pa.scalar(copy * 3_600_000_000, pa.duration("us")))
             cols[name] = col
         parts.append(pa.table(cols))
