@@ -662,6 +662,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "label_centroids": similarity.label_centroids,
         "events_window_agg": _q_events_window_agg,
         "events_props_agg": events_ops.events_props_agg,
+        "funnel_conversion": events_ops.funnel_conversion,
         "profile_lineitem": profile_ops.profile_lineitem,
         "pipeline_clean_pack": pipeline_ops.pipeline_clean_pack,
         "sessionize": sessions.sessionize_query,
@@ -827,6 +828,7 @@ def oracle_sql() -> dict[str, str]:
         "pipeline_curate_split": pipeline_ops.pipeline_curate_split_oracle(),
         "key_skew_profile": profile_ops.KEY_SKEW_PROFILE_ORACLE,
         "events_props_agg": events_ops.EVENTS_PROPS_AGG_ORACLE,
+        "funnel_conversion": events_ops.FUNNEL_CONVERSION_ORACLE,
         "profile_lineitem": profile_ops.PROFILE_LINEITEM_ORACLE,
         "pipeline_clean_pack": pipeline_ops.pipeline_oracle(),
         # stream_dedup: two copies of the events file streamed through

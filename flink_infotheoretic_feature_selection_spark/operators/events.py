@@ -18,6 +18,8 @@ __all__ = [
     "parse_props",
     "events_props_agg",
     "EVENTS_PROPS_AGG_ORACLE",
+    "funnel_conversion",
+    "FUNNEL_CONVERSION_ORACLE",
 ]
 
 
@@ -79,3 +81,82 @@ FROM (SELECT event_type,
       FROM events)
 GROUP BY event_type
 """
+
+
+# ---------------------------------------------------------------------------
+# Funnel (ordered-sequence) conversion
+# ---------------------------------------------------------------------------
+FUNNEL_STEPS = ("view", "click", "purchase")
+FUNNEL_HORIZON = "INTERVAL 1 DAY"
+
+
+def _funnel_sql() -> str:
+    """Users reaching each funnel stage IN ORDER within the horizon.
+
+    The naive formulation is one self-join per step (events scanned
+    len(steps) times, len(steps) shuffles).  This is the one-partitioning
+    form: running conditional minimums over ``(user_id ORDER BY ts)``
+    compute "earliest qualified step-k time so far" per row — step k+1
+    qualifies only where step k's running min is already set, so order
+    is enforced positionally, not by joins.  Two stacked window CTEs
+    share ONE exchange+sort (same window spec); the final agg is
+    per-user cells.  Identical text on both engines.
+
+    The per-step unpivot references the aggregate chain ONCE (scalar
+    totals × a constant step dimension): Spark INLINES CTEs, so the
+    natural ``UNION ALL of three SELECT ... FROM u`` re-executed the
+    whole scan+window tree per step (3 scans, 3 shuffles — caught by
+    the plan test; the round-1 minhash CTE lesson again).
+
+    Horizon: click and purchase must land within ``FUNNEL_HORIZON`` of
+    the user's earliest view (the anchoring semantics product funnels
+    use).  Ties order by (ts, event_id) so same-timestamp events
+    sequence deterministically; a click at the exact view timestamp
+    counts only if it sorts after the view (>= via running-min
+    inclusion of the current row).
+    """
+    h = FUNNEL_HORIZON
+    return f"""
+    WITH seq AS (
+      SELECT user_id, ts, event_type, event_id,
+             min(CASE WHEN event_type = 'view' THEN ts END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING) AS t1r
+      FROM events),
+    seq2 AS (
+      SELECT user_id, ts, event_type, t1r,
+             min(CASE WHEN event_type = 'click' AND t1r IS NOT NULL
+                           AND ts <= t1r + {h} THEN ts END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING) AS t2r
+      FROM seq),
+    u AS (
+      SELECT user_id,
+             max(CASE WHEN t1r IS NOT NULL THEN 1 ELSE 0 END) AS s1,
+             max(CASE WHEN t2r IS NOT NULL THEN 1 ELSE 0 END) AS s2,
+             max(CASE WHEN event_type = 'purchase' AND t2r IS NOT NULL
+                           AND ts <= t1r + {h} THEN 1 ELSE 0 END) AS s3
+      FROM seq2 GROUP BY user_id),
+    totals AS (
+      SELECT CAST(sum(s1) AS BIGINT) AS n1,
+             CAST(sum(s2) AS BIGINT) AS n2,
+             CAST(sum(s3) AS BIGINT) AS n3
+      FROM u)
+    SELECT step,
+           CASE step WHEN 'view' THEN n1 WHEN 'click' THEN n2 ELSE n3 END AS n_users
+    FROM totals
+    CROSS JOIN (SELECT 'view' AS step
+                UNION ALL SELECT 'click'
+                UNION ALL SELECT 'purchase') steps
+    """
+
+
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """view → click → purchase conversion counts (ordered, 1-day horizon)."""
+    from flink_infotheoretic_feature_selection_spark.datasets import load_events
+
+    load_events(spark, sf_dir).createOrReplaceTempView("events")
+    return spark.sql(_funnel_sql())
+
+
+FUNNEL_CONVERSION_ORACLE = _funnel_sql()

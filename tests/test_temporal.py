@@ -276,3 +276,52 @@ def test_range_join_ignores_inverted_intervals(spark):
     probe = spark.createDataFrame([(_ts(50), 1.0)], "ts timestamp, value double")
     rows = range_join(iv, probe, 120_000_000).collect()
     assert [r["interval_id"] for r in rows] == [3]
+
+
+def test_funnel_conversion_matches_brute_force(spark, sf_dir):
+    import datetime as dtm
+
+    from flink_infotheoretic_feature_selection_spark.datasets import load_events
+    from flink_infotheoretic_feature_selection_spark.operators.events import (
+        funnel_conversion,
+    )
+
+    ev = sorted(
+        load_events(spark, sf_dir).collect(), key=lambda r: (r["ts"], r["event_id"])
+    )
+    by_user = {}
+    for r in ev:
+        by_user.setdefault(r["user_id"], []).append(r)
+    horizon = dtm.timedelta(days=1)
+    s1 = s2 = s3 = 0
+    for rows in by_user.values():
+        t1 = t2 = None
+        reached3 = False
+        for r in rows:
+            if r["event_type"] == "view" and t1 is None:
+                t1 = r["ts"]
+            elif r["event_type"] == "click" and t1 is not None and t2 is None:
+                if r["ts"] <= t1 + horizon:
+                    t2 = r["ts"]
+            elif r["event_type"] == "purchase" and t2 is not None:
+                if r["ts"] <= t1 + horizon:
+                    reached3 = True
+        s1 += t1 is not None
+        s2 += t2 is not None
+        s3 += reached3
+    got = {r["step"]: r["n_users"] for r in funnel_conversion(spark, sf_dir).collect()}
+    assert got == {"view": s1, "click": s2, "purchase": s3}
+    assert got["view"] >= got["click"] >= got["purchase"]
+
+
+def test_funnel_single_user_partitioning(spark, sf_dir):
+    from flink_infotheoretic_feature_selection_spark.operators.events import (
+        funnel_conversion,
+    )
+    from flink_infotheoretic_feature_selection_spark.plans import formatted_plan
+
+    plan = formatted_plan(funnel_conversion(spark, sf_dir))
+    # both window passes + the per-user agg share the ONE
+    # hashpartitioning(user_id) exchange; remaining exchanges are the
+    # scalar single-partition finals of the three stage counts
+    assert plan.count("hashpartitioning(user_id") == 1
