@@ -199,6 +199,16 @@ def main() -> None:
     t, _ = timed(lambda: temporal.hypertable_rollup(spark, SF_DIR).count())
     results["b14c_hypertable"] = round(t, 3)
 
+    from flink_infotheoretic_feature_selection_spark.operators import events as events_ops
+    from flink_infotheoretic_feature_selection_spark.operators import pipeline as pipeline_ops
+
+    t, _ = timed(lambda: events_ops.funnel_conversion(spark, SF_DIR).count())
+    results["b15_funnel"] = round(t, 3)
+    t, _ = timed(lambda: text.token_mi_topk(spark, SF_DIR).count())
+    results["b15b_token_mi"] = round(t, 3)
+    t, _ = timed(lambda: pipeline_ops.pipeline_curate_split(spark, SF_DIR).count())
+    results["b15c_curate_split"] = round(t, 3)
+
 
     total = round(sum(v for k, v in results.items() if not k.endswith(("per_iter", "per_sec"))), 3)
     print(

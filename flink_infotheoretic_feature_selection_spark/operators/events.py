@@ -86,7 +86,8 @@ GROUP BY event_type
 # ---------------------------------------------------------------------------
 # Funnel (ordered-sequence) conversion
 # ---------------------------------------------------------------------------
-FUNNEL_STEPS = ("view", "click", "purchase")
+# steps are fixed (view -> click -> purchase): the running-min chain
+# hard-codes one CTE level per step, so the sequence is not a parameter
 FUNNEL_HORIZON = "INTERVAL 1 DAY"
 
 
