@@ -668,6 +668,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": sessions.sessionize_query,
         "sessionize_skew": sessions.sessionize_skew_query,
         "asof_join": temporal.asof_join_query,
+        "asof_join_forward": temporal.asof_join_forward_query,
         "range_join_agg": temporal.range_join_query,
         "hypertable_rollup": temporal.hypertable_rollup,
         "dedup_keep_best": dedup.dedup_keep_best,
@@ -818,6 +819,7 @@ def oracle_sql() -> dict[str, str]:
         "sessionize": sessions.SESSIONIZE_ORACLE,
         "sessionize_skew": sessions.SESSIONIZE_ORACLE,
         "asof_join": temporal.ASOF_JOIN_ORACLE,
+        "asof_join_forward": temporal.ASOF_JOIN_FORWARD_ORACLE,
         "range_join_agg": temporal.RANGE_JOIN_ORACLE,
         "hypertable_rollup": temporal.HYPERTABLE_ROLLUP_ORACLE,
         "dedup_keep_best": dedup.dedup_keep_best_oracle(),

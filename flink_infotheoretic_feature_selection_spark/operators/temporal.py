@@ -43,6 +43,8 @@ __all__ = [
     "asof_join",
     "asof_join_query",
     "ASOF_JOIN_ORACLE",
+    "asof_join_forward_query",
+    "ASOF_JOIN_FORWARD_ORACLE",
     "range_join",
     "range_join_query",
     "RANGE_JOIN_ORACLE",
@@ -61,10 +63,16 @@ def asof_join(
     ts: str = "ts",
     ref_cols: tuple[str, ...] = ("ref_value",),
     ref_tiebreak: str | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
     """For every ``left`` row, attach the latest ``ref`` row with
     ``ref.ts <= left.ts`` for the same ``key`` (inclusive, i.e. kdb+
     ``aj`` / DuckDB ``ASOF`` with ``>=`` semantics); NULLs if none.
+
+    ``direction="forward"`` flips the match to the EARLIEST ref with
+    ``ref.ts >= left.ts`` (DuckDB ``ASOF`` with ``<=``) — same plan,
+    the window just traverses time DESCENDING, so the running ``last()``
+    holds the nearest future ref instead of the nearest past one.
 
     ``ref`` must be unique per ``(key, ts)`` — OR pass ``ref_tiebreak``,
     a ref column whose MAXIMUM picks the winning row among equal
@@ -113,10 +121,15 @@ def asof_join(
         F.lit(None).cast(ref_struct_type).alias("__ref"),
         *[F.col(c) for c in left_cols],
     )
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
     # among equal (key, ts) ref duplicates, ascending tiebreak puts the
     # max LAST so the running last() picks it; left rows' NULL tiebreak
-    # is irrelevant because __side already orders them after every ref
-    order = [ts, "__side"] + (["__tb"] if ref_tiebreak else [])
+    # is irrelevant because __side already orders them after every ref.
+    # forward: ts DESCENDS so the running last() holds the smallest
+    # future ts; equal-ts refs still precede left rows (side asc).
+    ts_order = F.col(ts).desc() if direction == "forward" else F.col(ts).asc()
+    order = [ts_order, F.col("__side")] + ([F.col("__tb")] if ref_tiebreak else [])
     w = (
         Window.partitionBy(key)
         .orderBy(*order)
@@ -295,3 +308,34 @@ def hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 HYPERTABLE_ROLLUP_ORACLE = _hypertable_sql()
+
+
+def asof_join_forward_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate entry: each ``click`` event gets the EARLIEST at-or-after
+    ``error`` event's (ts, value) for the same user — time-to-next-error
+    attribution, the forward twin of :func:`asof_join_query`."""
+    from flink_infotheoretic_feature_selection_spark.datasets import load_events
+
+    ev = load_events(spark, sf_dir)
+    ref = ev.filter(F.col("event_type") == "error").select(
+        "user_id", "ts", "event_id", F.col("value").alias("ref_value")
+    )
+    left = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    out = asof_join(left, ref, ref_tiebreak="event_id", direction="forward")
+    return out.select("event_id", "ts", "user_id", "value", "ref_ts", "ref_value")
+
+
+ASOF_JOIN_FORWARD_ORACLE = """
+WITH ref AS (
+  SELECT user_id, ts, max_by(value, event_id) AS ref_value
+  FROM events WHERE event_type = 'error'
+  GROUP BY user_id, ts
+),
+l AS (
+  SELECT event_id, ts, user_id, value FROM events WHERE event_type = 'click'
+)
+SELECT l.event_id, l.ts, l.user_id, l.value, r.ts AS ref_ts, r.ref_value
+FROM l ASOF LEFT JOIN ref r ON l.user_id = r.user_id AND l.ts <= r.ts
+"""

@@ -325,3 +325,30 @@ def test_funnel_single_user_partitioning(spark, sf_dir):
     # hashpartitioning(user_id) exchange; remaining exchanges are the
     # scalar single-partition finals of the three stage counts
     assert plan.count("hashpartitioning(user_id") == 1
+
+
+def test_asof_join_forward_hand_computed(spark):
+    left = spark.createDataFrame(
+        [(1, _ts(10), 100), (1, _ts(20), 101), (1, _ts(30), 102)],
+        "user_id long, ts timestamp, event_id long",
+    )
+    ref = spark.createDataFrame(
+        [(1, _ts(12), 1.0), (1, _ts(20), 2.0)],
+        "user_id long, ts timestamp, ref_value double",
+    )
+    out = {
+        r["event_id"]: (r["ref_ts"], r["ref_value"])
+        for r in asof_join(left, ref, direction="forward").collect()
+    }
+    assert out[100] == (_ts(12), 1.0)  # earliest ref at ts>=10
+    assert out[101] == (_ts(20), 2.0)  # exact tie inclusive
+    assert out[102] == (None, None)  # nothing after 30
+
+
+def test_asof_join_rejects_bad_direction(spark):
+    import pytest as _pytest
+
+    left = spark.createDataFrame([(1, _ts(1), 1)], "user_id long, ts timestamp, event_id long")
+    ref = spark.createDataFrame([(1, _ts(1), 1.0)], "user_id long, ts timestamp, ref_value double")
+    with _pytest.raises(ValueError, match="backward|forward"):
+        asof_join(left, ref, direction="sideways")
