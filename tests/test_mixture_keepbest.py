@@ -196,3 +196,29 @@ def test_pipeline_curate_split_composes_stage_semantics(spark, sf_dir):
     # applies to train) but never with >0 train copies
     train_srcs = Counter(r["source"] for r in rows if r["split"] == "train")
     assert train_srcs.get("src17", 0) == 0
+
+
+def test_quality_threshold_filter_tracks_exact_quantile(spark, sf_dir):
+    from flink_infotheoretic_feature_selection_spark.operators.text import (
+        quality_quantile_filter,
+        quality_threshold_filter,
+    )
+
+    exact = {r["doc_id"] for r in quality_quantile_filter(spark, sf_dir).collect()}
+    approx = {r["doc_id"] for r in quality_threshold_filter(spark, sf_dir).collect()}
+    # same top-half policy: heavy overlap, size within 2%+ties of exact.
+    # (the approx set can only differ where scores tie at the threshold
+    # or the sketch's rank error moves the cut by a hair)
+    assert len(approx) >= 0.98 * len(exact)
+    assert len(approx & exact) >= 0.98 * len(exact)
+
+
+def test_quality_threshold_filter_sort_free(spark, sf_dir):
+    from flink_infotheoretic_feature_selection_spark.operators.text import (
+        quality_threshold_filter,
+    )
+    from flink_infotheoretic_feature_selection_spark.plans import formatted_plan
+
+    plan = formatted_plan(quality_threshold_filter(spark, sf_dir))
+    assert "Window" not in plan  # no percent_rank, no per-lang total order
+    assert "Sort" not in plan.split("== Physical Plan ==")[1].split("(1) Scan")[0]
