@@ -343,11 +343,36 @@ def _quantize_cte(duck: bool) -> str:
 
 
 def _quantize_sql(duck: bool) -> str:
-    return f"WITH {_quantize_cte(duck)} SELECT vec_id, scale, q FROM qz"
+    """Long-format emission ``(vec_id, pos, qv, scale)`` — one row per
+    code coordinate, 1-based ``pos``.
+
+    SCALAR COLUMNS ONLY by contract: the round-4 gate crash was this
+    query emitting ``q`` as ``array<tinyint>``, which the driver's
+    pandas canonicalizer cannot sort ("unhashable type: 'list'") — the
+    same failure media_features hit in round 1.  Every gate output must
+    be flat; ``tools/gate_check.py`` now asserts this in-repo.  The wide
+    array form stays available to engine code via :func:`_quantize_cte`
+    (the q8 ANN path composes on it without ever leaving SQL).
+    """
+    if duck:
+        explode = """
+    x AS (SELECT vec_id, scale,
+                 unnest(list_transform(generate_series(1, len(q)),
+                        i -> struct_pack(pos := i, qv := q[i]))) AS u
+          FROM qz)
+    SELECT vec_id, CAST(u.pos AS INT) AS pos, CAST(u.qv AS INT) AS qv, scale
+    FROM x"""
+        return f"WITH {_quantize_cte(duck)},{explode}"
+    return (
+        f"WITH {_quantize_cte(duck)} "
+        "SELECT vec_id, CAST(pos + 1 AS INT) AS pos, qv, scale "
+        "FROM qz LATERAL VIEW posexplode(q) t AS pos, qv"
+    )
 
 
 def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Symmetric int8 codes + per-vector scale for every embedding."""
+    """Symmetric int8 codes + per-vector scale for every embedding,
+    long shape ``(vec_id, pos, qv, scale)``."""
     _emb(spark, sf_dir)
     return spark.sql(_quantize_sql(duck=False))
 

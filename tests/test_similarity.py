@@ -56,23 +56,34 @@ def test_quantize_error_bound_and_code_range(spark, sf_dir):
 
     rows = embedding_quantize(spark, sf_dir).collect()
     assert len(rows) > 0
+    # long shape (vec_id, pos, qv, scale): scalar columns only — the
+    # driver canonicalizer cannot sort array columns (round-4 lesson);
+    # reassemble per-vector codes from (pos, qv) for the error check
+    assert set(rows[0].asDict()) == {"vec_id", "pos", "qv", "scale"}
     import pyarrow.parquet as pq
 
     orig = {
         int(r["vec_id"]): np.asarray(r["embedding"], dtype=np.float64)
         for r in pq.read_table(f"{sf_dir}/embeddings.parquet").to_pylist()
     }
+    by_vec: dict[int, dict] = {}
     for r in rows:
-        q = np.asarray(r["q"], dtype=np.int64)
-        v = orig[r["vec_id"]]
+        e = by_vec.setdefault(int(r["vec_id"]), {"scale": r["scale"], "codes": {}})
+        assert e["scale"] == r["scale"]  # one scale per vector
+        e["codes"][int(r["pos"])] = int(r["qv"])
+    assert set(by_vec) == set(orig)
+    for vec_id, e in by_vec.items():
+        v = orig[vec_id]
+        assert sorted(e["codes"]) == list(range(1, len(v) + 1))  # 1-based, dense
+        q = np.asarray([e["codes"][p] for p in range(1, len(v) + 1)], dtype=np.int64)
         assert np.abs(q).max() <= 127
-        if r["scale"] == 0.0:
+        if e["scale"] == 0.0:
             assert (q == 0).all() and (v == 0).all()
             continue
         # symmetric round-half-up quantization ⇒ per-coordinate
         # reconstruction error is at most half a quantization step
-        err = np.abs(q * r["scale"] - v).max()
-        assert err <= r["scale"] / 2 + 1e-12, (r["vec_id"], err, r["scale"])
+        err = np.abs(q * e["scale"] - v).max()
+        assert err <= e["scale"] / 2 + 1e-12, (vec_id, err, e["scale"])
 
 
 def test_q8_topk_matches_exact_ivf_closely(spark, sf_dir):

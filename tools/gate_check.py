@@ -45,6 +45,24 @@ def normalize(rows, columns):
     return sorted(out, key=repr)
 
 
+def nonscalar_columns(sdf):
+    """Gate outputs must be FLAT — scalar columns only.  The driver's
+    canonicalizer pandas-sorts the frame and dies on any array/map/struct
+    column ("unhashable type: 'list'" — media_features in r1,
+    embedding_quantize in r4) while this replica's repr-sort silently
+    handles it; that gap is how r4 shipped a locally-green gate that
+    crashed the driver.  Fix recipe: emit long format — one row per
+    element with an index column, e.g. (vec_id, pos, qv, scale) instead
+    of (vec_id, q array, scale) — see _quantize_sql / extract_features_long."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    return [
+        f.name
+        for f in sdf.schema.fields
+        if isinstance(f.dataType, (ArrayType, MapType, StructType))
+    ]
+
+
 def duck_type_flags(duck, sql):
     """DuckDB result columns whose ARROW type a bit-level hash serializes
     differently from any Spark output type: HUGEINT/decimal128 (from
@@ -88,6 +106,16 @@ def main() -> None:
     for name in names:
         try:
             sdf = queries[name](spark, sf_dir)
+            bad_cols = nonscalar_columns(sdf)
+            if bad_cols:
+                failures += 1
+                print(
+                    f"{name}: FAIL non-scalar output columns {bad_cols} — the "
+                    "driver canonicalizer crashes on these (unhashable list); "
+                    "emit LONG format instead (one row per element + index "
+                    "column, see tools/gate_check.py::nonscalar_columns)"
+                )
+                continue
             spark_rows = [tuple(r) for r in sdf.collect()]
             spark_cols = sdf.columns
             if name not in oracles:
