@@ -656,9 +656,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup": similarity.embedding_neardup_pairs,
         "embedding_quantize": similarity.embedding_quantize,
         "ann_ivf_topk_q8": similarity.ivf_topk_q8,
-        # learned-coarse-quantizer IVF: iterative k-means fit has no SQL
-        # analogue -> rows-only gate; recall pinned by unit test
-        "ann_ivf_kmeans": similarity.ivf_kmeans_topk,
+        # learned-coarse-quantizer IVF, value-checked: the quantizer is
+        # trained offline (tools/fit_kmeans_centroids.py, seeded
+        # k-means||) and FROZEN as literal centroids, so assignment +
+        # probing + exact-cosine ranking replay identically in DuckDB —
+        # the production fit-on-sample/assign-the-corpus lifecycle.  The
+        # live iterative fit (similarity.ivf_kmeans_topk) stays
+        # recall-pinned by unit test.
+        "ann_ivf_kmeans": similarity.ivf_kmeans_fixture_topk,
         "label_centroids": similarity.label_centroids,
         "events_window_agg": _q_events_window_agg,
         "events_props_agg": events_ops.events_props_agg,
@@ -801,6 +806,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_neardup": similarity.embedding_neardup_oracle(),
         "embedding_quantize": similarity.embedding_quantize_oracle(),
         "ann_ivf_topk_q8": similarity.ivf_topk_q8_oracle(),
+        "ann_ivf_kmeans": similarity.ivf_kmeans_fixture_oracle(),
         "label_centroids": similarity.LABEL_CENTROIDS_ORACLE,
         "events_window_agg": """
             SELECT date_trunc('day', ts) AS window_start,

@@ -38,6 +38,8 @@ __all__ = [
     "embedding_quantize",
     "ivf_topk_q8",
     "ivf_kmeans_topk",
+    "ivf_kmeans_fixture_topk",
+    "ivf_kmeans_fixture_oracle",
     "label_centroids",
     "LABEL_CENTROIDS_ORACLE",
     "cosine_topk_oracle",
@@ -611,3 +613,113 @@ def ivf_kmeans_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cos", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# k-means IVF against FROZEN centroids — the value-checkable gate form.
+#
+# Production IVF separates the quantizer's LIFECYCLE from the query: the
+# centroids are trained once on a corpus sample (k-means||, seeded —
+# tools/fit_kmeans_centroids.py, frozen into fixtures/ivf_centroids.json)
+# and then broadcast for assignment of the full corpus.  With the
+# centroids as literals, assignment + probing + exact-cosine ranking are
+# all SQL — so this gate is DuckDB-value-checkable end-to-end, unlike the
+# live iterative fit (ivf_kmeans_topk above, unit-pinned for recall).
+# ---------------------------------------------------------------------------
+def _load_centroid_fixture() -> dict:
+    import json
+    import os
+
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "fixtures",
+        "ivf_centroids.json",
+    )
+    with open(path) as f:
+        return json.load(f)
+
+
+def _kmeans_fixture_sql(
+    duck: bool, k: int = 3, query_limit: int = 200, n_probes: int = 2
+) -> str:
+    """Dual-dialect IVF query over the frozen centroid fixture.
+
+    Assignment metric: Euclidean distance on L2-normalized vectors,
+    d = |c|^2 - 2*(v.c)/|v| (the |v_hat|^2 = 1 term is constant per row
+    and cannot change the argmin).  |c|^2 is precomputed in Python from
+    the SAME literal values both engines parse, so it is one shared
+    constant, not a cross-engine sum.  d rounds to 5 decimals with cid
+    as tiebreak before the argmin/probe rank — the module-wide
+    round-then-compare contract, so assignment can never diverge across
+    engines on float fold order.
+
+    Scale shape: ``cent`` is n_centroids rows — the cross join is a
+    broadcast of the (tiny) frozen quantizer against the corpus scan,
+    assignment is one narrow map, and candidates come from the same
+    bucket equi-join as every IVF variant here (probes x bucket members,
+    never all-pairs).
+    """
+    fx = _load_centroid_fixture()
+    cent_rows = []
+    for cid, c in enumerate(fx["centroids"]):
+        cn2 = 0.0
+        for x in c:
+            cn2 += float(x) * float(x)
+        arr = ", ".join(repr(float(x)) for x in c)
+        arr = f"CAST([{arr}] AS DOUBLE[])" if duck else f"CAST(array({arr}) AS ARRAY<DOUBLE>)"
+        cent_rows.append(f"SELECT {cid} AS cid, {arr} AS cvec, CAST({cn2!r} AS DOUBLE) AS cn2")
+    cent = " UNION ALL ".join(cent_rows)
+    if duck:
+        emb_cast = "CAST(embedding AS DOUBLE[])"
+        nrm = "sqrt(list_inner_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])))"
+        adot = "list_inner_product(e.emb, c.cvec)"
+        cos = "round(list_cosine_similarity(q.emb, n.emb), 5)"
+    else:
+        emb_cast = "embedding"
+        nrm = _norm_expr_spark("embedding")
+        adot = _dot_expr_spark("e.emb", "c.cvec")
+        cos = f"round({_dot_expr_spark('q.emb', 'n.emb')} / (q.nrm * n.nrm), 5)"
+    return f"""
+    WITH cent AS ({cent}),
+    e AS (SELECT vec_id, {emb_cast} AS emb, {nrm} AS nrm FROM embeddings),
+    scored AS (
+      SELECT e.vec_id, c.cid,
+             round(c.cn2 - 2.0 * ({adot}) / e.nrm, 5) AS d
+      FROM e CROSS JOIN cent c),
+    rankedc AS (
+      SELECT vec_id, cid,
+             row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS crn
+      FROM scored),
+    assigned AS (SELECT vec_id, cid AS bucket FROM rankedc WHERE crn = 1),
+    probes AS (
+      SELECT vec_id AS query_id, cid AS bucket
+      FROM rankedc WHERE crn <= {n_probes} AND vec_id < {query_limit}),
+    pairs AS (
+      SELECT p.query_id, a.vec_id AS neighbor_id, {cos} AS cos
+      FROM probes p
+      JOIN assigned a ON a.bucket = p.bucket AND a.vec_id != p.query_id
+      JOIN e q ON q.vec_id = p.query_id
+      JOIN e n ON n.vec_id = a.vec_id),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos DESC, neighbor_id) AS rank
+      FROM pairs)
+    SELECT query_id, neighbor_id, cos, CAST(rank AS INT) AS rank
+    FROM ranked WHERE rank <= {k}
+    """
+
+
+def ivf_kmeans_fixture_topk(
+    spark: SparkSession, sf_dir: str, k: int = 3, query_limit: int = 200, n_probes: int = 2
+) -> DataFrame:
+    """IVF top-k against the frozen k-means quantizer (gate form)."""
+    _emb(spark, sf_dir)
+    return spark.sql(
+        _kmeans_fixture_sql(duck=False, k=k, query_limit=query_limit, n_probes=n_probes)
+    )
+
+
+def ivf_kmeans_fixture_oracle(
+    k: int = 3, query_limit: int = 200, n_probes: int = 2
+) -> str:
+    return _kmeans_fixture_sql(duck=True, k=k, query_limit=query_limit, n_probes=n_probes)

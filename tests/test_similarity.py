@@ -161,3 +161,24 @@ def test_kmeans_ivf_recall_beats_sign_grid(spark, sf_dir):
     )
     assert km > grid, (km, grid)
     assert km >= 0.3, (km, grid)
+
+
+def test_kmeans_fixture_gate_recall(spark, sf_dir):
+    # The FROZEN quantizer (fit on the sf0.01 sample, fixtures/
+    # ivf_centroids.json) applied to this corpus — the production
+    # fit-on-sample/assign-the-corpus lifecycle.  Recall with 2 probes
+    # over 16 learned buckets must beat the single-bucket sign grid.
+    from flink_infotheoretic_feature_selection_spark.operators.similarity import (
+        ivf_kmeans_fixture_topk,
+    )
+
+    k, limit = 3, 100
+    truth = _exact_topk(sf_dir, k, limit)
+    grid = _recall(ivf_topk(spark, sf_dir, k=k, query_limit=limit).collect(), truth, k)
+    km = _recall(
+        ivf_kmeans_fixture_topk(spark, sf_dir, k=k, query_limit=limit).collect(),
+        truth,
+        k,
+    )
+    assert km > grid, (km, grid)
+    assert km >= 0.3, (km, grid)
