@@ -3,6 +3,14 @@
 Runs the headline operators at $SPARK_GRAFT_SF_DIR (default sf0.1) on
 local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
 {"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+
+Every query is timed MIN-OF-N (default 3; `--min-of N` or
+$SPARK_GRAFT_MIN_OF overrides, 1 = the old single-shot mode).  One-shot
+numbers under host load read up to 4-10x the warm isolated minimum
+(BASELINE.md calibration; rounds 3-4 each produced several phantom
+"regressions" that judge re-measurement dissolved) — the minimum of
+three consecutive runs is the reproducible statistic, and it also
+absorbs first-run plan-compile noise (the b6 r4 false alarm).
 """
 
 from __future__ import annotations
@@ -31,20 +39,43 @@ SF = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1])
 N_CPUS = int(CPUS)
 
 
-def timed(fn):
-    t0 = time.perf_counter()
-    out = fn()
-    return time.perf_counter() - t0, out
+def _min_of() -> int:
+    argv = sys.argv[1:]
+    if "--min-of" in argv:
+        return int(argv[argv.index("--min-of") + 1])
+    return int(os.environ.get("SPARK_GRAFT_MIN_OF", "3"))
+
+
+MIN_OF = _min_of()
+
+
+def timed(fn, reps: int | None = None):
+    """min-of-N timing: returns (best_sec, last_result)."""
+    reps = MIN_OF if reps is None else reps
+    best, out = float("inf"), None
+    for _ in range(max(1, reps)):
+        t0 = time.perf_counter()
+        out = fn()
+        best = min(best, time.perf_counter() - t0)
+    return best, out
 
 
 def main() -> None:
     spark = get_spark("bench", cpus=CPUS)
     results: dict[str, float] = {}
 
-    # B1 — matrix build + cache materialization
+    # B1 — matrix build + cache materialization.  Each rep re-does the
+    # real work (unpersist -> persist -> count); without the reset,
+    # reps 2..N would time a cached count instead of materialization.
     df = features_dense(spark, SF_DIR)
     matrix = df.persist(StorageLevel.MEMORY_AND_DISK)
-    t, n = timed(lambda: matrix.count())
+
+    def b1():
+        matrix.unpersist(blocking=True)
+        matrix.persist(StorageLevel.MEMORY_AND_DISK)
+        return matrix.count()
+
+    t, n = timed(b1)
     results["b1_cache_materialize"] = round(t, 3)
 
     # B2 — relevance init: dims + 2-D histograms + MI for all 32 features
@@ -121,10 +152,15 @@ def main() -> None:
     from flink_infotheoretic_feature_selection_spark.operators import dedup, multimodal, similarity, text
     from flink_infotheoretic_feature_selection_spark.datasets import load_events
 
-    t, _ = timed(lambda: dedup.minhash_lsh_pairs(spark, SF_DIR).count())
-    results["b8_minhash_lsh"] = round(t, 3)
     # minhash_lsh_pairs persists the shared shingle-array table for its
-    # own multi-use plan; done with it now.
+    # own multi-use plan — clear it per rep so each run re-does the real
+    # work and the N reps don't stack N persisted copies.
+    def b8():
+        spark.catalog.clearCache()
+        return dedup.minhash_lsh_pairs(spark, SF_DIR).count()
+
+    t, _ = timed(b8)
+    results["b8_minhash_lsh"] = round(t, 3)
     spark.catalog.clearCache()
 
     t, _ = timed(lambda: dedup.simhash_pairs(spark, SF_DIR).count())
@@ -159,6 +195,11 @@ def main() -> None:
     # learned-coarse-quantizer IVF (distributed k-means fit + probe search)
     t, _ = timed(lambda: similarity.ivf_kmeans_topk(spark, SF_DIR).count())
     results["b9d_ann_kmeans"] = round(t, 3)
+
+    # frozen-quantizer IVF (the gate form: assignment + probes against
+    # the fixture centroids, no fit in the query path)
+    t, _ = timed(lambda: similarity.ivf_kmeans_fixture_topk(spark, SF_DIR).count())
+    results["b9e_ann_kmeans_frozen"] = round(t, 3)
 
     t, _ = timed(lambda: text.text_stats(spark, SF_DIR).count())
     results["b10_text_stats"] = round(t, 3)
@@ -220,6 +261,7 @@ def main() -> None:
                 "queries": results,
                 "sf": SF,
                 "cpus": N_CPUS,
+                "min_of": MIN_OF,
             }
         )
     )
