@@ -1508,13 +1508,16 @@ def dedup_keep_best(
     ``component`` NULL for ungrouped docs (always kept).
 
     Scale shape: ``groups`` is bounded by the number of near-duplicate
-    docs (tiny vs the corpus), so both corpus-side joins broadcast it —
-    two narrow scans of ``documents``, zero corpus shuffle; the
-    ``row_number`` window shuffles only the grouped subset.  At 100 TB
-    with a pathological dup-rate the broadcast degrades to a standard
-    shuffle join automatically (Spark falls back when the side exceeds
-    the threshold) and the plan is still join + window over the dup
-    subset, never the corpus.
+    docs (tiny vs the corpus), and the eager localCheckpoint below gives
+    the planner its TRUE materialized size — so Spark auto-broadcasts it
+    for both corpus-side joins (two narrow scans of ``documents``, zero
+    corpus shuffle) while a pathological dup-rate above the broadcast
+    threshold gracefully degrades to a shuffle join over the dup subset.
+    Deliberately NO explicit ``F.broadcast`` hint here: a hint FORCES the
+    broadcast regardless of size (autoBroadcastJoinThreshold only governs
+    automatic selection), which at a pathological dup-rate would fail the
+    job on the 8 GB broadcast / driver-memory limit instead of shuffling.
+    The ``row_number`` window shuffles only the grouped subset.
     """
     from pyspark.sql import functions as F
     from pyspark.sql.window import Window
@@ -1526,11 +1529,11 @@ def dedup_keep_best(
     groups = neardup_groups(spark, sf_dir, threshold, n).localCheckpoint(eager=True)
     w = Window.partitionBy("component").orderBy(F.col("n_chars").desc(), "doc_id")
     grouped = (
-        docs.join(F.broadcast(groups), "doc_id")
+        docs.join(groups, "doc_id")
         .withColumn("rn", F.row_number().over(w))
         .select("doc_id", "component", (F.col("rn") == 1).alias("keep"))
     )
-    ungrouped = docs.join(F.broadcast(groups), "doc_id", "left_anti").select(
+    ungrouped = docs.join(groups, "doc_id", "left_anti").select(
         "doc_id",
         F.lit(None).cast("long").alias("component"),
         F.lit(True).alias("keep"),

@@ -160,4 +160,52 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_funnel_sql())
 
 
-FUNNEL_CONVERSION_ORACLE = _funnel_sql()
+# INDEPENDENTLY-FORMULATED oracle (round-5 review fix: the oracle used to
+# be the byte-identical SQL text as the engine query, so the gate only
+# proved Spark and DuckDB agree on one statement).  This is the naive
+# self-join/EXISTS form the windowed engine query optimizes away:
+#
+# - the windowed running-min t1r at any row equals the ts of the user's
+#   order-first view (the (ts, event_id)-minimal view precedes every
+#   other view, so "some view precedes this row" == "THE first view
+#   precedes this row", and the min of preceding view ts is its ts);
+# - a click qualifies iff that first view strictly precedes it in
+#   (ts, event_id) order within the horizon;  t2r is non-null at a row
+#   iff the ORDER-FIRST qualified click precedes it (total order);
+# - a purchase converts iff the first qualified click strictly precedes
+#   it and it lands within the horizon of the first view.
+FUNNEL_CONVERSION_ORACLE = f"""
+WITH v1 AS (
+  SELECT user_id, ts AS t1s, event_id AS t1id
+  FROM events WHERE event_type = 'view'
+  QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) = 1
+),
+qc1 AS (
+  SELECT c.user_id, c.ts AS t2s, c.event_id AS t2id
+  FROM events c JOIN v1 ON c.user_id = v1.user_id
+  WHERE c.event_type = 'click'
+    AND (c.ts > v1.t1s OR (c.ts = v1.t1s AND c.event_id > v1.t1id))
+    AND c.ts <= v1.t1s + {FUNNEL_HORIZON}
+  QUALIFY row_number() OVER (PARTITION BY c.user_id ORDER BY c.ts, c.event_id) = 1
+),
+qp AS (
+  SELECT DISTINCT p.user_id
+  FROM events p
+  JOIN qc1 ON p.user_id = qc1.user_id
+  JOIN v1 ON p.user_id = v1.user_id
+  WHERE p.event_type = 'purchase'
+    AND (p.ts > qc1.t2s OR (p.ts = qc1.t2s AND p.event_id > qc1.t2id))
+    AND p.ts <= v1.t1s + {FUNNEL_HORIZON}
+),
+totals AS (
+  SELECT (SELECT count(*) FROM v1) AS n1,
+         (SELECT count(*) FROM qc1) AS n2,
+         (SELECT count(*) FROM qp) AS n3
+)
+SELECT step,
+       CASE step WHEN 'view' THEN n1 WHEN 'click' THEN n2 ELSE n3 END AS n_users
+FROM totals
+CROSS JOIN (SELECT 'view' AS step
+            UNION ALL SELECT 'click'
+            UNION ALL SELECT 'purchase') steps
+"""

@@ -307,7 +307,23 @@ def hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_hypertable_sql())
 
 
-HYPERTABLE_ROLLUP_ORACLE = _hypertable_sql()
+# INDEPENDENTLY-FORMULATED oracle (round-5 review fix: it used to be the
+# byte-identical GROUPING SETS text as the engine query).  The naive
+# form the Expand-based rollup replaces: one aggregation per grain,
+# unioned — two scans the engine does in one, but an independent check
+# of the grouping()/CASE plumbing.  round()/cents arithmetic matches the
+# engine query text, which the replica already proved cross-engine-stable.
+HYPERTABLE_ROLLUP_ORACLE = """
+SELECT 'hour' AS grain, date_trunc('hour', ts) AS bucket_ts, event_type,
+       count(*) AS n_events,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+FROM events GROUP BY 2, 3
+UNION ALL
+SELECT 'day' AS grain, date_trunc('day', ts) AS bucket_ts, event_type,
+       count(*) AS n_events,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+FROM events GROUP BY 2, 3
+"""
 
 
 def asof_join_forward_query(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -883,7 +883,14 @@ def _token_mi_sql(duck: bool, top: int = TOKEN_MI_TOP, min_df: int = TOKEN_MI_MI
     (identical integer counts on both engines; the rounded sum of ~40
     doubles is the established relevance_mi/lm_score pattern), and the
     top-k boundary is decided on the ROUNDED value with term as the
-    tiebreak, so ranking can never diverge across engines.
+    tiebreak, so ranking can never diverge across engines.  Residual
+    (accepted) risk of round-then-compare: if a raw MI sum lands within
+    float-epsilon of a 0.5e-5 rounding boundary, summation-order
+    differences could round it differently per engine and flip the
+    top-k cut on OTHER data — the fully-robust alternative is shipping
+    the exact integer counts (c1, c1tot, n_s, n) to the comparison
+    layer and computing MI once there; not done because it would bypass
+    the very float pipeline the gate exists to check.
     """
     words = _word_explode(duck)
     return f"""

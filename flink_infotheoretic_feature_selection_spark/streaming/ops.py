@@ -291,9 +291,12 @@ def stream_range_join(
     every probe row joins each interval whose ``[start, start +
     window_sec)`` contains its event time.
 
-    Spark REFUSES stream-stream joins without an equality predicate
-    (state matching would be all-pairs) — and the batch operator's
-    max-width time-bucket trick is exactly the missing equi-key: the
+    Spark ACCEPTS an inner stream-stream join on an arbitrary
+    condition, but without an equi-key every buffered left row must be
+    compared against every buffered right row (all-pairs state
+    matching), and state eviction needs the watermark + time-range
+    bounds to be derivable from the condition.  The batch operator's
+    max-width time-bucket trick supplies exactly that equi-key: the
     interval side explodes onto the ≤2 buckets it covers, the probe
     side computes its single floor bucket, and the join is
     ``bucket = bucket AND ts ∈ [start, start+w)``.  Both sides carry
