@@ -572,19 +572,50 @@ def _q_asof_join_both(spark: SparkSession, sf_dir: str) -> DataFrame:
     # as-of in ONE entry, tagged by a `direction` column — each variant
     # keeps its own plan (one exchange, no Join node; plan-pinned in
     # test_plans) and its own unit tests; only the gate slot is shared.
-    b = temporal.asof_join_query(spark, sf_dir).withColumn(
-        "direction", F.lit("backward")
+    # Timestamps emit as epoch MICROS (bigint): this entry's first-ever
+    # driver row should not double as the first test of raw TIMESTAMP
+    # columns in the harness canonicalizer — every r3-green time gate
+    # used DATE or epoch-micros (sessionize precedent).
+    def to_us(df: DataFrame, direction: str) -> DataFrame:
+        return df.select(
+            "event_id",
+            F.unix_micros("ts").alias("ts_us"),
+            "user_id",
+            "value",
+            F.unix_micros("ref_ts").alias("ref_ts_us"),
+            "ref_value",
+            F.lit(direction).alias("direction"),
+        )
+
+    return to_us(temporal.asof_join_query(spark, sf_dir), "backward").unionByName(
+        to_us(temporal.asof_join_forward_query(spark, sf_dir), "forward")
     )
-    fw = temporal.asof_join_forward_query(spark, sf_dir).withColumn(
-        "direction", F.lit("forward")
-    )
-    return b.unionByName(fw)
 
 
+_ASOF_US = """SELECT event_id, epoch_us(ts) AS ts_us, user_id, value,
+       epoch_us(ref_ts) AS ref_ts_us, ref_value, '{d}' AS direction"""
 ASOF_JOIN_BOTH_ORACLE = f"""
-SELECT *, 'backward' AS direction FROM ({temporal.ASOF_JOIN_ORACLE})
+{_ASOF_US.format(d="backward")} FROM ({temporal.ASOF_JOIN_ORACLE})
 UNION ALL
-SELECT *, 'forward' AS direction FROM ({temporal.ASOF_JOIN_FORWARD_ORACLE})
+{_ASOF_US.format(d="forward")} FROM ({temporal.ASOF_JOIN_FORWARD_ORACLE})
+"""
+
+
+def _q_hypertable_us(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # epoch-micros reshape of the rollup gate output (same rationale as
+    # _q_asof_join_both — first driver row, proven column types only).
+    return temporal.hypertable_rollup(spark, sf_dir).select(
+        "grain",
+        F.unix_micros("bucket_ts").alias("bucket_us"),
+        "event_type",
+        "n_events",
+        "sum_cents",
+    )
+
+
+HYPERTABLE_US_ORACLE = f"""
+SELECT grain, epoch_us(bucket_ts) AS bucket_us, event_type, n_events, sum_cents
+FROM ({temporal.HYPERTABLE_ROLLUP_ORACLE})
 """
 
 
@@ -714,7 +745,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- never driver-verified (added round 4 past the cap)
         "asof_join": _q_asof_join_both,
         "range_join_agg": temporal.range_join_query,
-        "hypertable_rollup": temporal.hypertable_rollup,
+        "hypertable_rollup": _q_hypertable_us,
         "funnel_conversion": events_ops.funnel_conversion,
         "dedup_keep_best": dedup.dedup_keep_best,
         "mixture_sample": text.mixture_sample,
@@ -904,7 +935,7 @@ def oracle_sql() -> dict[str, str]:
         "sessionize": SESSIONIZE_BOTH_ORACLE,
         "asof_join": ASOF_JOIN_BOTH_ORACLE,
         "range_join_agg": temporal.RANGE_JOIN_ORACLE,
-        "hypertable_rollup": temporal.HYPERTABLE_ROLLUP_ORACLE,
+        "hypertable_rollup": HYPERTABLE_US_ORACLE,
         "dedup_keep_best": dedup.dedup_keep_best_oracle(),
         "mixture_sample": text.MIXTURE_SAMPLE_ORACLE,
         "token_mi_topk": text.token_mi_topk_oracle(),
