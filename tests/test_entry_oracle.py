@@ -68,3 +68,29 @@ def test_every_query_has_callable(spark):
     assert set(entry_mod.oracle_sql()) <= set(qs)
     for name, fn in qs.items():
         assert callable(fn), name
+
+
+def test_gate_outputs_are_flat(spark):
+    """Every gate output must be SCALAR columns only — the harness
+    canonicalizer pandas-sorts the result frame and crashes on any
+    array/map/struct column ('unhashable type: list'), the r1
+    media_features and r4 embedding_quantize failure.  Only the SCHEMA
+    is inspected (no collect), though entries that fit a model to build
+    their frame still pay their fit at sf0.001.  Streams are skipped by
+    name: their sinks reuse the batch schemas already swept here, and
+    spinning 3 real streams would dominate the suite."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    for name, fn in entry_mod.queries().items():
+        if name.startswith("stream_"):
+            continue
+        sdf = fn(spark, SF_DIR)
+        bad = [
+            f.name
+            for f in sdf.schema.fields
+            if isinstance(f.dataType, (ArrayType, MapType, StructType))
+        ]
+        assert not bad, (
+            f"{name} emits non-scalar columns {bad}; emit long format "
+            "(one row per element + index column) instead"
+        )
