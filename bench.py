@@ -188,6 +188,11 @@ def main() -> None:
     t, _ = timed(lambda: similarity.ivf_multiprobe_topk(spark, SF_DIR).count())
     results["b9b_ann_multiprobe"] = round(t, 3)
 
+    # bucket-wise Arrow matmul kernel over the same probe geometry (the
+    # large-corpus path; per-pair SQL fold is the gated/oracle form)
+    t, _ = timed(lambda: similarity.ivf_multiprobe_vectorized(spark, SF_DIR).count())
+    results["b9b2_ann_multiprobe_vec"] = round(t, 3)
+
     # int8-quantized IVF: same plan over 4x-smaller vectors
     t, _ = timed(lambda: similarity.ivf_topk_q8(spark, SF_DIR).count())
     results["b9c_ann_q8"] = round(t, 3)

@@ -182,3 +182,33 @@ def test_kmeans_fixture_gate_recall(spark, sf_dir):
     )
     assert km > grid, (km, grid)
     assert km >= 0.3, (km, grid)
+
+
+def test_multiprobe_vectorized_matches_sql_variant(spark, sf_dir):
+    # Same bucket/probe geometry, different kernel (per-bucket matmul vs
+    # per-pair SQL fold): pair sets must agree except at round-5
+    # boundaries (sum-order epsilon), and matched cosines must be equal
+    # to within one rounding step.
+    from flink_infotheoretic_feature_selection_spark.operators.similarity import (
+        ivf_multiprobe_topk,
+        ivf_multiprobe_vectorized,
+    )
+
+    sql_rows = {
+        (r["query_id"], r["neighbor_id"]): r["cos"]
+        for r in ivf_multiprobe_topk(spark, sf_dir).collect()
+    }
+    vec_rows = {
+        (r["query_id"], r["neighbor_id"]): r["cos"]
+        for r in ivf_multiprobe_vectorized(spark, sf_dir).collect()
+    }
+    assert sql_rows and vec_rows
+    common = set(sql_rows) & set(vec_rows)
+    overlap = len(common) / max(len(sql_rows), len(vec_rows))
+    assert overlap >= 0.98, (overlap, len(sql_rows), len(vec_rows))
+    for pair in common:
+        assert abs(sql_rows[pair] - vec_rows[pair]) <= 2e-5, (
+            pair,
+            sql_rows[pair],
+            vec_rows[pair],
+        )
