@@ -543,3 +543,31 @@ def test_lsh_banding_knob_recall_ordering(spark, sf_dir):
     assert default <= max_recall
     with _pytest.raises(ValueError, match="must divide"):
         minhash_lsh_pairs(spark, sf_dir, n_hashes=8, n_bands=3)
+
+
+def test_simhash64_golden_values_sf001(spark):
+    # The two xxhash64 gates are rows-only in the DuckDB gate (no
+    # cross-engine analogue), so freeze a golden sample of the signature
+    # function itself: any semantic drift in tokenization, weighting,
+    # bit-fold, or the xxhash64 seed shows up here as a value diff, the
+    # same protection a hash-green oracle row gives the other gates.
+    from flink_infotheoretic_feature_selection_spark.operators.dedup import simhash64
+
+    golden = {
+        0: -2692730926242927465, 1: -310405887639241071,
+        2: -2314362724286284048, 3: -296747754157064464,
+        4: -364455680774600016, 5: 4224716737545808401,
+        6: -346438379421459276, 7: -4998655299308843503,
+        8: -4922093006166517616, 9: -4998653100302356976,
+        10: -292312599742005600, 11: -4998653100281320815,
+        12: -1521875561782794064, 13: -382465955577812335,
+        14: -386973678945718640, 15: -1521872263289520495,
+        16: 4242740740112812208, 17: -2674791294507241808,
+        18: -296897288342102863, 19: -3574382038180513648,
+    }
+    got = {
+        r["doc_id"]: r["simhash64"]
+        for r in simhash64(spark, "/root/testdata/sf0.01").collect()
+        if r["doc_id"] in golden
+    }
+    assert got == golden
