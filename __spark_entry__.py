@@ -690,6 +690,18 @@ def _q_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.media_meta(spark.read.parquet(f"{sf_dir}/documents.parquet"))
 
 
+def _q_simhash64_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Gate runs the engine-portable md5 token hash; the xxhash64
+    # production default shares every downstream stage (majority fold,
+    # 8x8-bit banding, first-match dedup) and keeps its golden-signature
+    # pin + banding-exactness units.
+    return dedup.simhash64_pairs(spark, sf_dir, hash_fn="md5")
+
+
+def _q_simhash64_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.simhash64_components(spark, sf_dir, hash_fn="md5")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: mRMR greedy selection (k=5) on sf0.001."""
     return _q_selected_mrmr(spark, "/root/testdata/sf0.001")
@@ -769,6 +781,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scrub_dup_spans": dedup.scrub_dup_spans,
         "substring_dup_profile": dedup.substring_dup_profile,
         "substring_dup_spans": dedup.substring_dup_spans,
+        # -- upgraded this round from rows-only to oracle-backed: the
+        # gate runs the engine-portable md5 token hash (same signature /
+        # banding / component machinery as the xxhash64 production
+        # default, which stays unit- and golden-pinned), verified against
+        # a BRUTE-FORCE all-pairs DuckDB oracle (pairs) and a
+        # recursive-CTE transitive closure (components) — independent of
+        # the banding they check.  First-ever driver rows: block A.
+        "simhash64_pairs": _q_simhash64_pairs,
+        "simhash64_components": _q_simhash64_components,
         # The three Structured Streaming gates close block A: each spins
         # up a real availableNow stream (file copy + state stores +
         # microbatch scheduling), the most wall-clock-expensive entries in
@@ -792,12 +813,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": dedup.simhash,
         "decontaminate": dedup.decontaminate_query,
         "simhash_pairs": dedup.simhash_pairs,
-        # production 64-bit variant: xxhash64 has no DuckDB analogue, so
-        # this is a rows-only gate entry; unit tests pin banding
-        # exactness + determinism + the >=10x desaturation vs 28-bit
-        "simhash64_pairs": dedup.simhash64_pairs,
-        # linear-output grouped form (rows-only for the same xxhash64 reason)
-        "simhash64_components": dedup.simhash64_components,
         "doc_repetition": text.doc_repetition,
         "tfidf_topk": text.tfidf_topk,
         "stratified_sample": text.stratified_sample,
@@ -899,6 +914,8 @@ def oracle_sql() -> dict[str, str]:
         "simhash": dedup.simhash_oracle(),
         "decontaminate": dedup.decontaminate_oracle(),
         "simhash_pairs": dedup.simhash_pairs_oracle(),
+        "simhash64_pairs": dedup.simhash64_pairs_oracle(),
+        "simhash64_components": dedup.simhash64_components_oracle(),
         "substring_dup_profile": dedup.substring_dup_profile_oracle(),
         "substring_dup_spans": dedup.substring_dup_spans_oracle(),
         "scrub_dup_spans": dedup.scrub_dup_spans_oracle(),

@@ -56,6 +56,8 @@ __all__ = [
     "minhash_lsh_pairs_oracle",
     "simhash_oracle",
     "simhash_pairs_oracle",
+    "simhash64_pairs_oracle",
+    "simhash64_components_oracle",
     "neardup_groups_oracle",
     "decontaminate_oracle",
     "substring_dup_profile",
@@ -755,8 +757,39 @@ SIMHASH64_BITS = 64
 SIMHASH64_CHUNKS = 8  # 8 chunks × 8 bits: pigeonhole-exact for hamming ≤ 7
 SIMHASH64_CHUNK_BITS = SIMHASH64_BITS // SIMHASH64_CHUNKS
 
+# Token-hash functions for the 64-bit signature.  The HASH is the only
+# engine-specific piece of the whole 64-bit pipeline — everything
+# downstream (per-bit majority fold, chunk banding, components) consumes
+# a plain BIGINT array and is hash-agnostic:
+#   - "xxhash64": Spark-native codegen hash, the production default.  No
+#     DuckDB analogue, so paths built on it are pinned by unit tests and
+#     a frozen golden-signature fixture instead of a SQL oracle.
+#   - "md5": portable twin — the top/bottom 8 hex chars of md5(token)
+#     parsed as two 32-bit halves and recombined into the same signed
+#     64-bit bit pattern in BOTH engines (Spark: conv(...,16,10) halves
+#     + shiftleft|or, which is pure bit assembly and never
+#     overflow-checks; DuckDB: ('0x'||substr)::BIGINT halves kept
+#     SEPARATE because DuckDB's << overflow-checks — Hamming distance
+#     over halves is identical to Hamming over the combined word).  The
+#     driver gate runs the md5 variant so the banding/majority/component
+#     machinery gets a full cross-engine value check; a unit test pins
+#     both variants' pair geometry on the same fixture.
+SIMHASH64_HASH_FNS = ("xxhash64", "md5")
 
-def _simhash64_sql() -> str:
+
+def _simhash64_hash_expr(hash_fn: str, token: str = "t") -> str:
+    """Spark SQL expression hashing one token to a signed 64-bit BIGINT."""
+    if hash_fn == "xxhash64":
+        return f"xxhash64({token})"
+    if hash_fn == "md5":
+        return (
+            f"shiftleft(CAST(conv(substr(md5({token}), 1, 8), 16, 10) AS BIGINT), 32)"
+            f" | CAST(conv(substr(md5({token}), 9, 8), 16, 10) AS BIGINT)"
+        )
+    raise ValueError(f"hash_fn must be one of {SIMHASH64_HASH_FNS}, got {hash_fn!r}")
+
+
+def _simhash64_sql(hash_fn: str = "xxhash64") -> str:
     """Signature build as one Spark SQL statement.
 
     TEST ORACLE ONLY: production paths (:func:`simhash64` and
@@ -775,11 +808,12 @@ def _simhash64_sql() -> str:
     shiftleft|or — bit ops never overflow-check.
     """
     maj = "IF(2 * element_at(cnts, i + 1) >= n, 1, 0)"
+    hash_expr = _simhash64_hash_expr(hash_fn)
     return rf"""
     WITH hs AS (
       SELECT doc_id,
              transform(array_distinct(split(trim(lower(text)), '\\s+')),
-                       t -> xxhash64(t)) AS hs
+                       t -> {hash_expr}) AS hs
       FROM documents),
     cnt AS (
       SELECT doc_id, size(hs) AS n,
@@ -798,13 +832,18 @@ def _simhash64_sql() -> str:
     """
 
 
-def simhash64(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """64-bit xxhash64-based SimHash per document (production variant)."""
+def simhash64(
+    spark: SparkSession, sf_dir: str, hash_fn: str = "xxhash64"
+) -> DataFrame:
+    """64-bit SimHash per document (production default: xxhash64 token
+    hashes; ``hash_fn="md5"`` is the engine-portable oracle twin)."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return with_simhash64(docs).select("doc_id", "simhash64")
+    return with_simhash64(docs, hash_fn=hash_fn).select("doc_id", "simhash64")
 
 
-def with_simhash64(docs: DataFrame, out_col: str = "simhash64") -> DataFrame:
+def with_simhash64(
+    docs: DataFrame, out_col: str = "simhash64", hash_fn: str = "xxhash64"
+) -> DataFrame:
     """Append the 64-bit SimHash as a COLUMN — the expression form of
     :func:`_simhash64_sql`'s CTE stages, so it composes with arbitrary
     DataFrames including Structured Streaming ones (pure stateless
@@ -812,10 +851,14 @@ def with_simhash64(docs: DataFrame, out_col: str = "simhash64") -> DataFrame:
     from pyspark.sql import functions as F
 
     maj = "IF(2 * element_at(__cnts, i + 1) >= __n, 1, 0)"
+    hash_expr = _simhash64_hash_expr(hash_fn)
     out = (
         docs.withColumn(
             "__hs",
-            F.expr(r"transform(array_distinct(split(trim(lower(text)), '\\s+')), t -> xxhash64(t))"),
+            F.expr(
+                r"transform(array_distinct(split(trim(lower(text)), '\\s+')), "
+                f"t -> {hash_expr})"
+            ),
         )
         .withColumn("__n", F.expr("size(__hs)"))
         .withColumn(
@@ -912,7 +955,10 @@ def _simhash64_hamming_pairs(sig: DataFrame, max_hamming: int) -> DataFrame:
 
 
 def simhash64_pairs(
-    spark: SparkSession, sf_dir: str, max_hamming: int = 3
+    spark: SparkSession,
+    sf_dir: str,
+    max_hamming: int = 3,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Near-dup pairs by 64-bit SimHash Hamming distance ≤ ``max_hamming``.
 
@@ -929,10 +975,91 @@ def simhash64_pairs(
     rows); when the downstream need is dedup GROUPS rather than explicit
     pairs, :func:`simhash64_components` is the linear-output form.
     """
-    sig = simhash64(spark, sf_dir).persist()
+    sig = simhash64(spark, sf_dir, hash_fn=hash_fn).persist()
     pairs = _simhash64_hamming_pairs(sig, max_hamming).localCheckpoint(eager=True)
     sig.unpersist()
     return pairs
+
+
+def _simhash64_md5_duck_sig_ctes() -> str:
+    """DuckDB CTEs building the md5-variant 64-bit signature as TWO
+    32-bit halves ``(doc_id, sig_hi, sig_lo)``.
+
+    Independent formulation on purpose: where Spark folds a 64-counter
+    array in one ``aggregate`` pass, this counts each bit with its own
+    ``list_filter`` scan (the 28-bit oracle's style), and the halves stay
+    separate because DuckDB's ``<<`` overflow-checks where Spark's
+    ``shiftleft`` is pure bit assembly.  Hamming over (hi, lo) halves is
+    identical to Hamming over the combined 64-bit word, so the two
+    engines compare the same distances without ever agreeing on an
+    intermediate representation.
+    """
+
+    def majority_terms(col: str) -> str:
+        return " + ".join(
+            f"(CASE WHEN 2 * len(list_filter({col}, h -> (h >> {b}) & 1 = 1))"
+            f" >= len({col}) THEN {1 << b} ELSE 0 END)"
+            for b in range(32)
+        )
+
+    return rf"""
+    toks AS (
+      SELECT doc_id,
+             list_transform(
+               list_distinct(string_split_regex(trim(lower(text)), '\s+')),
+               t -> md5(t)) AS ms
+      FROM documents),
+    halves AS (
+      SELECT doc_id,
+             list_transform(ms, m -> ('0x' || substr(m, 1, 8))::BIGINT) AS hhi,
+             list_transform(ms, m -> ('0x' || substr(m, 9, 8))::BIGINT) AS hlo
+      FROM toks),
+    sig AS (
+      SELECT doc_id,
+             {majority_terms("hhi")} AS sig_hi,
+             {majority_terms("hlo")} AS sig_lo
+      FROM halves)
+    """
+
+
+_SIMHASH64_DUCK_HAM = (
+    "bit_count(xor(a.sig_hi, b.sig_hi)) + bit_count(xor(a.sig_lo, b.sig_lo))"
+)
+
+
+def simhash64_pairs_oracle(max_hamming: int = 3) -> str:
+    """DuckDB oracle for the md5-variant :func:`simhash64_pairs` gate —
+    BRUTE-FORCE all-pairs Hamming scan, no banding: a genuinely
+    independent check that the 8×8-bit chunk candidate join is exact
+    (pigeonhole), not just that two copies of the same plan agree."""
+    return f"""
+    WITH {_simhash64_md5_duck_sig_ctes().strip()}
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST({_SIMHASH64_DUCK_HAM} AS INT) AS hamming
+    FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+    WHERE {_SIMHASH64_DUCK_HAM} <= {max_hamming}
+    """
+
+
+def simhash64_components_oracle(max_hamming: int = 3) -> str:
+    """DuckDB oracle for the md5-variant :func:`simhash64_components`
+    gate — transitive closure by recursive CTE (labels flood along
+    brute-force Hamming edges until fixpoint; min label per doc is the
+    component id).  Independent of the Spark side's distinct-signature
+    graph + union-find on every axis: no banding, no signature grouping,
+    no driver step."""
+    return f"""
+    WITH RECURSIVE {_simhash64_md5_duck_sig_ctes().strip()},
+    edges AS (
+      SELECT a.doc_id AS src, b.doc_id AS dst
+      FROM sig a JOIN sig b ON a.doc_id <> b.doc_id
+      WHERE {_SIMHASH64_DUCK_HAM} <= {max_hamming}),
+    reach(doc, lbl) AS (
+      SELECT doc_id, doc_id FROM sig
+      UNION
+      SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.doc)
+    SELECT doc AS doc_id, MIN(lbl) AS component FROM reach GROUP BY doc
+    """
 
 
 def min_label_union_find(edges) -> dict[int, int]:
@@ -964,6 +1091,7 @@ def simhash64_components(
     sf_dir: str,
     max_hamming: int = 3,
     driver_edge_limit: int = 1 << 20,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Near-dup components by 64-bit SimHash, with OUTPUT LINEAR in docs
     — the 100 TB form of :func:`simhash64_pairs`.
@@ -990,7 +1118,7 @@ def simhash64_components(
     """
     from pyspark.sql import functions as F
 
-    sig = simhash64(spark, sf_dir).persist()
+    sig = simhash64(spark, sf_dir, hash_fn=hash_fn).persist()
     try:
         reps = (
             sig.groupBy("simhash64")

@@ -115,17 +115,23 @@ def test_simhash_pairs_rejects_unbandable_threshold(spark):
         _simhash_pairs_sql(duck=False, max_hamming=4)
 
 
-def test_simhash64_pairs_banding_is_exact(spark, sf_dir):
+@pytest.mark.parametrize("hash_fn", ["xxhash64", "md5"])
+def test_simhash64_pairs_banding_is_exact(spark, sf_dir, hash_fn):
     # Same pigeonhole-exactness pin as the 28-bit test, for the 64-bit
-    # production variant.  Signatures are signed int64: mask the XOR to
-    # 64 bits before popcount (bin() of a negative Python int would
-    # count sign-magnitude bits, not two's-complement bits).
+    # variant — both token hashes (xxhash64 production default, md5
+    # oracle twin) through the shared banding.  Signatures are signed
+    # int64: mask the XOR to 64 bits before popcount (bin() of a
+    # negative Python int would count sign-magnitude bits, not
+    # two's-complement bits).
     from flink_infotheoretic_feature_selection_spark.operators.dedup import (
         simhash64,
         simhash64_pairs,
     )
 
-    sigs = {r["doc_id"]: r["simhash64"] for r in simhash64(spark, sf_dir).collect()}
+    sigs = {
+        r["doc_id"]: r["simhash64"]
+        for r in simhash64(spark, sf_dir, hash_fn=hash_fn).collect()
+    }
     ids = sorted(sigs)
     mask = (1 << 64) - 1
 
@@ -140,7 +146,7 @@ def test_simhash64_pairs_banding_is_exact(spark, sf_dir):
     }
     got = {
         (r["doc_a"], r["doc_b"], r["hamming"])
-        for r in simhash64_pairs(spark, sf_dir).collect()
+        for r in simhash64_pairs(spark, sf_dir, hash_fn=hash_fn).collect()
     }
     assert got == expect
 

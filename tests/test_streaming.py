@@ -328,9 +328,11 @@ def test_events_read_plan_unknown_scheme_falls_back(tmp_path):
     assert ts_is_nanos is False
 
 
-def test_with_simhash64_column_equals_sql_route(spark):
+@pytest.mark.parametrize("hash_fn", ["xxhash64", "md5"])
+def test_with_simhash64_column_equals_sql_route(spark, hash_fn):
     # The column-expression signature build (streaming-composable) must
-    # be bit-identical to the SQL CTE route the batch ops use.
+    # be bit-identical to the SQL CTE route the batch ops use — for the
+    # xxhash64 production hash AND the md5 oracle-portable hash.
     from flink_infotheoretic_feature_selection_spark.operators.dedup import (
         _simhash64_sql,
         with_simhash64,
@@ -340,11 +342,14 @@ def test_with_simhash64_column_equals_sql_route(spark):
     docs.createOrReplaceTempView("documents")
     try:
         via_sql = {
-            r["doc_id"]: r["simhash64"] for r in spark.sql(_simhash64_sql()).collect()
+            r["doc_id"]: r["simhash64"]
+            for r in spark.sql(_simhash64_sql(hash_fn)).collect()
         }
         via_col = {
             r["doc_id"]: r["simhash64"]
-            for r in with_simhash64(docs).select("doc_id", "simhash64").collect()
+            for r in with_simhash64(docs, hash_fn=hash_fn)
+            .select("doc_id", "simhash64")
+            .collect()
         }
         assert via_col == via_sql
     finally:
