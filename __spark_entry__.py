@@ -769,6 +769,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_meta": _q_media_meta,
         "media_pixels": _q_media_pixels,
         "sessionize": _q_sessionize_both,
+        # -- added this round (IVF-PQ against frozen codebooks): never
+        # driver-verified, so block A per the rotation contract
+        "pq_encode": similarity.pq_encode,
+        "ann_ivf_pq": similarity.ann_ivf_pq_topk,
         # -- green in r3 but past the r4 cap (re-verify)
         "events_window_agg": _q_events_window_agg,
         "label_centroids": similarity.label_centroids,
@@ -779,8 +783,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_rollup": text.corpus_rollup,
         "lm_score": text.lm_score,
         "scrub_dup_spans": dedup.scrub_dup_spans,
-        "substring_dup_profile": dedup.substring_dup_profile,
-        "substring_dup_spans": dedup.substring_dup_spans,
         # -- upgraded this round from rows-only to oracle-backed: the
         # gate runs the engine-portable md5 token hash (same signature /
         # banding / component machinery as the xxhash64 production
@@ -798,9 +800,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_dedup": _q_stream_dedup,
         "stream_sessionize": _q_stream_sessionize,
         # ================= block B: past the 50-entry cap =================
-        # Everything below was driver-green in BOTH r3 and r4 (or is a
-        # permanently rows-only xxhash64 gate).  Each keeps unit tests +
-        # the tools/gate_check.py replica; rotate back into block A in r6.
+        # Everything below was driver-green in BOTH r3 and r4, except the
+        # two substring gates (green r4 only) displaced by the two new
+        # IVF-PQ entries — never-verified outranks one-round-green, and
+        # scrub_dup_spans keeps the span pipeline's end-to-end composition
+        # in block A.  Each keeps unit tests + the tools/gate_check.py
+        # replica; rotate back into block A in r6.
+        "substring_dup_profile": dedup.substring_dup_profile,
+        "substring_dup_spans": dedup.substring_dup_spans,
         "text_stats": text.text_stats,
         "lang_id": text.lang_id,
         "corpus_clean": text.corpus_clean,
@@ -916,6 +923,8 @@ def oracle_sql() -> dict[str, str]:
         "simhash_pairs": dedup.simhash_pairs_oracle(),
         "simhash64_pairs": dedup.simhash64_pairs_oracle(),
         "simhash64_components": dedup.simhash64_components_oracle(),
+        "pq_encode": similarity.pq_encode_oracle(),
+        "ann_ivf_pq": similarity.ann_ivf_pq_oracle(),
         "substring_dup_profile": dedup.substring_dup_profile_oracle(),
         "substring_dup_spans": dedup.substring_dup_spans_oracle(),
         "scrub_dup_spans": dedup.scrub_dup_spans_oracle(),

@@ -206,6 +206,11 @@ def main() -> None:
     t, _ = timed(lambda: similarity.ivf_kmeans_fixture_topk(spark, SF_DIR).count())
     results["b9e_ann_kmeans_frozen"] = round(t, 3)
 
+    # IVF-PQ: candidates scored from 4-bit codes + integer LUT sums,
+    # corpus floats untouched after the encode pass
+    t, _ = timed(lambda: similarity.ann_ivf_pq_topk(spark, SF_DIR).count())
+    results["b9f_ann_ivf_pq"] = round(t, 3)
+
     t, _ = timed(lambda: text.text_stats(spark, SF_DIR).count())
     results["b10_text_stats"] = round(t, 3)
 

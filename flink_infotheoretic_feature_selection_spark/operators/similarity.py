@@ -41,6 +41,10 @@ __all__ = [
     "ivf_kmeans_topk",
     "ivf_kmeans_fixture_topk",
     "ivf_kmeans_fixture_oracle",
+    "pq_encode",
+    "pq_encode_oracle",
+    "ann_ivf_pq_topk",
+    "ann_ivf_pq_oracle",
     "label_centroids",
     "LABEL_CENTROIDS_ORACLE",
     "cosine_topk_oracle",
@@ -799,3 +803,210 @@ def ivf_kmeans_fixture_oracle(
     k: int = 3, query_limit: int = 200, n_probes: int = 2
 ) -> str:
     return _kmeans_fixture_sql(duck=True, k=k, query_limit=query_limit, n_probes=n_probes)
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ: product quantization with asymmetric distance computation — the
+# billion-scale memory path (Jégou et al., "Product Quantization for
+# Nearest Neighbor Search", TPAMI 2011; the FAISS IVFPQ index shape).
+#
+# Each L2-normalized vector splits into M subvectors; each subspace has a
+# frozen K-entry codebook (tools/fit_pq_codebooks.py — offline seeded
+# Lloyd fit on the sf0.01 sample, same quantizer lifecycle as the k-means
+# IVF gate).  A vector is stored as M small codes — 8 codes of 4 bits
+# here vs 256 bytes of floats, a 64x memory/IO compression — and scored
+# against a query WITHOUT touching its floats: the query precomputes a
+# (M x K) lookup table of partial dots, and approx_cos(q, v) =
+# sum_m LUT[m][code_m(v)] (ADC).
+#
+# Cross-engine determinism: every LUT partial dot is rounded to 5
+# decimals and SCALED TO AN INTEGER (x 100000) before the per-pair sum —
+# integer addition is order-independent, so the M-term fold can never
+# diverge between Spark's and DuckDB's summation orders (the
+# token_mi_topk float-sum boundary risk class, designed out here).
+# Encode-side argmins use the module's round(d, 5)-then-tiebreak
+# contract.
+# ---------------------------------------------------------------------------
+def _load_pq_fixture() -> dict:
+    import json
+    import os
+
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "fixtures",
+        "pq_codebooks.json",
+    )
+    with open(path) as f:
+        return json.load(f)
+
+
+PQ_SCORE_SCALE = 100_000  # 5-decimal fixed point for the integer ADC sum
+
+
+def _pq_codebook_cte(duck: bool) -> tuple[str, int, int, int]:
+    """Literal codebook table ``cb(m, code, cvec, cn2)``; returns
+    (cte_sql, M, SUB_DIM, K).  cn2 is precomputed in Python from the same
+    literal floats both engines parse — one shared constant."""
+    fx = _load_pq_fixture()
+    sub_dim = fx["sub_dim"]
+    rows = []
+    for m, book in enumerate(fx["codebooks"]):
+        for code, c in enumerate(book):
+            cn2 = 0.0
+            for x in c:
+                cn2 += float(x) * float(x)
+            arr = ", ".join(repr(float(x)) for x in c)
+            arr = (
+                f"CAST([{arr}] AS DOUBLE[])"
+                if duck
+                else f"CAST(array({arr}) AS ARRAY<DOUBLE>)"
+            )
+            rows.append(
+                f"SELECT {m} AS m, {code} AS code, {arr} AS cvec, "
+                f"CAST({cn2!r} AS DOUBLE) AS cn2"
+            )
+    return " UNION ALL ".join(rows), fx["m"], sub_dim, fx["k"]
+
+
+def _pq_sub_dot(duck: bool, emb: str, sub_dim: int) -> str:
+    """dot(subvector m of ``emb``, cb.cvec) — the subvector is sliced at
+    runtime from the codebook row's m, so one cross join scores every
+    subspace without M query copies."""
+    if duck:
+        return (
+            f"list_inner_product("
+            f"list_slice({emb}, cb.m * {sub_dim} + 1, (cb.m + 1) * {sub_dim}), cb.cvec)"
+        )
+    return _dot_expr_spark(f"slice({emb}, cb.m * {sub_dim} + 1, {sub_dim})", "cb.cvec")
+
+
+# Argmin-as-integer-min: the (round(d, 5), code) ordering is packed into
+# ONE sortable BIGINT key = (d_fixed_point + OFFSET) * K + code, so the
+# per-(vector, subspace) argmin is a plain min() aggregation — partial +
+# final merge with map-side combine, NO window shuffle (measured ~2x on
+# the whole IVF-PQ query at sf0.1).  |d| <= |c|^2 + 2|v_sub||c|/|v| < 4,
+# so the 5-decimal fixed point is < 4e5, far under the 2^24 offset.
+_PQ_D_OFFSET = 1 << 24
+
+
+def _pq_argmin_key(d_expr: str, k_codes: int) -> str:
+    d_int = f"CAST(round(round({d_expr}, 5) * {PQ_SCORE_SCALE}, 0) AS BIGINT)"
+    return f"(({d_int} + {_PQ_D_OFFSET}) * {k_codes} + cb.code)"
+
+
+def _pq_encode_sql(duck: bool) -> str:
+    """``(vec_id, m, code)`` long-format PQ encoding of the corpus.
+
+    Assignment per (vector, subspace): argmin over the K codebook rows of
+    d = |c|^2 - 2*(v_sub . c)/|v| (the |v_sub/|v||^2 term is constant per
+    (vector, m) and cannot change the argmin), d rounded to 5 with code
+    as tiebreak — the same metric/contract as the k-means fixture gate,
+    packed into an integer min() (see ``_pq_argmin_key``).
+
+    Scale shape: corpus scan CROSS JOIN the M*K-row literal codebook
+    (broadcast by size), map-side-combined min() per (vec_id, m).
+    Output is M small ints per vector — the compressed index a
+    production deployment would persist instead of the floats.
+    """
+    cb, m_total, sub_dim, k_codes = _pq_codebook_cte(duck)
+    if duck:
+        emb_cast = "CAST(embedding AS DOUBLE[])"
+        nrm = "sqrt(list_inner_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])))"
+    else:
+        emb_cast = "embedding"
+        nrm = _norm_expr_spark("embedding")
+    sdot = _pq_sub_dot(duck, "e.emb", sub_dim)
+    key = _pq_argmin_key(f"cb.cn2 - 2.0 * ({sdot}) / e.nrm", k_codes)
+    return f"""
+    WITH cb AS ({cb}),
+    e AS (SELECT vec_id, {emb_cast} AS emb, {nrm} AS nrm FROM embeddings),
+    scored AS (
+      SELECT e.vec_id, cb.m, {key} AS key
+      FROM e CROSS JOIN cb)
+    SELECT vec_id, m, CAST(min(key) % {k_codes} AS INT) AS code
+    FROM scored GROUP BY vec_id, m
+    """
+
+
+def pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ-encode the corpus against the frozen codebooks (gate form)."""
+    _emb(spark, sf_dir)
+    return spark.sql(_pq_encode_sql(duck=False))
+
+
+def pq_encode_oracle() -> str:
+    return _pq_encode_sql(duck=True)
+
+
+def _ann_ivf_pq_sql(duck: bool, k: int, query_limit: int) -> str:
+    """IVF-PQ approximate top-k, one statement, both dialects.
+
+    Plan shape at 100 TB: candidates come from the sign-grid multiprobe
+    bucket equi-join (probes x bucket members, never all-pairs); each
+    candidate is scored by joining its M CODES against the query's
+    broadcast-sized LUT (queries x M x K integer rows) and summing M
+    integers — the corpus FLOATS are never touched after the one encode
+    pass, which is the entire point of PQ (64x less IO on the scoring
+    path).  The integer sum makes the score independent of engine
+    summation order; ranking is (score desc, neighbor_id) on exact ints.
+    """
+    cb, m_total, sub_dim, k_codes = _pq_codebook_cte(duck)
+    if duck:
+        emb_cast = "CAST(embedding AS DOUBLE[])"
+        nrm = "sqrt(list_inner_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])))"
+        bucket = _bucket_expr("embedding", duck=True)
+    else:
+        emb_cast = "embedding"
+        nrm = _norm_expr_spark("embedding")
+        bucket = _bucket_expr("embedding", duck=False)
+    probe = _probe_list("bucket", N_SIGN_BITS, duck)
+    sdot_e = _pq_sub_dot(duck, "e.emb", sub_dim)
+    sdot_q = _pq_sub_dot(duck, "qq.emb", sub_dim)
+    key = _pq_argmin_key(f"cb.cn2 - 2.0 * ({sdot_e}) / e.nrm", k_codes)
+    return f"""
+    WITH cb AS ({cb}),
+    e AS (SELECT vec_id, {emb_cast} AS emb, {nrm} AS nrm, {bucket} AS bucket
+          FROM embeddings),
+    codes AS (
+      SELECT vec_id, m, CAST(min(key) % {k_codes} AS INT) AS code FROM (
+        SELECT e.vec_id, cb.m, {key} AS key
+        FROM e CROSS JOIN cb) s GROUP BY vec_id, m),
+    lut AS (
+      SELECT qq.vec_id AS query_id, cb.m, cb.code,
+             CAST(round(round(({sdot_q}) / qq.nrm, 5) * {PQ_SCORE_SCALE}, 0) AS BIGINT)
+               AS pdot
+      FROM e qq CROSS JOIN cb WHERE qq.vec_id < {query_limit}),
+    q AS (SELECT vec_id AS query_id, {probe} AS probe
+          FROM e WHERE vec_id < {query_limit}),
+    cand AS (
+      SELECT q.query_id, c.vec_id AS neighbor_id
+      FROM q JOIN e c ON c.bucket = q.probe AND c.vec_id != q.query_id),
+    scored AS (
+      SELECT cand.query_id, cand.neighbor_id, sum(l.pdot) AS iscore
+      FROM cand
+      JOIN codes ON codes.vec_id = cand.neighbor_id
+      JOIN lut l ON l.query_id = cand.query_id
+                AND l.m = codes.m AND l.code = codes.code
+      GROUP BY cand.query_id, cand.neighbor_id),
+    ranked AS (
+      SELECT query_id, neighbor_id, iscore,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY iscore DESC, neighbor_id) AS rank
+      FROM scored)
+    SELECT query_id, neighbor_id,
+           CAST(iscore AS DOUBLE) / {PQ_SCORE_SCALE} AS approx_cos,
+           CAST(rank AS INT) AS rank
+    FROM ranked WHERE rank <= {k}
+    """
+
+
+def ann_ivf_pq_topk(
+    spark: SparkSession, sf_dir: str, k: int = 3, query_limit: int = 200
+) -> DataFrame:
+    """IVF-PQ approximate top-k against the frozen codebooks."""
+    _emb(spark, sf_dir)
+    return spark.sql(_ann_ivf_pq_sql(duck=False, k=k, query_limit=query_limit))
+
+
+def ann_ivf_pq_oracle(k: int = 3, query_limit: int = 200) -> str:
+    return _ann_ivf_pq_sql(duck=True, k=k, query_limit=query_limit)

@@ -212,3 +212,102 @@ def test_multiprobe_vectorized_matches_sql_variant(spark, sf_dir):
             sql_rows[pair],
             vec_rows[pair],
         )
+
+
+def _pq_reference(sf_dir, query_limit=200):
+    """NumPy reference for the frozen-codebook PQ pipeline, replicating
+    the SQL's round(d, 5)+code tiebreak encode contract and the integer
+    fixed-point ADC LUT exactly."""
+    import json
+    import os
+
+    import pyarrow.parquet as pq
+
+    import flink_infotheoretic_feature_selection_spark.operators.similarity as sim
+
+    fx = json.load(
+        open(
+            os.path.join(
+                os.path.dirname(os.path.abspath(sim.__file__)),
+                "..",
+                "fixtures",
+                "pq_codebooks.json",
+            )
+        )
+    )
+    books = [np.array(b, dtype=np.float64) for b in fx["codebooks"]]
+    sd = fx["sub_dim"]
+    pdf = pq.read_table(f"{sf_dir}/embeddings.parquet").to_pandas()
+    ids = pdf["vec_id"].to_numpy()
+    mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+    nrm = np.linalg.norm(mat, axis=1, keepdims=True)
+    codes = {}
+    for vid, v, n in zip(ids, mat, nrm):
+        per_m = []
+        for m, book in enumerate(books):
+            sub = v[m * sd : (m + 1) * sd]
+            cn2 = (book**2).sum(axis=1)
+            d = np.round(cn2 - 2.0 * (book @ sub) / n[0], 5)
+            per_m.append(int(np.lexsort((np.arange(len(book)), d))[0]))
+        codes[int(vid)] = per_m
+    luts = {}
+    for vid, v, n in zip(ids, mat, nrm):
+        if vid >= query_limit:
+            continue
+        lut = np.stack(
+            [
+                np.round(
+                    np.round((book @ v[m * sd : (m + 1) * sd]) / n[0], 5) * 100_000, 0
+                ).astype(np.int64)
+                for m, book in enumerate(books)
+            ]
+        )
+        luts[int(vid)] = lut
+    return codes, luts
+
+
+def test_pq_encode_matches_numpy_reference(spark, sf_dir):
+    from flink_infotheoretic_feature_selection_spark.operators.similarity import pq_encode
+
+    codes, _ = _pq_reference(sf_dir)
+    got = {}
+    for r in pq_encode(spark, sf_dir).collect():
+        got.setdefault(r.vec_id, {})[r.m] = r.code
+    assert set(got) == set(codes)
+    for vid, per_m in codes.items():
+        assert [got[vid][m] for m in range(len(per_m))] == per_m, vid
+
+
+def test_ann_ivf_pq_scores_match_numpy_adc(spark, sf_dir):
+    # The integer fixed-point ADC sum is exactly reproducible: for every
+    # (query, neighbor) row the approx_cos must equal the NumPy LUT sum
+    # to the last fixed-point digit — no float tolerance.
+    from flink_infotheoretic_feature_selection_spark.operators.similarity import (
+        PQ_SCORE_SCALE,
+        ann_ivf_pq_topk,
+    )
+
+    codes, luts = _pq_reference(sf_dir)
+    rows = ann_ivf_pq_topk(spark, sf_dir, k=3).collect()
+    assert rows, "gate produced no rows"
+    for r in rows:
+        expect = sum(
+            luts[r.query_id][m][c] for m, c in enumerate(codes[r.neighbor_id])
+        )
+        assert round(r.approx_cos * PQ_SCORE_SCALE) == expect, (
+            r.query_id,
+            r.neighbor_id,
+        )
+
+
+def test_ann_ivf_pq_ranks_are_dense_and_bounded(spark, sf_dir):
+    from flink_infotheoretic_feature_selection_spark.operators.similarity import (
+        ann_ivf_pq_topk,
+    )
+
+    per_q = {}
+    for r in ann_ivf_pq_topk(spark, sf_dir, k=3).collect():
+        per_q.setdefault(r.query_id, []).append(r.rank)
+    for q, ranks in per_q.items():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1)), q
+        assert len(ranks) <= 3
