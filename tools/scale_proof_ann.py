@@ -80,6 +80,8 @@ def main() -> None:
         "ivf_multiprobe": lambda d: similarity.ivf_multiprobe_topk(spark, d),
         "ivf_q8": lambda d: similarity.ivf_topk_q8(spark, d),
         "ivf_kmeans_frozen": lambda d: similarity.ivf_kmeans_fixture_topk(spark, d),
+        "ivf_multiprobe_vec": lambda d: similarity.ivf_multiprobe_vectorized(spark, d),
+        "ivf_pq": lambda d: similarity.ann_ivf_pq_topk(spark, d),
     }
 
     def measure(d: str) -> dict:
