@@ -45,6 +45,9 @@ __all__ = [
     "pq_encode_oracle",
     "ann_ivf_pq_topk",
     "ann_ivf_pq_oracle",
+    "with_pq_codes",
+    "pq_corpus_index",
+    "pq_adc_score_terms",
     "label_centroids",
     "LABEL_CENTROIDS_ORACLE",
     "cosine_topk_oracle",
@@ -1010,3 +1013,82 @@ def ann_ivf_pq_topk(
 
 def ann_ivf_pq_oracle(k: int = 3, query_limit: int = 200) -> str:
     return _ann_ivf_pq_sql(duck=True, k=k, query_limit=query_limit)
+
+
+def with_pq_codes(df: DataFrame, emb_col: str = "embedding") -> DataFrame:
+    """Append the PQ code of every subspace as COLUMNS ``c0..c{M-1}`` —
+    the expression form of :func:`pq_encode`'s CTE stages.
+
+    Pure stateless projections (the argmin over the K frozen centroids
+    is ``least()`` over K inline integer keys, the same
+    ``_pq_argmin_key`` packing the SQL route min()s), so unlike the
+    batch SQL — whose codebook CROSS JOIN + groupBy would be a STATEFUL
+    aggregation on a stream — this composes with arbitrary DataFrames
+    including Structured Streaming ones in append mode.  A unit test
+    pins bit-equality with the SQL route's (vec_id, m, code) output.
+    """
+    from pyspark.sql import functions as F
+
+    fx = _load_pq_fixture()
+    sub_dim, k_codes = fx["sub_dim"], fx["k"]
+    nrm = _norm_expr_spark(emb_col)
+    out = df.withColumn("__nrm", F.expr(nrm))
+    for m, book in enumerate(fx["codebooks"]):
+        sub = f"slice({emb_col}, {m * sub_dim + 1}, {sub_dim})"
+        keys = []
+        for code, c in enumerate(book):
+            cn2 = 0.0
+            for x in c:
+                cn2 += float(x) * float(x)
+            arr = ", ".join(repr(float(x)) for x in c)
+            dot = _dot_expr_spark(sub, f"CAST(array({arr}) AS ARRAY<DOUBLE>)")
+            d_int = (
+                f"CAST(round(round({cn2!r} - 2.0 * ({dot}) / __nrm, 5) "
+                f"* {PQ_SCORE_SCALE}, 0) AS BIGINT)"
+            )
+            keys.append(f"(({d_int} + {_PQ_D_OFFSET}) * {k_codes} + {code})")
+        out = out.withColumn(
+            f"c{m}", F.expr(f"CAST(least({', '.join(keys)}) % {k_codes} AS INT)")
+        )
+    return out.drop("__nrm")
+
+
+def pq_corpus_index(df: DataFrame, emb_col: str = "embedding") -> DataFrame:
+    """``(vec_id, bucket, c0..c{M-1})`` — the compact ANN index a
+    deployment persists instead of the floats: sign-grid bucket for
+    candidate generation plus PQ codes for scoring.  Built entirely from
+    stateless column expressions (:func:`with_pq_codes`), so it also
+    serves as the static side of stream-static ANN joins."""
+    from pyspark.sql import functions as F
+
+    fx = _load_pq_fixture()
+    return with_pq_codes(df, emb_col).select(
+        "vec_id",
+        F.expr(_bucket_expr(emb_col, duck=False)).alias("bucket"),
+        *[f"c{m}" for m in range(fx["m"])],
+    )
+
+
+def pq_adc_score_terms(
+    q_emb: str = "q_emb", q_nrm: str = "q_nrm"
+) -> tuple[str, int]:
+    """Spark SQL expression summing the integer ADC terms for a row that
+    carries a query embedding (``q_emb``, ``q_nrm``) and a candidate's
+    PQ codes (``c0..c{M-1}``): term_m = the same 5-decimal fixed-point
+    integer the batch gate's LUT carries, so stream-side scores are
+    BIT-IDENTICAL to :func:`ann_ivf_pq_topk`'s iscore.  Returns
+    (sum_expr, scale)."""
+    fx = _load_pq_fixture()
+    sub_dim = fx["sub_dim"]
+    terms = []
+    for m, book in enumerate(fx["codebooks"]):
+        books_lit = "array(" + ", ".join(
+            f"CAST(array({', '.join(repr(float(x)) for x in c)}) AS ARRAY<DOUBLE>)"
+            for c in book
+        ) + ")"
+        sub = f"slice({q_emb}, {m * sub_dim + 1}, {sub_dim})"
+        dot = _dot_expr_spark(sub, f"element_at({books_lit}, c{m} + 1)")
+        terms.append(
+            f"CAST(round(round(({dot}) / {q_nrm}, 5) * {PQ_SCORE_SCALE}, 0) AS BIGINT)"
+        )
+    return " + ".join(terms), PQ_SCORE_SCALE

@@ -41,6 +41,7 @@ __all__ = [
     "sessionize_stream",
     "stateful_user_stats",
     "stream_text_stats",
+    "stream_ann_candidates",
     "stream_feature_histogram",
 ]
 
@@ -329,3 +330,54 @@ def stream_range_join(
         & (pb["ts"] < iv["start"] + F.expr(f"interval {int(window_sec)} seconds"))
     )
     return pb.join(iv, cond, "inner").drop("__bucket")
+
+
+def stream_ann_candidates(queries: DataFrame, corpus_index: DataFrame) -> DataFrame:
+    """Streaming ANN: score arriving query vectors against a STATIC
+    IVF-PQ corpus index — (query_id, neighbor_id, iscore, approx_cos)
+    per candidate.
+
+    The streaming face of :func:`~..operators.similarity.ann_ivf_pq_topk`:
+    ``corpus_index`` is the compact static side a deployment persists
+    (:func:`~..operators.similarity.pq_corpus_index` — sign-grid bucket
+    + PQ codes, no floats), and each arriving query explodes onto its
+    multiprobe buckets and equi-joins it.  Stream-static inner joins are
+    stateless on the stream side (no watermark needed — the static side
+    is re-read per micro-batch), and every scoring expression is a
+    stateless projection, so this runs in append mode.
+
+    Scores are the SAME 5-decimal fixed-point integers the batch gate
+    computes (``pq_adc_score_terms``), so per-query top-k over any set
+    of closed micro-batches equals the batch answer on the same rows —
+    pinned by unit test.  The final rank is left to the consumer: a
+    global per-query row_number is not expressible in append mode
+    (non-time window over a stream), and candidates-per-query is
+    bounded by probes x bucket population anyway.
+    """
+    from flink_infotheoretic_feature_selection_spark.operators.similarity import (
+        N_SIGN_BITS,
+        _bucket_expr,
+        _norm_expr_spark,
+        _probe_list,
+        pq_adc_score_terms,
+    )
+
+    bucket = _bucket_expr("embedding", duck=False)
+    probe = _probe_list(f"({bucket})", N_SIGN_BITS, duck=False)
+    q = queries.selectExpr(
+        "vec_id AS query_id",
+        "embedding AS q_emb",
+        f"{_norm_expr_spark('embedding')} AS q_nrm",
+        f"{probe} AS bucket",
+    )
+    iscore, scale = pq_adc_score_terms()
+    return (
+        q.join(corpus_index, "bucket")
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.expr(iscore).alias("iscore"),
+            (F.expr(f"CAST({iscore} AS DOUBLE)") / scale).alias("approx_cos"),
+        )
+    )

@@ -311,3 +311,22 @@ def test_ann_ivf_pq_ranks_are_dense_and_bounded(spark, sf_dir):
     for q, ranks in per_q.items():
         assert sorted(ranks) == list(range(1, len(ranks) + 1)), q
         assert len(ranks) <= 3
+
+
+def test_with_pq_codes_column_route_equals_sql_route(spark, sf_dir):
+    # The stateless column-expression encoder (streaming-composable: no
+    # join, no aggregation) must be bit-identical to the SQL CTE route
+    # the batch gate uses.
+    from flink_infotheoretic_feature_selection_spark.operators.similarity import (
+        pq_encode,
+        with_pq_codes,
+    )
+
+    df = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    col = {
+        (r.vec_id, m): getattr(r, f"c{m}")
+        for r in with_pq_codes(df).collect()
+        for m in range(8)
+    }
+    sql = {(r.vec_id, r.m): r.code for r in pq_encode(spark, sf_dir).collect()}
+    assert col == sql

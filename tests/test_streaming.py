@@ -466,3 +466,58 @@ def test_stream_range_join_state_is_watermark_bounded(spark, events_dir):
     assert joined.isStreaming
     plan = joined._jdf.queryExecution().analyzed().toString()
     assert plan.count("EventTimeWatermark") == 2
+
+
+def test_stream_ann_candidates_topk_equals_batch_gate(spark, tmp_path):
+    # Arriving query vectors scored against the static IVF-PQ corpus
+    # index must reproduce the batch gate bit-for-bit: rank the stream's
+    # candidate scores per query and compare to ann_ivf_pq_topk.
+    import shutil
+
+    from flink_infotheoretic_feature_selection_spark.operators.similarity import (
+        PQ_SCORE_SCALE,
+        ann_ivf_pq_topk,
+        pq_corpus_index,
+    )
+    from flink_infotheoretic_feature_selection_spark.streaming.ops import (
+        stream_ann_candidates,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    land = tmp_path / "queries_landing"
+    land.mkdir()
+    shutil.copy(f"{sf}/embeddings.parquet", land / "part-0.parquet")
+
+    corpus = pq_corpus_index(spark.read.parquet(f"{sf}/embeddings.parquet"))
+    stream = (
+        spark.readStream.schema("vec_id long, embedding array<float>, label int")
+        .parquet(str(land))
+        .filter("vec_id < 200")
+    )
+    q = (
+        stream_ann_candidates(stream, corpus)
+        .writeStream.format("memory")
+        .queryName("ann_sink")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    cand = {}
+    for r in spark.sql("SELECT * FROM ann_sink").collect():
+        cand.setdefault(r.query_id, []).append((r.neighbor_id, r.iscore))
+        # approx_cos must be the fixed-point rescale of the same integer
+        assert round(r.approx_cos * PQ_SCORE_SCALE) == r.iscore
+    got = {}
+    for qid, rows in cand.items():
+        rows.sort(key=lambda t: (-t[1], t[0]))
+        got[qid] = [(n, s) for n, s in rows[:3]]
+    expect = {}
+    for r in ann_ivf_pq_topk(spark, sf, k=3).collect():
+        expect.setdefault(r.query_id, []).append(
+            (r.rank, r.neighbor_id, round(r.approx_cos * PQ_SCORE_SCALE))
+        )
+    expect = {
+        qid: [(n, s) for _, n, s in sorted(rows)] for qid, rows in expect.items()
+    }
+    assert got == expect
