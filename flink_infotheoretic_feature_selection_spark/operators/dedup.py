@@ -40,6 +40,7 @@ __all__ = [
     "simhash",
     "simhash_pairs",
     "simhash64",
+    "simhash64_vectorized",
     "with_simhash64",
     "simhash64_pairs",
     "simhash64_components",
@@ -882,6 +883,91 @@ def with_simhash64(
     return out.drop("__hs", "__n", "__cnts")
 
 
+def simhash64_vectorized(
+    spark: SparkSession, sf_dir: str, hash_fn: str = "xxhash64"
+) -> DataFrame:
+    """Arrow-vectorized twin of :func:`simhash64` — identical signatures,
+    different kernel for the majority fold.
+
+    The expression route's per-bit majority is a 64-counter
+    ``aggregate``/``zip_with`` fold — a higher-order expression Spark
+    evaluates INTERPRETED (CodegenFallback), measured at ~8.6k docs/s on
+    a 500k-doc corpus (58 of the 63 s of the whole components run).
+    Here the JVM still computes the token-hash ARRAY per doc (codegen
+    ``transform(..., xxhash64)`` — the hash stays engine-native), and an
+    Arrow-batched ``mapInPandas`` does the counting: per batch, all
+    docs' hashes concatenate into one uint64 vector, shift-and-mask
+    yields a uint8 (tokens × 64) bit matrix (chunked to bound peak
+    allocation — the stage is memory-bandwidth-bound), and
+    ``np.add.reduceat`` over doc offsets produces every doc's 64
+    counters at once — no per-token Python.  Measured 6.3×
+    (58.4 s → 9.2 s, against an 8.3 s hash+Arrow-transfer floor) on the
+    500k-doc fixture; whole components run 62.7 s → 12.1 s.
+    Bit-identical output (unit-pinned against the expression route,
+    both hash_fns).
+
+    Integer-only math end to end, so unlike the vectorized-cosine
+    kernels this CAN safely feed the gated paths; the expression route
+    stays the gate default anyway (one source of truth for the
+    oracle-checked plan), and callers opt in via
+    ``simhash64_components(..., vectorized=True)``.
+    """
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+
+    hash_expr = _simhash64_hash_expr(hash_fn)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    hs = docs.select(
+        "doc_id",
+        F.expr(
+            r"transform(array_distinct(split(trim(lower(text)), '\\s+')), "
+            f"t -> {hash_expr}) AS hs"
+        ),
+    )
+
+    def batch_sig(batches):
+        import numpy as np
+
+        for pdf in batches:
+            if pdf.empty:
+                yield pd.DataFrame({"doc_id": [], "simhash64": []}).astype(
+                    {"doc_id": "int64", "simhash64": "int64"}
+                )
+                continue
+            lens = pdf["hs"].map(len).to_numpy()
+            flat = np.concatenate(pdf["hs"].to_numpy()).astype(np.int64)
+            hu = flat.view(np.uint64)
+            offsets = np.zeros(len(lens), dtype=np.int64)
+            np.cumsum(lens[:-1], out=offsets[1:])
+            # (tokens, 64) bit matrix in uint8 (8x smaller than a naive
+            # int64 matrix — this stage is memory-bandwidth-bound), with
+            # the uint64 shift intermediate chunked 16 bit-lanes at a
+            # time to cap peak allocation; reduceat accumulates the
+            # per-doc counters straight into int64.
+            cnts = np.empty((len(lens), 64), dtype=np.int64)
+            shifts = np.arange(64, dtype=np.uint64)
+            for j in range(0, 64, 16):
+                bits = (
+                    (hu[:, None] >> shifts[None, j : j + 16]) & np.uint64(1)
+                ).astype(np.uint8)
+                cnts[:, j : j + 16] = np.add.reduceat(
+                    bits, offsets, axis=0, dtype=np.int64
+                )
+            maj = (2 * cnts >= lens[:, None]).astype(np.uint64)
+            sig = (maj << np.arange(64, dtype=np.uint64)[None, :]).sum(
+                axis=1, dtype=np.uint64
+            )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].to_numpy(),
+                    "simhash64": sig.view(np.int64),
+                }
+            )
+
+    return hs.mapInPandas(batch_sig, "doc_id long, simhash64 long")
+
+
 def _simhash64_hamming_pairs(sig: DataFrame, max_hamming: int) -> DataFrame:
     """(doc_a, doc_b, hamming) for every pair of ``sig`` rows whose
     64-bit signatures differ by ≤ ``max_hamming`` bits — chunk-banded
@@ -1092,6 +1178,7 @@ def simhash64_components(
     max_hamming: int = 3,
     driver_edge_limit: int = 1 << 20,
     hash_fn: str = "xxhash64",
+    vectorized: bool = False,
 ) -> DataFrame:
     """Near-dup components by 64-bit SimHash, with OUTPUT LINEAR in docs
     — the 100 TB form of :func:`simhash64_pairs`.
@@ -1118,7 +1205,8 @@ def simhash64_components(
     """
     from pyspark.sql import functions as F
 
-    sig = simhash64(spark, sf_dir, hash_fn=hash_fn).persist()
+    sig_fn = simhash64_vectorized if vectorized else simhash64
+    sig = sig_fn(spark, sf_dir, hash_fn=hash_fn).persist()
     try:
         reps = (
             sig.groupBy("simhash64")

@@ -577,3 +577,32 @@ def test_simhash64_golden_values_sf001(spark):
         if r["doc_id"] in golden
     }
     assert got == golden
+
+
+@pytest.mark.parametrize("hash_fn", ["xxhash64", "md5"])
+def test_simhash64_vectorized_bit_equals_expression_route(spark, sf_dir, hash_fn):
+    # The Arrow reduceat kernel must reproduce the expression route's
+    # signatures EXACTLY (integer-only math end to end — unlike the
+    # vectorized cosine kernels there is no float-order caveat).
+    from flink_infotheoretic_feature_selection_spark.operators.dedup import (
+        simhash64,
+        simhash64_vectorized,
+    )
+
+    a = sorted(tuple(r) for r in simhash64(spark, sf_dir, hash_fn=hash_fn).collect())
+    b = sorted(
+        tuple(r) for r in simhash64_vectorized(spark, sf_dir, hash_fn=hash_fn).collect()
+    )
+    assert a == b
+
+
+def test_simhash64_components_vectorized_matches_default(spark, sf_dir):
+    from flink_infotheoretic_feature_selection_spark.operators.dedup import (
+        simhash64_components,
+    )
+
+    a = sorted(tuple(r) for r in simhash64_components(spark, sf_dir).collect())
+    b = sorted(
+        tuple(r) for r in simhash64_components(spark, sf_dir, vectorized=True).collect()
+    )
+    assert a == b
