@@ -930,9 +930,17 @@ def simhash64_vectorized(
         import numpy as np
 
         for pdf in batches:
+            # NULL text -> NULL hs array.  The expression route emits
+            # signature 0 for such rows (the null majority condition
+            # falls through IF's 0-branch at every bit), so emit 0 here
+            # too — a len(None) crash would break the bit-identical
+            # contract on any corpus with nulls.
+            null_mask = pdf["hs"].isna().to_numpy()
+            null_rows = pdf.loc[null_mask, ["doc_id"]].assign(simhash64=0)
+            pdf = pdf.loc[~null_mask]
             if pdf.empty:
-                yield pd.DataFrame({"doc_id": [], "simhash64": []}).astype(
-                    {"doc_id": "int64", "simhash64": "int64"}
+                yield pd.DataFrame(
+                    {"doc_id": null_rows["doc_id"], "simhash64": null_rows["simhash64"]}
                 )
                 continue
             lens = pdf["hs"].map(len).to_numpy()
@@ -958,12 +966,15 @@ def simhash64_vectorized(
             sig = (maj << np.arange(64, dtype=np.uint64)[None, :]).sum(
                 axis=1, dtype=np.uint64
             )
-            yield pd.DataFrame(
+            out = pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"].to_numpy(),
                     "simhash64": sig.view(np.int64),
                 }
             )
+            yield pd.concat([out, null_rows], ignore_index=True) if len(
+                null_rows
+            ) else out
 
     return hs.mapInPandas(batch_sig, "doc_id long, simhash64 long")
 
@@ -1079,6 +1090,14 @@ def _simhash64_md5_duck_sig_ctes() -> str:
     identical to Hamming over the combined 64-bit word, so the two
     engines compare the same distances without ever agreeing on an
     intermediate representation.
+
+    Known cross-engine tokenizer boundary (shared with every ``\\s+``
+    dual-dialect gate in this repo since r2): Java regex ``\\s`` includes
+    vertical tab (``\\x0B``) but DuckDB's RE2 ``\\s`` does not, so a
+    document containing ``\\x0B`` would tokenize differently per engine
+    and hash-fail the gate.  The synthetic corpus contains none
+    (verified); production callers normalizing unicode whitespace
+    upstream are unaffected.
     """
 
     def majority_terms(col: str) -> str:

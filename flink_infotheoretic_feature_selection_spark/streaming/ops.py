@@ -371,13 +371,18 @@ def stream_ann_candidates(queries: DataFrame, corpus_index: DataFrame) -> DataFr
         f"{probe} AS bucket",
     )
     iscore, scale = pq_adc_score_terms()
-    return (
+    scored = (
         q.join(corpus_index, "bucket")
         .filter(F.col("query_id") != F.col("vec_id"))
         .select(
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
             F.expr(iscore).alias("iscore"),
-            (F.expr(f"CAST({iscore} AS DOUBLE)") / scale).alias("approx_cos"),
         )
+    )
+    # approx_cos derives from the iscore COLUMN (chained select), not a
+    # second copy of the 8-subspace expression tree — single evaluation
+    # by construction, the two outputs can never diverge
+    return scored.withColumn(
+        "approx_cos", F.col("iscore").cast("double") / scale
     )

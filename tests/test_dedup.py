@@ -606,3 +606,34 @@ def test_simhash64_components_vectorized_matches_default(spark, sf_dir):
         tuple(r) for r in simhash64_components(spark, sf_dir, vectorized=True).collect()
     )
     assert a == b
+
+
+def test_simhash64_vectorized_null_text_matches_expression_route(spark, tmp_path):
+    # The expression route emits signature 0 for a NULL text (the null
+    # majority condition falls through IF's 0-branch at every bit); the
+    # vectorized kernel must not crash on len(None) and must emit the
+    # same 0.
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from flink_infotheoretic_feature_selection_spark.operators.dedup import (
+        simhash64,
+        simhash64_vectorized,
+    )
+
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3], pa.int64()),
+                "text": pa.array(["hello world", None, "spark rocks"], pa.string()),
+            }
+        ),
+        f"{tmp_path}/documents.parquet",
+    )
+    a = sorted((r.doc_id, r.simhash64) for r in simhash64(spark, str(tmp_path)).collect())
+    b = sorted(
+        (r.doc_id, r.simhash64)
+        for r in simhash64_vectorized(spark, str(tmp_path)).collect()
+    )
+    assert a == b
+    assert (2, 0) in b

@@ -218,23 +218,13 @@ def _pq_reference(sf_dir, query_limit=200):
     """NumPy reference for the frozen-codebook PQ pipeline, replicating
     the SQL's round(d, 5)+code tiebreak encode contract and the integer
     fixed-point ADC LUT exactly."""
-    import json
-    import os
-
     import pyarrow.parquet as pq
 
     import flink_infotheoretic_feature_selection_spark.operators.similarity as sim
 
-    fx = json.load(
-        open(
-            os.path.join(
-                os.path.dirname(os.path.abspath(sim.__file__)),
-                "..",
-                "fixtures",
-                "pq_codebooks.json",
-            )
-        )
-    )
+    # the module's own loader — test and production can't silently point
+    # at different fixture paths
+    fx = sim._load_pq_fixture()
     books = [np.array(b, dtype=np.float64) for b in fx["codebooks"]]
     sd = fx["sub_dim"]
     pdf = pq.read_table(f"{sf_dir}/embeddings.parquet").to_pandas()
