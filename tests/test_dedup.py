@@ -637,3 +637,29 @@ def test_simhash64_vectorized_null_text_matches_expression_route(spark, tmp_path
     )
     assert a == b
     assert (2, 0) in b
+
+
+def test_minhash_vectorized_bit_equals_sql_route(spark, sf_dir):
+    # The Arrow rolling-hash/min-hash kernel must reproduce the SQL
+    # route's signatures exactly (integer-only math end to end).
+    from flink_infotheoretic_feature_selection_spark.operators.dedup import (
+        minhash_signatures,
+        minhash_signatures_vectorized,
+    )
+
+    a = sorted(tuple(r) for r in minhash_signatures(spark, sf_dir).collect())
+    b = sorted(tuple(r) for r in minhash_signatures_vectorized(spark, sf_dir).collect())
+    assert a == b
+    assert len(a) > 0
+
+
+def test_minhash_lsh_pairs_vectorized_matches_default(spark, sf_dir):
+    from flink_infotheoretic_feature_selection_spark.operators.dedup import (
+        minhash_lsh_pairs,
+    )
+
+    a = sorted(tuple(r) for r in minhash_lsh_pairs(spark, sf_dir).collect())
+    b = sorted(
+        tuple(r) for r in minhash_lsh_pairs(spark, sf_dir, vectorized=True).collect()
+    )
+    assert a == b
