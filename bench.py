@@ -175,6 +175,25 @@ def main() -> None:
     t, _ = timed(lambda: dedup.simhash64_components(spark, SF_DIR).count())
     results["b8f_simhash64_components"] = round(t, 3)
 
+    # Arrow-vectorized signature kernels (bit-identical to the gated
+    # expression/SQL routes; forced agg so column pruning can't skip the
+    # signature computation the way a bare count() would)
+    from pyspark.sql import functions as _F
+
+    t, _ = timed(
+        lambda: dedup.simhash64_vectorized(spark, SF_DIR)
+        .agg(_F.sum(_F.expr("simhash64 % 1000")))
+        .collect()
+    )
+    results["b8g_simhash64_sig_vec"] = round(t, 3)
+
+    t, _ = timed(
+        lambda: dedup.minhash_signatures_vectorized(spark, SF_DIR)
+        .agg(_F.sum("mh0"))
+        .collect()
+    )
+    results["b8h_minhash_sig_vec"] = round(t, 3)
+
     t, _ = timed(lambda: dedup.decontaminate_query(spark, SF_DIR).count())
     results["b8c_decontaminate"] = round(t, 3)
 
