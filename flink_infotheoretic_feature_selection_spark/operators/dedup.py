@@ -477,14 +477,90 @@ def minhash_signatures_vectorized(
     spark: SparkSession, sf_dir: str, n: int = 3, n_hashes: int = 8
 ) -> DataFrame:
     """Arrow-vectorized twin of :func:`minhash_signatures` — identical
-    signatures (same tokenization via :func:`doc_shingle_arrays`, same
-    rolling-hash and min-hash integers), ~6× at 500k docs (see
-    BASELINE).  The SQL route stays the gated form; equality is
-    unit-pinned."""
+    signatures, FUSED into one kernel: tokenize (the
+    :func:`doc_shingle_arrays` rules exactly), build shingles, hash and
+    take minima all inside a single ``mapInPandas``, so the
+    corpus-sized shingle-string array never crosses an Arrow boundary.
+    Measured at 500k docs on a realistically-partitioned corpus
+    (32 files): SQL route 23.2 s → 3.0 s (7.7×; BASELINE, incl. the
+    single-file-layout caveat).  Two deliberate deviations from the
+    array builder, both invisible in the output: shingles are NOT
+    deduped (min over a multiset equals min over its set) and never
+    materialized as Python strings (the rolling hash composes:
+    H(a||b) = H(a)·31^|b| + H(b) mod p, so a shingle's hash derives
+    from its tokens' hashes, each char touched once).  The SQL route
+    stays the gated form; equality is unit-pinned."""
+    import pandas as pd
+
     params = minhash_params(n_hashes)
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    schema = "doc_id long, " + ", ".join(f"mh{i} long" for i in range(len(params)))
-    return doc_shingle_arrays(docs, n).mapInPandas(_minhash_arrow_kernel(params), schema)
+    mh_names = [f"mh{i}" for i in range(len(params))]
+    schema = "doc_id long, " + ", ".join(f"{c} long" for c in mh_names)
+
+    def kernel(batches):
+        import re
+
+        import numpy as np
+
+        ws = re.compile(r"[ \t\n\x0b\f\r]+")
+        for pdf in batches:
+            doc_ids, tok_lists = [], []
+            for did, t in zip(pdf["doc_id"], pdf["text"]):
+                if t is None:
+                    continue
+                ts = ws.split(t.lower().strip(" "))
+                if len(ts) < n:
+                    continue
+                doc_ids.append(did)
+                tok_lists.append(ts)
+            if not doc_ids:
+                yield pd.DataFrame(
+                    {"doc_id": pd.Series([], dtype="int64")}
+                    | {c: pd.Series([], dtype="int64") for c in mh_names}
+                )
+                continue
+            # per-token rolling hash + 31^len, columnwise over characters
+            all_toks = [t for ts in tok_lists for t in ts]
+            char_lens = np.fromiter(
+                (len(t) for t in all_toks), dtype=np.int64, count=len(all_toks)
+            )
+            codes = np.frombuffer(
+                "".join(all_toks).encode("utf-32-le"), dtype=np.uint32
+            ).astype(np.int64)
+            starts = np.zeros(len(all_toks), dtype=np.int64)
+            np.cumsum(char_lens[:-1], out=starts[1:])
+            th = np.zeros(len(all_toks), dtype=np.int64)
+            p31 = np.ones(len(all_toks), dtype=np.int64)
+            for p in range(int(char_lens.max(initial=0))):
+                act = char_lens > p
+                th[act] = (th[act] * ROLLING_MULT + codes[starts[act] + p]) % ROLLING_MOD
+                p31[act] = (p31[act] * ROLLING_MULT) % ROLLING_MOD
+            # shingle hash by composition: fold token hashes with the
+            # joining space (code 32) — H(a ' ' b) = (H(a)*31 + 32)*31^|b| + H(b)
+            tok_counts = np.fromiter(
+                (len(ts) for ts in tok_lists), dtype=np.int64, count=len(tok_lists)
+            )
+            tok_offsets = np.zeros(len(tok_counts), dtype=np.int64)
+            np.cumsum(tok_counts[:-1], out=tok_offsets[1:])
+            n_sh = tok_counts - (n - 1)  # ≥1 by the len(ts) >= n filter
+            # shingle s of doc d uses tokens tok_offsets[d]+s .. +s+n-1;
+            # flatten all shingles via a doc-relative index grid
+            sh_doc = np.repeat(np.arange(len(tok_counts)), n_sh)
+            sh_first = (
+                np.arange(len(sh_doc)) - np.repeat(np.cumsum(n_sh) - n_sh, n_sh)
+            ) + tok_offsets[sh_doc]
+            h = th[sh_first]
+            for j in range(1, n):
+                tj = sh_first + j
+                h = ((h * ROLLING_MULT + 32) % ROLLING_MOD * p31[tj] + th[tj]) % ROLLING_MOD
+            sh_offsets = np.zeros(len(n_sh), dtype=np.int64)
+            np.cumsum(n_sh[:-1], out=sh_offsets[1:])
+            out = {"doc_id": np.asarray(doc_ids, dtype=np.int64)}
+            for name, (a, b) in zip(mh_names, params):
+                out[name] = np.minimum.reduceat((a * h + b) % MINHASH_P, sh_offsets)
+            yield pd.DataFrame(out)
+
+    return docs.select("doc_id", "text").mapInPandas(kernel, schema)
 
 
 def _lsh_sql(duck: bool, threshold: float, n: int) -> str:
@@ -978,11 +1054,12 @@ def simhash64_vectorized(
     yields a uint8 (tokens × 64) bit matrix (chunked to bound peak
     allocation — the stage is memory-bandwidth-bound), and
     ``np.add.reduceat`` over doc offsets produces every doc's 64
-    counters at once — no per-token Python.  Measured 6.3×
-    (58.4 s → 9.2 s, against an 8.3 s hash+Arrow-transfer floor) on the
-    500k-doc fixture; whole components run 62.7 s → 12.1 s.
-    Bit-identical output (unit-pinned against the expression route,
-    both hash_fns).
+    counters at once — no per-token Python.  Measured at 500k docs:
+    6.3× on a single-file corpus (58.4 → 9.2 s, where the one input
+    split serializes everything); 1.8× on a realistically-partitioned
+    32-file corpus (15.4 → 8.5 s, near the hash+Arrow-transfer floor) —
+    see BASELINE's layout caveat.  Bit-identical output (unit-pinned
+    against the expression route, both hash_fns).
 
     Integer-only math end to end, so unlike the vectorized-cosine
     kernels this CAN safely feed the gated paths; the expression route
