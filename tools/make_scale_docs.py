@@ -26,14 +26,19 @@ def main() -> None:
     src = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
     out = sys.argv[3] if len(sys.argv) > 3 else "/tmp/scale10"
 
-    os.makedirs(out, exist_ok=True)
+    # one parquet FILE per copy (documents.parquet as a directory): a
+    # single concatenated file reads as ONE input split and serializes
+    # every Python stage — see BASELINE's 100×-dedup layout correction
+    dst = f"{out}/documents.parquet"
+    os.makedirs(dst, exist_ok=True)
     t = pq.read_table(f"{src}/documents.parquet")
     doc_ids = t.column("doc_id").to_pylist()
     texts = t.column("text").to_pylist()
-    parts = []
+    rows = 0
     for copy in range(n):
         if copy == 0:
-            parts.append(t)
+            pq.write_table(t, f"{dst}/part-00000.parquet")
+            rows += t.num_rows
             continue
         shuffled = []
         for did, txt in zip(doc_ids, texts):
@@ -43,10 +48,10 @@ def main() -> None:
         cols = {name: t.column(name) for name in t.column_names}
         cols["doc_id"] = pa.compute.add(t.column("doc_id"), copy * 1_000_000)
         cols["text"] = pa.array(shuffled, pa.string())
-        parts.append(pa.table({k: cols[k] for k in t.column_names}))
-    big = pa.concat_tables(parts)
-    pq.write_table(big, f"{out}/documents.parquet")
-    print(f"{out}/documents.parquet rows={big.num_rows}")
+        part = pa.table({k: cols[k] for k in t.column_names})
+        pq.write_table(part, f"{dst}/part-{copy:05d}.parquet")
+        rows += part.num_rows
+    print(f"{dst} rows={rows} files={n}")
 
 
 if __name__ == "__main__":

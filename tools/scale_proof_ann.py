@@ -38,16 +38,19 @@ def build(src: str, out: str, copies: int) -> int:
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    os.makedirs(out, exist_ok=True)
+    # one parquet FILE per copy under an embeddings.parquet directory —
+    # a single concatenated file reads as ONE input split and serializes
+    # every Python stage (the layout pathology measured in BASELINE's
+    # 100×-dedup correction); a real corpus is always many files
+    dst = f"{out}/embeddings.parquet"
+    os.makedirs(dst, exist_ok=True)
     t = pq.read_table(f"{src}/embeddings.parquet")
     base = np.stack([np.asarray(v, dtype=np.float32) for v in t.column("embedding").to_pylist()])
     vec_ids = np.asarray(t.column("vec_id").to_pylist(), dtype=np.int64)
     labels = np.asarray(t.column("label").to_pylist(), dtype=np.int32)
-    dst = f"{out}/embeddings.parquet"
-    writer = pq.ParquetWriter(dst, t.schema)
     for copy in range(copies):
         if copy == 0:
-            writer.write_table(t)
+            pq.write_table(t, f"{dst}/part-00000.parquet")
             continue
         rng = np.random.default_rng(1_000_003 * copy)
         jit = (base + JITTER * rng.standard_normal(base.shape)).astype(np.float32)
@@ -59,8 +62,7 @@ def build(src: str, out: str, copies: int) -> int:
             },
             schema=t.schema,
         )
-        writer.write_table(tbl)
-    writer.close()
+        pq.write_table(tbl, f"{dst}/part-{copy:05d}.parquet")
     return t.num_rows * copies
 
 
