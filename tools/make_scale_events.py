@@ -27,7 +27,12 @@ def main() -> None:
 
     os.makedirs(out, exist_ok=True)
     t = pq.read_table(f"{src}/events.parquet")
-    parts = []
+    # one parquet FILE per copy (events.parquet as a directory) — a
+    # single concatenated file reads as one input split for Python-stage
+    # ops; see BASELINE's layout correction
+    dst = f"{out}/events.parquet"
+    os.makedirs(dst, exist_ok=True)
+    rows = 0
     for copy in range(n):
         cols = {}
         for name in t.column_names:
@@ -41,10 +46,10 @@ def main() -> None:
                 # int64-nanos events build would need an integer add instead
                 col = pa.compute.add(col, pa.scalar(copy * 3_600_000_000, pa.duration("us")))
             cols[name] = col
-        parts.append(pa.table(cols))
-    big = pa.concat_tables(parts)
-    pq.write_table(big, f"{out}/events.parquet")
-    print(f"{out}/events.parquet rows={big.num_rows}")
+        part = pa.table(cols)
+        pq.write_table(part, f"{dst}/part-{copy:05d}.parquet")
+        rows += part.num_rows
+    print(f"{dst} rows={rows} files={n}")
 
 
 if __name__ == "__main__":
