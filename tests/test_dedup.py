@@ -663,3 +663,64 @@ def test_minhash_lsh_pairs_vectorized_matches_default(spark, sf_dir):
         tuple(r) for r in minhash_lsh_pairs(spark, sf_dir, vectorized=True).collect()
     )
     assert a == b
+
+
+@pytest.mark.parametrize("which", ["simhash64", "minhash"])
+def test_signature_kernels_property_random_corpora(spark, tmp_path, which):
+    # Property pin: on arbitrary text — unicode (incl. astral plane),
+    # every Java-\s whitespace char, empty/short docs — the Arrow
+    # kernels must stay bit-identical to the gated expression/SQL
+    # routes.  One corpus of hypothesis-generated docs per variant
+    # (single Spark round-trip keeps the property affordable).
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from flink_infotheoretic_feature_selection_spark.operators.dedup import (
+        minhash_signatures,
+        minhash_signatures_vectorized,
+        simhash64,
+        simhash64_vectorized,
+    )
+
+    alphabet = st.sampled_from(
+        list("ab \t\n\x0b\f\r") + ["é", "中", "\U0001d11e", "\U0001f600", "0", "."]
+    )
+    texts_strategy = st.lists(
+        st.one_of(st.none(), st.text(alphabet, max_size=40)), min_size=1, max_size=25
+    )
+    case = [0]
+
+    @settings(
+        max_examples=4,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(texts=texts_strategy)
+    def check(texts):
+        case[0] += 1
+        d = tmp_path / f"{which}_{case[0]}"
+        d.mkdir()
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array(range(len(texts)), pa.int64()),
+                    "text": pa.array(texts, pa.string()),
+                }
+            ),
+            f"{d}/documents.parquet",
+        )
+        if which == "simhash64":
+            a = sorted(tuple(r) for r in simhash64(spark, str(d)).collect())
+            b = sorted(tuple(r) for r in simhash64_vectorized(spark, str(d)).collect())
+        else:
+            a = sorted(tuple(r) for r in minhash_signatures(spark, str(d)).collect())
+            b = sorted(
+                tuple(r)
+                for r in minhash_signatures_vectorized(spark, str(d)).collect()
+            )
+        assert a == b, texts
+
+    check()
