@@ -702,6 +702,10 @@ def _q_simhash64_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash64_components(spark, sf_dir, hash_fn="md5")
 
 
+def _q_simhash64_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.simhash64_incremental(spark, sf_dir, hash_fn="md5")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: mRMR greedy selection (k=5) on sf0.001."""
     return _q_selected_mrmr(spark, "/root/testdata/sf0.001")
@@ -806,6 +810,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # scrub_dup_spans keeps the span pipeline's end-to-end composition
         # in block A.  Each keeps unit tests + the tools/gate_check.py
         # replica; rotate back into block A in r6.
+        # simhash64_incremental was added AFTER block A was frozen for
+        # r5: it heads block B so it is first in line for an r6 slot
+        # (never-verified outranks everything below).
+        "simhash64_incremental": _q_simhash64_incremental,
         "substring_dup_profile": dedup.substring_dup_profile,
         "substring_dup_spans": dedup.substring_dup_spans,
         "text_stats": text.text_stats,
@@ -923,6 +931,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash_pairs": dedup.simhash_pairs_oracle(),
         "simhash64_pairs": dedup.simhash64_pairs_oracle(),
         "simhash64_components": dedup.simhash64_components_oracle(),
+        "simhash64_incremental": dedup.simhash64_incremental_oracle(),
         "pq_encode": similarity.pq_encode_oracle(),
         "ann_ivf_pq": similarity.ann_ivf_pq_oracle(),
         "substring_dup_profile": dedup.substring_dup_profile_oracle(),

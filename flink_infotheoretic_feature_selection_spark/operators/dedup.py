@@ -1322,6 +1322,136 @@ def simhash64_components_oracle(max_hamming: int = 3) -> str:
     """
 
 
+def simhash64_incremental(
+    spark: SparkSession,
+    sf_dir: str,
+    max_hamming: int = 3,
+    hash_fn: str = "xxhash64",
+    batch_pred: str = "doc_id % 10 = 0",
+) -> DataFrame:
+    """Incremental near-dup check — the daily-ingest production shape:
+    docs matching ``batch_pred`` are the INCOMING batch, the rest the
+    EXISTING corpus.  One row per incoming doc: ``(doc_id, dup_of,
+    hamming)`` where ``dup_of`` is the minimal-id near-duplicate among
+    (a) any corpus doc and (b) earlier (smaller-id) batch docs — so a
+    burst of mutual dups keeps exactly its first member — and NULL when
+    the doc is novel.
+
+    Scale shape: the batch side is the small side by construction; the
+    corpus is touched only through the chunk-banded equi-join (its
+    signatures would be a PERSISTED index in production — here they are
+    recomputed from the one table for the gate's sake).  Output is
+    linear in the batch, never in the corpus; the min-id pick is a
+    map-side-combined min() keyed by batch doc, not a window.
+    """
+    if max_hamming >= SIMHASH64_CHUNKS:
+        raise ValueError(
+            f"chunk banding is only exact for max_hamming < {SIMHASH64_CHUNKS}"
+        )
+    from pyspark.sql import functions as F
+
+    sig = simhash64(spark, sf_dir, hash_fn=hash_fn).persist()
+    try:
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+        new_ids = docs.where(F.expr(batch_pred))
+        new_sig = sig.join(new_ids, "doc_id")
+        mask = (1 << SIMHASH64_CHUNK_BITS) - 1
+        chunk_cols = F.explode(
+            F.expr(
+                f"transform(sequence(0, {SIMHASH64_CHUNKS - 1}), c -> struct("
+                f"c AS chunk_idx, "
+                f"shiftrightunsigned(simhash64, c * {SIMHASH64_CHUNK_BITS}) & {mask}"
+                f" AS chunk_val))"
+            )
+        ).alias("cc")
+        tgt = sig.withColumn("is_new", F.expr(batch_pred))
+        tgt_chunks = tgt.select("doc_id", "simhash64", "is_new", chunk_cols).select(
+            "doc_id", "simhash64", "is_new", "cc.chunk_idx", "cc.chunk_val"
+        )
+        new_chunks = new_sig.select("doc_id", "simhash64", chunk_cols).select(
+            "doc_id", "simhash64", "cc.chunk_idx", "cc.chunk_val"
+        )
+        cand = (
+            new_chunks.alias("n")
+            .join(
+                tgt_chunks.alias("t"),
+                (F.col("n.chunk_idx") == F.col("t.chunk_idx"))
+                & (F.col("n.chunk_val") == F.col("t.chunk_val"))
+                & (F.col("n.doc_id") != F.col("t.doc_id"))
+                & (~F.col("t.is_new") | (F.col("t.doc_id") < F.col("n.doc_id"))),
+            )
+            .select(
+                F.col("n.doc_id").alias("doc_id"),
+                F.col("t.doc_id").alias("tid"),
+                F.col("n.simhash64").alias("sim_n"),
+                F.col("t.simhash64").alias("sim_t"),
+                F.col("n.chunk_idx").alias("chunk_idx"),
+            )
+        )
+        # first-match banding dedup (see _simhash64_hamming_pairs) so a
+        # multi-chunk match contributes one row, then exact verify
+        zero_block = (
+            lambda c: f"(shiftrightunsigned(sim_n ^ sim_t, {c * SIMHASH64_CHUNK_BITS})"
+            f" & {mask}) = 0"
+        )
+        first_chunk = F.expr(
+            "CASE "
+            + " ".join(
+                f"WHEN {zero_block(c)} THEN {c}" for c in range(SIMHASH64_CHUNKS - 1)
+            )
+            + f" ELSE {SIMHASH64_CHUNKS - 1} END"
+        )
+        ham = F.expr("bit_count(sim_n ^ sim_t)")
+        verified = (
+            cand.filter(F.col("chunk_idx") == first_chunk)
+            .filter(ham <= max_hamming)
+            .select("doc_id", "tid", ham.cast("int").alias("h"))
+        )
+        # argmin by tid packed into one integer min (hamming ≤ 7 fits 3
+        # bits; tid*8 + h keeps (min tid, its hamming) in a single agg)
+        best = verified.groupBy("doc_id").agg(
+            F.min(F.expr("tid * 8 + h")).alias("packed")
+        )
+        out = (
+            new_ids.join(best, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.expr("CAST(packed div 8 AS BIGINT)").alias("dup_of"),
+                F.expr("CAST(packed % 8 AS INT)").alias("hamming"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        return out
+    finally:
+        sig.unpersist()
+
+
+def simhash64_incremental_oracle(
+    max_hamming: int = 3, batch_pred: str = "doc_id % 10 = 0"
+) -> str:
+    """DuckDB oracle (md5 hash variant) — brute-force all-pairs Hamming
+    against both candidate classes, window argmin by target id: fully
+    independent of the banding, the first-match dedup and the packed
+    integer argmin the Spark side uses."""
+    return f"""
+    WITH {_simhash64_md5_duck_sig_ctes().strip()},
+    newdocs AS (SELECT * FROM sig WHERE {batch_pred}),
+    tgt AS (SELECT *, ({batch_pred}) AS is_new FROM sig),
+    cand AS (
+      SELECT n.doc_id, t.doc_id AS tid,
+             CAST({_SIMHASH64_DUCK_HAM.replace('a.', 'n.').replace('b.', 't.')} AS INT) AS h
+      FROM newdocs n JOIN tgt t
+        ON t.doc_id != n.doc_id AND (NOT t.is_new OR t.doc_id < n.doc_id)
+      WHERE {_SIMHASH64_DUCK_HAM.replace('a.', 'n.').replace('b.', 't.')} <= {max_hamming}),
+    best AS (
+      SELECT doc_id, tid, h,
+             row_number() OVER (PARTITION BY doc_id ORDER BY tid) AS rn
+      FROM cand)
+    SELECT n.doc_id, b.tid AS dup_of, b.h AS hamming
+    FROM newdocs n LEFT JOIN best b ON b.doc_id = n.doc_id AND b.rn = 1
+    """
+
+
 def min_label_union_find(edges) -> dict[int, int]:
     """{node: min node id of its connected component} over an edge list —
     the driver-side twin of :func:`neardup_components`'s distributed

@@ -724,3 +724,58 @@ def test_signature_kernels_property_random_corpora(spark, tmp_path, which):
         assert a == b, texts
 
     check()
+
+
+@pytest.mark.parametrize("hash_fn", ["xxhash64", "md5"])
+def test_simhash64_incremental_matches_bruteforce(spark, sf_dir, hash_fn):
+    # Incremental ingest semantics pinned against a brute-force replay:
+    # for each batch doc, dup_of = the minimal-id near-duplicate among
+    # corpus docs and EARLIER batch docs (so a burst of mutual dups
+    # keeps exactly its first member), NULL when novel.
+    from flink_infotheoretic_feature_selection_spark.operators.dedup import (
+        simhash64,
+        simhash64_incremental,
+    )
+
+    sigs = {
+        r["doc_id"]: r["simhash64"]
+        for r in simhash64(spark, sf_dir, hash_fn=hash_fn).collect()
+    }
+    mask = (1 << 64) - 1
+
+    def ham(a, b):
+        return bin((sigs[a] ^ sigs[b]) & mask).count("1")
+
+    batch = sorted(d for d in sigs if d % 10 == 0)
+    expect = {}
+    for n in batch:
+        cands = [
+            t
+            for t in sigs
+            if t != n and (t % 10 != 0 or t < n) and ham(n, t) <= 3
+        ]
+        if cands:
+            best = min(cands)
+            expect[n] = (best, ham(n, best))
+        else:
+            expect[n] = (None, None)
+
+    got = {
+        r["doc_id"]: (r["dup_of"], r["hamming"])
+        for r in simhash64_incremental(spark, sf_dir, hash_fn=hash_fn).collect()
+    }
+    assert got == expect
+    # output is linear in the batch, never in the corpus
+    assert set(got) == set(batch)
+    # at least one dup and one novel doc, or the fixture checks nothing
+    assert any(v[0] is not None for v in got.values())
+    assert any(v[0] is None for v in got.values())
+
+
+def test_simhash64_incremental_rejects_unbandable_threshold(spark):
+    from flink_infotheoretic_feature_selection_spark.operators.dedup import (
+        simhash64_incremental,
+    )
+
+    with pytest.raises(ValueError, match="max_hamming"):
+        simhash64_incremental(spark, "/root/testdata/sf0.001", max_hamming=8)
