@@ -567,6 +567,93 @@ def _q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_stream_neardup_cands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Streaming ingest near-dup: batch docs (doc_id % 10 = 0) streamed
+    # against a STATIC chunk index of the corpus docs (md5 signature
+    # variant for the DuckDB oracle); append mode, stateless
+    # stream-static join.  Oracle is a brute-force batch x corpus
+    # Hamming scan — independent of banding and the index entirely.
+    import shutil
+    import tempfile
+
+    from flink_infotheoretic_feature_selection_spark.streaming import (
+        stream_neardup_candidates,
+    )
+
+    d = tempfile.mkdtemp(prefix="docs_ingest_")
+    try:
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        docs.where("doc_id % 10 = 0").select("doc_id", "text").write.mode(
+            "overwrite"
+        ).parquet(d)
+        with _few_shuffle_partitions(spark):
+            index = dedup.simhash64_chunk_index(
+                dedup.simhash64(spark, sf_dir, hash_fn="md5").where(
+                    "doc_id % 10 != 0"
+                )
+            ).localCheckpoint(eager=True)
+            stream = spark.readStream.schema("doc_id long, text string").parquet(d)
+            q = (
+                stream_neardup_candidates(stream, index, hash_fn="md5")
+                .writeStream.format("memory")
+                .queryName("q_stream_neardup_cands")
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            if not q.awaitTermination(_STREAM_BUDGET_MS // 1000):
+                q.stop()
+                raise RuntimeError("stream_neardup_cands did not finish in budget")
+        return spark.table("q_stream_neardup_cands")
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def _q_stream_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Streaming decontamination flag set: train docs streamed against
+    # the STATIC distinct eval shingle set; watermark-bounded per-doc
+    # dedup collapses k matching shingles to one flag row.  The gate
+    # output drops the synthetic ingest ts (constant by construction).
+    import shutil
+    import tempfile
+
+    from flink_infotheoretic_feature_selection_spark.streaming import (
+        stream_decontaminate,
+    )
+
+    d = tempfile.mkdtemp(prefix="train_ingest_")
+    try:
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        docs.where(f"NOT ({dedup.DECONTAMINATE_EVAL_PRED})").selectExpr(
+            "doc_id", "text", "timestamp_micros(1700000000000000) AS ts"
+        ).write.mode("overwrite").parquet(d)
+        with _few_shuffle_partitions(spark):
+            eval_sh = (
+                dedup.doc_shingles(docs.where(dedup.DECONTAMINATE_EVAL_PRED))
+                .select("shingle")
+                .distinct()
+                .localCheckpoint(eager=True)
+            )
+            stream = spark.readStream.schema(
+                "doc_id long, text string, ts timestamp"
+            ).parquet(d)
+            q = (
+                stream_decontaminate(stream, eval_sh)
+                .select("doc_id")
+                .writeStream.format("memory")
+                .queryName("q_stream_decontaminate")
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            if not q.awaitTermination(_STREAM_BUDGET_MS // 1000):
+                q.stop()
+                raise RuntimeError("stream_decontaminate did not finish in budget")
+        return spark.table("q_stream_decontaminate")
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
 def _q_asof_join_both(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Consolidated gate (round-5 50-entry-cap fix): backward + forward
     # as-of in ONE entry, tagged by a `direction` column — each variant
@@ -814,6 +901,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r5: it heads block B so it is first in line for an r6 slot
         # (never-verified outranks everything below).
         "simhash64_incremental": _q_simhash64_incremental,
+        "stream_neardup_cands": _q_stream_neardup_cands,
+        "stream_decontaminate": _q_stream_decontaminate,
         "substring_dup_profile": dedup.substring_dup_profile,
         "substring_dup_spans": dedup.substring_dup_spans,
         "text_stats": text.text_stats,
@@ -932,6 +1021,8 @@ def oracle_sql() -> dict[str, str]:
         "simhash64_pairs": dedup.simhash64_pairs_oracle(),
         "simhash64_components": dedup.simhash64_components_oracle(),
         "simhash64_incremental": dedup.simhash64_incremental_oracle(),
+        "stream_neardup_cands": dedup.stream_neardup_candidates_oracle(),
+        "stream_decontaminate": dedup.stream_decontaminate_oracle(),
         "pq_encode": similarity.pq_encode_oracle(),
         "ann_ivf_pq": similarity.ann_ivf_pq_oracle(),
         "substring_dup_profile": dedup.substring_dup_profile_oracle(),

@@ -121,6 +121,24 @@ EXACT_DEDUP_ORACLE = _EXACT_SQL
 # ---------------------------------------------------------------------------
 # Word n-gram shingles (shared fragment)
 # ---------------------------------------------------------------------------
+SHINGLE_TOKENS_EXPR = r"split(trim(lower(text)), '\\s+')"
+
+
+def shingle_grams_expr(n: int = 3, tokens_col: str = "ts") -> str:
+    """Spark-dialect distinct word ``n``-gram array expression over a
+    pre-split token array column — the one gram builder shared by
+    :func:`_shingles_cte` and streaming callers that must carry extra
+    columns (event time) through the shingle explode.  The CASE guard
+    makes the expression total on short docs (see the dialect notes in
+    :func:`_shingles_cte`)."""
+    return (
+        f"CASE WHEN size({tokens_col}) >= {n} THEN "
+        f"array_distinct(transform(sequence(1, size({tokens_col}) - {n - 1}), "
+        f"i -> concat_ws(' ', slice({tokens_col}, i, {n})))) "
+        f"ELSE array() END"
+    )
+
+
 def _shingles_cte(
     duck: bool, n: int = 3, table: str = "documents", prefix: str = ""
 ) -> str:
@@ -147,13 +165,8 @@ def _shingles_cte(
     # into a predicate evaluated on EVERY row, and on a doc shorter than
     # ``n`` tokens sequence() runs descending into slice(start=0), which
     # throws.  Conditional branches are exempt from that hoisting.
-    tokens = r"split(trim(lower(text)), '\\s+')"
-    grams = (
-        f"CASE WHEN size(ts) >= {n} THEN "
-        f"array_distinct(transform(sequence(1, size(ts) - {n - 1}), "
-        f"i -> concat_ws(' ', slice(ts, i, {n})))) "
-        f"ELSE array() END"
-    )
+    tokens = SHINGLE_TOKENS_EXPR
+    grams = shingle_grams_expr(n, "ts")
     # OUTER explode: InferFiltersFromGenerate only fires on inner
     # explode, and its inferred size(...)>0 predicate re-evaluates the
     # whole (non-codegen, higher-order) gram expression per row in an
@@ -1134,18 +1147,17 @@ def simhash64_vectorized(
     return hs.mapInPandas(batch_sig, "doc_id long, simhash64 long")
 
 
-def _simhash64_hamming_pairs(sig: DataFrame, max_hamming: int) -> DataFrame:
-    """(doc_a, doc_b, hamming) for every pair of ``sig`` rows whose
-    64-bit signatures differ by ≤ ``max_hamming`` bits — chunk-banded
-    candidate join, first-match dedup, codegen Hamming verify."""
-    if max_hamming >= SIMHASH64_CHUNKS:
-        raise ValueError(
-            f"chunk banding is only exact for max_hamming < {SIMHASH64_CHUNKS}"
-        )
+def simhash64_chunk_index(sig: DataFrame) -> DataFrame:
+    """Exploded 8×8-bit banding index over a ``(doc_id, simhash64)``
+    frame: ``(doc_id, simhash64, chunk_idx, chunk_val)``, 8 small-int
+    rows per doc.  This is the compact static side a deployment
+    PERSISTS (partitioned/bucketed by ``(chunk_idx, chunk_val)``) so
+    every later probe — batch :func:`simhash64_incremental`, streaming
+    ``stream_neardup_candidates`` — is a plain equi-join against it."""
     from pyspark.sql import functions as F
 
     mask = (1 << SIMHASH64_CHUNK_BITS) - 1
-    chunks = sig.select(
+    return sig.select(
         "doc_id",
         "simhash64",
         F.explode(
@@ -1157,6 +1169,58 @@ def _simhash64_hamming_pairs(sig: DataFrame, max_hamming: int) -> DataFrame:
             )
         ).alias("cc"),
     ).select("doc_id", "simhash64", "cc.chunk_idx", "cc.chunk_val")
+
+
+def simhash64_first_match_verify(
+    cand: DataFrame, sig_a: str, sig_b: str, max_hamming: int
+):
+    """First-match banding dedup + exact Hamming verify over a joined
+    candidate frame carrying both signatures and the matching
+    ``chunk_idx``; returns ``(filtered_df, hamming_int_col)``.
+
+    First-match banding instead of DISTINCT: a pair whose signatures
+    agree on k chunks comes out of the join k times (an IDENTICAL-
+    signature pair 8 times — and identical signatures are exactly what
+    template-heavy corpora mass-produce, measured 8× candidate volume
+    on a 50k-doc shuffled-copy corpus).  Keeping a pair only from its
+    LOWEST matching chunk (derivable from the XOR, no extra state)
+    yields exactly one row per qualifying pair through a NARROW filter
+    — the duplicate volume never reaches an exchange, where DISTINCT
+    would shuffle it all.  CASE chain of plain bit tests, NOT
+    array_min(filter(...)): a higher-order expression here is
+    CodegenFallback evaluated interpreted on EVERY joined row (measured
+    6× slower than the DISTINCT it replaces); the flat comparison chain
+    stays inside whole-stage codegen."""
+    from pyspark.sql import functions as F
+
+    mask = (1 << SIMHASH64_CHUNK_BITS) - 1
+    zero_block = (
+        lambda c: f"(shiftrightunsigned({sig_a} ^ {sig_b}, "
+        f"{c * SIMHASH64_CHUNK_BITS}) & {mask}) = 0"
+    )
+    first_chunk = F.expr(
+        "CASE "
+        + " ".join(
+            f"WHEN {zero_block(c)} THEN {c}" for c in range(SIMHASH64_CHUNKS - 1)
+        )
+        + f" ELSE {SIMHASH64_CHUNKS - 1} END"
+    )
+    ham = F.expr(f"bit_count({sig_a} ^ {sig_b})")
+    out = cand.filter(F.col("chunk_idx") == first_chunk).filter(ham <= max_hamming)
+    return out, ham.cast("int")
+
+
+def _simhash64_hamming_pairs(sig: DataFrame, max_hamming: int) -> DataFrame:
+    """(doc_a, doc_b, hamming) for every pair of ``sig`` rows whose
+    64-bit signatures differ by ≤ ``max_hamming`` bits — chunk-banded
+    candidate join, first-match dedup, codegen Hamming verify."""
+    if max_hamming >= SIMHASH64_CHUNKS:
+        raise ValueError(
+            f"chunk banding is only exact for max_hamming < {SIMHASH64_CHUNKS}"
+        )
+    from pyspark.sql import functions as F
+
+    chunks = simhash64_chunk_index(sig)
     cand = (
         chunks.alias("a")
         .join(
@@ -1173,37 +1237,8 @@ def _simhash64_hamming_pairs(sig: DataFrame, max_hamming: int) -> DataFrame:
             F.col("a.chunk_idx").alias("chunk_idx"),
         )
     )
-    # First-match banding instead of DISTINCT: a pair whose signatures
-    # agree on k chunks comes out of the join k times (an IDENTICAL-
-    # signature pair 8 times — and identical signatures are exactly what
-    # template-heavy corpora mass-produce, measured 8x candidate volume
-    # on a 50k-doc shuffled-copy corpus).  Keeping a pair only from its
-    # LOWEST matching chunk (derivable from the XOR, no extra state)
-    # yields exactly one row per qualifying pair through a NARROW filter
-    # — the duplicate volume never reaches an exchange, where DISTINCT
-    # would shuffle it all.
-    # CASE chain of plain bit tests, NOT array_min(filter(...)): a
-    # higher-order expression here is CodegenFallback evaluated
-    # interpreted on EVERY joined row (measured 6x slower than the
-    # DISTINCT it replaces); the flat comparison chain stays inside
-    # whole-stage codegen.
-    zero_block = (
-        lambda c: f"(shiftrightunsigned(sim_a ^ sim_b, {c * SIMHASH64_CHUNK_BITS})"
-        f" & {mask}) = 0"
-    )
-    first_chunk = F.expr(
-        "CASE "
-        + " ".join(
-            f"WHEN {zero_block(c)} THEN {c}" for c in range(SIMHASH64_CHUNKS - 1)
-        )
-        + f" ELSE {SIMHASH64_CHUNKS - 1} END"
-    )
-    ham = F.expr("bit_count(sim_a ^ sim_b)")
-    return (
-        cand.filter(F.col("chunk_idx") == first_chunk)
-        .filter(ham <= max_hamming)
-        .select("doc_a", "doc_b", ham.cast("int").alias("hamming"))
-    )
+    verified, ham = simhash64_first_match_verify(cand, "sim_a", "sim_b", max_hamming)
+    return verified.select("doc_a", "doc_b", ham.alias("hamming"))
 
 
 def simhash64_pairs(
@@ -1355,22 +1390,10 @@ def simhash64_incremental(
         docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
         new_ids = docs.where(F.expr(batch_pred))
         new_sig = sig.join(new_ids, "doc_id")
-        mask = (1 << SIMHASH64_CHUNK_BITS) - 1
-        chunk_cols = F.explode(
-            F.expr(
-                f"transform(sequence(0, {SIMHASH64_CHUNKS - 1}), c -> struct("
-                f"c AS chunk_idx, "
-                f"shiftrightunsigned(simhash64, c * {SIMHASH64_CHUNK_BITS}) & {mask}"
-                f" AS chunk_val))"
-            )
-        ).alias("cc")
-        tgt = sig.withColumn("is_new", F.expr(batch_pred))
-        tgt_chunks = tgt.select("doc_id", "simhash64", "is_new", chunk_cols).select(
-            "doc_id", "simhash64", "is_new", "cc.chunk_idx", "cc.chunk_val"
+        tgt_chunks = simhash64_chunk_index(sig).withColumn(
+            "is_new", F.expr(batch_pred)
         )
-        new_chunks = new_sig.select("doc_id", "simhash64", chunk_cols).select(
-            "doc_id", "simhash64", "cc.chunk_idx", "cc.chunk_val"
-        )
+        new_chunks = simhash64_chunk_index(new_sig)
         cand = (
             new_chunks.alias("n")
             .join(
@@ -1388,25 +1411,8 @@ def simhash64_incremental(
                 F.col("n.chunk_idx").alias("chunk_idx"),
             )
         )
-        # first-match banding dedup (see _simhash64_hamming_pairs) so a
-        # multi-chunk match contributes one row, then exact verify
-        zero_block = (
-            lambda c: f"(shiftrightunsigned(sim_n ^ sim_t, {c * SIMHASH64_CHUNK_BITS})"
-            f" & {mask}) = 0"
-        )
-        first_chunk = F.expr(
-            "CASE "
-            + " ".join(
-                f"WHEN {zero_block(c)} THEN {c}" for c in range(SIMHASH64_CHUNKS - 1)
-            )
-            + f" ELSE {SIMHASH64_CHUNKS - 1} END"
-        )
-        ham = F.expr("bit_count(sim_n ^ sim_t)")
-        verified = (
-            cand.filter(F.col("chunk_idx") == first_chunk)
-            .filter(ham <= max_hamming)
-            .select("doc_id", "tid", ham.cast("int").alias("h"))
-        )
+        kept, ham = simhash64_first_match_verify(cand, "sim_n", "sim_t", max_hamming)
+        verified = kept.select("doc_id", "tid", ham.alias("h"))
         # argmin by tid packed into one integer min (hamming ≤ 7 fits 3
         # bits; tid*8 + h keeps (min tid, its hamming) in a single agg)
         best = verified.groupBy("doc_id").agg(
@@ -1449,6 +1455,37 @@ def simhash64_incremental_oracle(
       FROM cand)
     SELECT n.doc_id, b.tid AS dup_of, b.h AS hamming
     FROM newdocs n LEFT JOIN best b ON b.doc_id = n.doc_id AND b.rn = 1
+    """
+
+
+def stream_neardup_candidates_oracle(
+    max_hamming: int = 3, batch_pred: str = "doc_id % 10 = 0"
+) -> str:
+    """DuckDB oracle for the md5-variant streaming near-dup gate —
+    brute-force batch × corpus Hamming scan (no banding, no chunk
+    index): every ``(doc_id, dup_of, hamming)`` candidate the stream
+    must emit against a corpus-only static index."""
+    ham = _SIMHASH64_DUCK_HAM.replace("a.", "n.").replace("b.", "t.")
+    return f"""
+    WITH {_simhash64_md5_duck_sig_ctes().strip()},
+    newdocs AS (SELECT * FROM sig WHERE {batch_pred}),
+    corpus AS (SELECT * FROM sig WHERE NOT ({batch_pred}))
+    SELECT n.doc_id, t.doc_id AS dup_of, CAST({ham} AS INT) AS hamming
+    FROM newdocs n JOIN corpus t ON {ham} <= {max_hamming}
+    """
+
+
+def stream_decontaminate_oracle(
+    n: int = 3, eval_pred: str = DECONTAMINATE_EVAL_PRED
+) -> str:
+    """DuckDB oracle for the streaming decontamination flag set: the
+    distinct contaminated train doc_ids (shingle overlap with the eval
+    split, no doc-frequency cap — the streaming op's contract)."""
+    return f"""
+    WITH {_shingles_cte(duck=True, n=n)},
+    train_sh AS (SELECT * FROM sh WHERE NOT ({eval_pred})),
+    eval_sh AS (SELECT DISTINCT shingle FROM sh WHERE {eval_pred})
+    SELECT DISTINCT doc_id FROM train_sh JOIN eval_sh USING (shingle)
     """
 
 

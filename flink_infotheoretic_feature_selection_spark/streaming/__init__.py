@@ -1,5 +1,7 @@
 from flink_infotheoretic_feature_selection_spark.streaming.ops import (
     read_events_stream,
+    stream_decontaminate,
+    stream_neardup_candidates,
     sessionize_stream,
     stateful_user_stats,
     stream_feature_histogram,
@@ -10,6 +12,8 @@ from flink_infotheoretic_feature_selection_spark.streaming.ops import (
 
 __all__ = [
     "read_events_stream",
+    "stream_decontaminate",
+    "stream_neardup_candidates",
     "sessionize_stream",
     "stateful_user_stats",
     "stream_feature_histogram",

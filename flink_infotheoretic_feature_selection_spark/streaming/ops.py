@@ -42,6 +42,8 @@ __all__ = [
     "stateful_user_stats",
     "stream_text_stats",
     "stream_ann_candidates",
+    "stream_neardup_candidates",
+    "stream_decontaminate",
     "stream_feature_histogram",
 ]
 
@@ -385,4 +387,123 @@ def stream_ann_candidates(queries: DataFrame, corpus_index: DataFrame) -> DataFr
     # by construction, the two outputs can never diverge
     return scored.withColumn(
         "approx_cos", F.col("iscore").cast("double") / scale
+    )
+
+
+def stream_neardup_candidates(
+    docs: DataFrame, corpus_index: DataFrame, max_hamming: int = 3,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Streaming near-dup ingest check: score arriving documents against
+    a STATIC 64-bit SimHash banding index — one ``(doc_id, dup_of,
+    hamming)`` row per (incoming doc, corpus near-duplicate) pair.
+
+    The streaming face of :func:`~..operators.dedup.simhash64_incremental`:
+    ``corpus_index`` is the compact persisted side
+    (:func:`~..operators.dedup.simhash64_chunk_index` — 8 small-int rows
+    per corpus doc, bucketed by ``(chunk_idx, chunk_val)``), and each
+    arriving doc computes its signature statelessly
+    (:func:`~..operators.dedup.with_simhash64`), explodes onto its 8
+    chunks and equi-joins the index.  Stream-static inner joins are
+    stateless on the stream side, and the first-match banding dedup +
+    exact Hamming verify are narrow filters, so this runs in append mode
+    with NO watermark and NO state store.
+
+    The batch twin's per-doc min-id pick is left to the consumer: a
+    per-doc argmin over a stream is an aggregation (update mode /
+    watermark state), while candidates-per-doc is already bounded by
+    8 × bucket population — same contract as
+    :func:`stream_ann_candidates` leaving final top-k to the consumer.
+    Docs whose signature matches nothing emit nothing (novel docs are
+    the silent common case; the batch twin's NULL row exists for its
+    one-row-per-batch-doc gate shape, not for production need).
+    """
+    from flink_infotheoretic_feature_selection_spark.operators.dedup import (
+        simhash64_chunk_index,
+        simhash64_first_match_verify,
+        with_simhash64,
+    )
+
+    if max_hamming >= 8:
+        raise ValueError("chunk banding is only exact for max_hamming < 8")
+    new_chunks = simhash64_chunk_index(
+        with_simhash64(docs, hash_fn=hash_fn).select("doc_id", "simhash64")
+    )
+    cand = (
+        new_chunks.alias("n")
+        .join(
+            corpus_index.alias("t"),
+            (F.col("n.chunk_idx") == F.col("t.chunk_idx"))
+            & (F.col("n.chunk_val") == F.col("t.chunk_val"))
+            & (F.col("n.doc_id") != F.col("t.doc_id")),
+        )
+        .select(
+            F.col("n.doc_id").alias("doc_id"),
+            F.col("t.doc_id").alias("tid"),
+            F.col("n.simhash64").alias("sim_n"),
+            F.col("t.simhash64").alias("sim_t"),
+            F.col("n.chunk_idx").alias("chunk_idx"),
+        )
+    )
+    kept, ham = simhash64_first_match_verify(cand, "sim_n", "sim_t", max_hamming)
+    return kept.select(
+        "doc_id", F.col("tid").alias("dup_of"), ham.alias("hamming")
+    )
+
+
+def stream_decontaminate(
+    docs: DataFrame,
+    eval_shingles: DataFrame,
+    n: int = 3,
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Streaming benchmark decontamination: flag arriving training docs
+    that share any word ``n``-gram shingle with a STATIC eval/benchmark
+    shingle set — ``(doc_id, ts)`` per contaminated doc, append mode.
+
+    The streaming face of :func:`~..operators.dedup.decontaminate`
+    (flag mode): ``eval_shingles`` is the distinct eval shingle set the
+    deployment persists (single ``shingle`` column; benchmarks are
+    thousands of docs, so Spark auto-broadcasts it per micro-batch).
+    Arriving docs shingle statelessly, the LEFT SEMI stream-static join
+    keeps rows with at least one eval match, and
+    ``dropDuplicatesWithinWatermark`` on ``doc_id`` collapses a doc's k
+    matching shingles to one flag row with watermark-bounded key state
+    (all of a doc's shingle rows share its micro-batch and event time,
+    so the horizon only needs to cover late re-deliveries of the doc
+    itself, never cross-doc coordination).
+
+    Two deliberate deltas vs the batch twin, both inherent to streaming:
+    ``n_hits`` is not emitted (a per-doc count is an aggregation —
+    update mode + state; the flag is the production decision point), and
+    there is no ``max_train_df`` boilerplate cap (training-side shingle
+    doc-frequency is a property of the WHOLE corpus, not computable
+    inside a micro-batch — compute the cap offline into
+    ``eval_shingles`` instead: drop high-df shingles from the persisted
+    set, which is where that knob belongs operationally anyway).
+    """
+    from flink_infotheoretic_feature_selection_spark.operators.dedup import (
+        SHINGLE_TOKENS_EXPR,
+        shingle_grams_expr,
+    )
+
+    # Inline shingle explode (not doc_shingles: that projects ts away;
+    # the Arrow doc_shingle_arrays kernel is a batch-throughput
+    # optimization — per-micro-batch volumes don't amortize it).  Same
+    # tokenizer/gram expressions, OUTER explode per the house rationale;
+    # a short doc's NULL shingle can never match an eval shingle, so the
+    # semi join subsumes the null filter.
+    sh = docs.select(
+        "doc_id", ts_col, F.expr(SHINGLE_TOKENS_EXPR).alias("__ts")
+    ).select(
+        "doc_id",
+        ts_col,
+        F.explode_outer(F.expr(shingle_grams_expr(n, "__ts"))).alias("shingle"),
+    )
+    flagged = sh.join(eval_shingles.select("shingle"), "shingle", "left_semi")
+    return (
+        flagged.select("doc_id", ts_col)
+        .withWatermark(ts_col, watermark)
+        .dropDuplicatesWithinWatermark(["doc_id"])
     )

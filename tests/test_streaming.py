@@ -521,3 +521,117 @@ def test_stream_ann_candidates_topk_equals_batch_gate(spark, tmp_path):
         qid: [(n, s) for _, n, s in sorted(rows)] for qid, rows in expect.items()
     }
     assert got == expect
+
+
+def test_stream_neardup_candidates_equals_bruteforce(spark, sf_dir, tmp_path):
+    # Streaming ingest twin of simhash64_incremental: stream the batch
+    # docs against a static chunk index of the corpus docs; candidate
+    # rows must equal the brute-force (batch doc x corpus doc, ham<=3)
+    # set computed from the signatures directly.
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from flink_infotheoretic_feature_selection_spark.operators.dedup import (
+        simhash64,
+        simhash64_chunk_index,
+    )
+    from flink_infotheoretic_feature_selection_spark.streaming import (
+        stream_neardup_candidates,
+    )
+
+    sigs = {
+        r["doc_id"]: r["simhash64"] for r in simhash64(spark, sf_dir).collect()
+    }
+    batch = {d for d in sigs if d % 10 == 0}
+    corpus = set(sigs) - batch
+    mask = (1 << 64) - 1
+
+    def ham(a, b):
+        return bin((sigs[a] ^ sigs[b]) & mask).count("1")
+
+    expect = {
+        (n, t, ham(n, t)) for n in batch for t in corpus if ham(n, t) <= 3
+    }
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    texts = {
+        r["doc_id"]: r["text"]
+        for r in docs.select("doc_id", "text").collect()
+        if r["doc_id"] in batch
+    }
+    land = tmp_path / "ingest"
+    land.mkdir()
+    ids = sorted(texts)
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "text": pa.array([texts[i] for i in ids], pa.string()),
+            }
+        ),
+        land / "part-0.parquet",
+    )
+
+    corpus_sig = simhash64(spark, sf_dir).where(f"doc_id % 10 != 0")
+    index = simhash64_chunk_index(corpus_sig).localCheckpoint(eager=True)
+
+    stream = spark.readStream.schema("doc_id long, text string").parquet(str(land))
+    out = run_to_memory(
+        stream_neardup_candidates(stream, index), "neardup_cand_sink"
+    )
+    got = {(r["doc_id"], r["dup_of"], r["hamming"]) for r in out.collect()}
+    assert got == expect
+    assert len(got) > 0
+
+
+def test_stream_decontaminate_flags_equal_batch(spark, sf_dir, tmp_path):
+    # Streaming flag set == batch decontaminate(flag mode, no df cap) on
+    # the same train/eval split; one row per contaminated doc.
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from flink_infotheoretic_feature_selection_spark.operators.dedup import (
+        decontaminate,
+        doc_shingles,
+    )
+    from flink_infotheoretic_feature_selection_spark.streaming import (
+        stream_decontaminate,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    eval_docs = docs.where("doc_id % 20 = 0")
+    train_docs = docs.where("doc_id % 20 != 0")
+    expect = {
+        r["doc_id"]
+        for r in decontaminate(
+            train_docs, eval_docs, mode="flag", max_train_df=None
+        ).collect()
+    }
+
+    rows = train_docs.select("doc_id", "text").collect()
+    land = tmp_path / "train_landing"
+    land.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([r["doc_id"] for r in rows], pa.int64()),
+                "text": pa.array([r["text"] for r in rows], pa.string()),
+                "ts": pa.array(
+                    [1_700_000_000_000_000] * len(rows), pa.timestamp("us")
+                ),
+            }
+        ),
+        land / "part-0.parquet",
+    )
+    eval_sh = (
+        doc_shingles(eval_docs).select("shingle").distinct().localCheckpoint(eager=True)
+    )
+    stream = spark.readStream.schema(
+        "doc_id long, text string, ts timestamp"
+    ).parquet(str(land))
+    out = run_to_memory(
+        stream_decontaminate(stream, eval_sh), "decontam_sink"
+    )
+    got = {r["doc_id"] for r in out.collect()}
+    assert got == expect
+    assert len(got) > 0
