@@ -587,14 +587,14 @@ def _q_stream_neardup_cands(spark: SparkSession, sf_dir: str) -> DataFrame:
             "overwrite"
         ).parquet(d)
         with _few_shuffle_partitions(spark):
-            index = dedup.simhash64_chunk_index(
-                dedup.simhash64(spark, sf_dir, hash_fn="md5").where(
-                    "doc_id % 10 != 0"
-                )
-            ).localCheckpoint(eager=True)
+            corpus_sig = (
+                dedup.simhash64(spark, sf_dir, hash_fn="md5")
+                .where("doc_id % 10 != 0")
+                .localCheckpoint(eager=True)
+            )
             stream = spark.readStream.schema("doc_id long, text string").parquet(d)
             q = (
-                stream_neardup_candidates(stream, index, hash_fn="md5")
+                stream_neardup_candidates(stream, corpus_sig, hash_fn="md5")
                 .writeStream.format("memory")
                 .queryName("q_stream_neardup_cands")
                 .outputMode("append")

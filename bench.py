@@ -197,6 +197,11 @@ def main() -> None:
     t, _ = timed(lambda: dedup.decontaminate_query(spark, SF_DIR).count())
     results["b8c_decontaminate"] = round(t, 3)
 
+    # incremental ingest check (10% batch vs 90% corpus, xxhash64
+    # production default): output linear in the batch by construction
+    t, _ = timed(lambda: dedup.simhash64_incremental(spark, SF_DIR).count())
+    results["b8i_simhash64_incremental"] = round(t, 3)
+
     # character-level exact-substring pass (content-defined anchors)
     t, _ = timed(lambda: dedup.substring_dup_spans(spark, SF_DIR).count())
     results["b8e_substring_spans"] = round(t, 3)

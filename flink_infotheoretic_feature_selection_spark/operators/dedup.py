@@ -1148,18 +1148,29 @@ def simhash64_vectorized(
 
 
 def simhash64_chunk_index(sig: DataFrame) -> DataFrame:
-    """Exploded 8×8-bit banding index over a ``(doc_id, simhash64)``
-    frame: ``(doc_id, simhash64, chunk_idx, chunk_val)``, 8 small-int
-    rows per doc.  This is the compact static side a deployment
-    PERSISTS (partitioned/bucketed by ``(chunk_idx, chunk_val)``) so
-    every later probe — batch :func:`simhash64_incremental`, streaming
-    ``stream_neardup_candidates`` — is a plain equi-join against it."""
+    """Exploded 8×8-bit banding index over any frame carrying a
+    ``simhash64`` column: every input column passes through, plus
+    ``(chunk_idx, chunk_val)`` — 8 small-int rows per input row.  This
+    is the compact static side a deployment PERSISTS
+    (partitioned/bucketed by ``(chunk_idx, chunk_val)``) so every later
+    probe — batch :func:`simhash64_incremental`, streaming
+    ``stream_neardup_candidates`` — is a plain equi-join against it.
+
+    SCALE RULE (the 100×-corpus lesson, BASELINE round-5 tables): the
+    chunk key space is only 8 × 256 = 2048 values, so a chunk join
+    between frames that are linear in DOC count goes quadratic —
+    ~(n/2048)² false candidates per key.  Build the index over DISTINCT
+    signatures (signature count saturates; doc count doesn't), join at
+    the signature level, and expand back to docs through a plain
+    ``simhash64`` equi-join afterwards — only TRUE near-signatures pay
+    the expansion.  :func:`simhash64_components` pioneered this shape;
+    the incremental/streaming probes follow it."""
     from pyspark.sql import functions as F
 
     mask = (1 << SIMHASH64_CHUNK_BITS) - 1
+    cols = list(sig.columns)
     return sig.select(
-        "doc_id",
-        "simhash64",
+        *cols,
         F.explode(
             F.expr(
                 f"transform(sequence(0, {SIMHASH64_CHUNKS - 1}), c -> struct("
@@ -1168,7 +1179,7 @@ def simhash64_chunk_index(sig: DataFrame) -> DataFrame:
                 f" AS chunk_val))"
             )
         ).alias("cc"),
-    ).select("doc_id", "simhash64", "cc.chunk_idx", "cc.chunk_val")
+    ).select(*cols, "cc.chunk_idx", "cc.chunk_val")
 
 
 def simhash64_first_match_verify(
@@ -1372,12 +1383,22 @@ def simhash64_incremental(
     burst of mutual dups keeps exactly its first member — and NULL when
     the doc is novel.
 
-    Scale shape: the batch side is the small side by construction; the
-    corpus is touched only through the chunk-banded equi-join (its
-    signatures would be a PERSISTED index in production — here they are
-    recomputed from the one table for the gate's sake).  Output is
-    linear in the batch, never in the corpus; the min-id pick is a
-    map-side-combined min() keyed by batch doc, not a window.
+    Scale shape (see :func:`simhash64_chunk_index`'s SCALE RULE): the
+    chunk join runs over DISTINCT signatures per side — never over
+    docs, whose count the 2048-value chunk key space cannot desaturate
+    (at a 500k-doc 100× fixture the doc-level join produced hundreds of
+    millions of false candidates; the signature-level join is
+    measured flat).  The argmin pre-aggregates per signature first:
+    within one signature family only the MINIMAL doc id can ever win
+    ``dup_of`` (for earlier-batch candidates, the family minimum either
+    precedes the probe doc or no family member does), so one
+    ``groupBy(simhash64, is_new).min(doc_id)`` replaces the whole
+    doc-level candidate set, and matched signatures map back to batch
+    docs through a plain ``simhash64`` equi-join.  Output stays linear
+    in the batch; the min-id pick is a map-side-combined min() keyed by
+    batch doc, not a window.  In production the per-signature min table
+    is the PERSISTED index — here it is recomputed from the one table
+    for the gate's sake.
     """
     if max_hamming >= SIMHASH64_CHUNKS:
         raise ValueError(
@@ -1387,32 +1408,42 @@ def simhash64_incremental(
 
     sig = simhash64(spark, sf_dir, hash_fn=hash_fn).persist()
     try:
-        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
-        new_ids = docs.where(F.expr(batch_pred))
-        new_sig = sig.join(new_ids, "doc_id")
-        tgt_chunks = simhash64_chunk_index(sig).withColumn(
-            "is_new", F.expr(batch_pred)
-        )
-        new_chunks = simhash64_chunk_index(new_sig)
+        new_sig = sig.where(F.expr(batch_pred))
+        new_ids = new_sig.select("doc_id")
+        # per-(signature, side) argmin: the only doc that can win
+        tgt_min = sig.groupBy(
+            "simhash64", F.expr(batch_pred).alias("is_new")
+        ).agg(F.min("doc_id").alias("tid"))
+        probe = new_sig.select("simhash64").distinct()
         cand = (
-            new_chunks.alias("n")
+            simhash64_chunk_index(probe)
+            .withColumnRenamed("simhash64", "sim_n")
+            .alias("n")
             .join(
-                tgt_chunks.alias("t"),
+                simhash64_chunk_index(tgt_min)
+                .withColumnRenamed("simhash64", "sim_t")
+                .alias("t"),
                 (F.col("n.chunk_idx") == F.col("t.chunk_idx"))
-                & (F.col("n.chunk_val") == F.col("t.chunk_val"))
-                & (F.col("n.doc_id") != F.col("t.doc_id"))
-                & (~F.col("t.is_new") | (F.col("t.doc_id") < F.col("n.doc_id"))),
+                & (F.col("n.chunk_val") == F.col("t.chunk_val")),
             )
             .select(
-                F.col("n.doc_id").alias("doc_id"),
-                F.col("t.doc_id").alias("tid"),
-                F.col("n.simhash64").alias("sim_n"),
-                F.col("t.simhash64").alias("sim_t"),
+                "sim_n",
+                "sim_t",
+                "tid",
+                "is_new",
                 F.col("n.chunk_idx").alias("chunk_idx"),
             )
         )
         kept, ham = simhash64_first_match_verify(cand, "sim_n", "sim_t", max_hamming)
-        verified = kept.select("doc_id", "tid", ham.alias("h"))
+        near_sigs = kept.select("sim_n", "tid", "is_new", ham.alias("h"))
+        # expand back to batch docs: only TRUE near-signatures pay this
+        # join; the earlier-batch rule (family min precedes the probe)
+        # and the self-pair both reduce to tid < doc_id
+        verified = (
+            new_sig.join(near_sigs, new_sig["simhash64"] == near_sigs["sim_n"])
+            .where(~F.col("is_new") | (F.col("tid") < F.col("doc_id")))
+            .select("doc_id", "tid", "h")
+        )
         # argmin by tid packed into one integer min (hamming ≤ 7 fits 3
         # bits; tid*8 + h keeps (min tid, its hamming) in a single agg)
         best = verified.groupBy("doc_id").agg(

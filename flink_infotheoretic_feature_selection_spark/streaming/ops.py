@@ -391,28 +391,34 @@ def stream_ann_candidates(queries: DataFrame, corpus_index: DataFrame) -> DataFr
 
 
 def stream_neardup_candidates(
-    docs: DataFrame, corpus_index: DataFrame, max_hamming: int = 3,
+    docs: DataFrame, corpus_sig: DataFrame, max_hamming: int = 3,
     hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Streaming near-dup ingest check: score arriving documents against
-    a STATIC 64-bit SimHash banding index — one ``(doc_id, dup_of,
+    a STATIC 64-bit SimHash signature table — one ``(doc_id, dup_of,
     hamming)`` row per (incoming doc, corpus near-duplicate) pair.
 
     The streaming face of :func:`~..operators.dedup.simhash64_incremental`:
-    ``corpus_index`` is the compact persisted side
-    (:func:`~..operators.dedup.simhash64_chunk_index` — 8 small-int rows
-    per corpus doc, bucketed by ``(chunk_idx, chunk_val)``), and each
-    arriving doc computes its signature statelessly
-    (:func:`~..operators.dedup.with_simhash64`), explodes onto its 8
-    chunks and equi-joins the index.  Stream-static inner joins are
-    stateless on the stream side, and the first-match banding dedup +
-    exact Hamming verify are narrow filters, so this runs in append mode
-    with NO watermark and NO state store.
+    ``corpus_sig`` is the persisted ``(doc_id, simhash64)`` corpus
+    signature table, and each arriving doc computes its signature
+    statelessly (:func:`~..operators.dedup.with_simhash64`), explodes
+    onto its 8 chunks and equi-joins the banding index of the corpus's
+    DISTINCT signatures, per :func:`~..operators.dedup
+    .simhash64_chunk_index`'s SCALE RULE — the 2048-value chunk key
+    space only desaturates signature counts, never doc counts, so the
+    chunk join must run at the signature level and expand matched
+    signatures back to doc ids through a plain ``simhash64`` equi-join
+    (only TRUE near-signatures pay it).  A deployment persists both
+    derived frames materialized; built here from the one argument, the
+    planner re-derives them per micro-batch — correct, just not cached.
+    Stream-static inner joins are stateless on the stream side and
+    every filter is narrow, so this runs in append mode with NO
+    watermark and NO state store.
 
     The batch twin's per-doc min-id pick is left to the consumer: a
     per-doc argmin over a stream is an aggregation (update mode /
     watermark state), while candidates-per-doc is already bounded by
-    8 × bucket population — same contract as
+    the near-signature family sizes — same contract as
     :func:`stream_ann_candidates` leaving final top-k to the consumer.
     Docs whose signature matches nothing emit nothing (novel docs are
     the silent common case; the batch twin's NULL row exists for its
@@ -426,28 +432,32 @@ def stream_neardup_candidates(
 
     if max_hamming >= 8:
         raise ValueError("chunk banding is only exact for max_hamming < 8")
+    sig_index = simhash64_chunk_index(
+        corpus_sig.select("simhash64").distinct()
+    ).withColumnRenamed("simhash64", "sim_t")
     new_chunks = simhash64_chunk_index(
         with_simhash64(docs, hash_fn=hash_fn).select("doc_id", "simhash64")
-    )
+    ).withColumnRenamed("simhash64", "sim_n")
     cand = (
         new_chunks.alias("n")
         .join(
-            corpus_index.alias("t"),
+            sig_index.alias("t"),
             (F.col("n.chunk_idx") == F.col("t.chunk_idx"))
-            & (F.col("n.chunk_val") == F.col("t.chunk_val"))
-            & (F.col("n.doc_id") != F.col("t.doc_id")),
+            & (F.col("n.chunk_val") == F.col("t.chunk_val")),
         )
-        .select(
-            F.col("n.doc_id").alias("doc_id"),
-            F.col("t.doc_id").alias("tid"),
-            F.col("n.simhash64").alias("sim_n"),
-            F.col("t.simhash64").alias("sim_t"),
-            F.col("n.chunk_idx").alias("chunk_idx"),
-        )
+        .select("doc_id", "sim_n", "sim_t", F.col("n.chunk_idx").alias("chunk_idx"))
     )
     kept, ham = simhash64_first_match_verify(cand, "sim_n", "sim_t", max_hamming)
-    return kept.select(
-        "doc_id", F.col("tid").alias("dup_of"), ham.alias("hamming")
+    near = kept.select("doc_id", "sim_t", ham.alias("hamming"))
+    return (
+        near.join(
+            corpus_sig.select(
+                F.col("doc_id").alias("dup_of"), F.col("simhash64").alias("sim_t")
+            ),
+            "sim_t",
+        )
+        .where(F.col("dup_of") != F.col("doc_id"))
+        .select("doc_id", "dup_of", "hamming")
     )
 
 

@@ -531,10 +531,7 @@ def test_stream_neardup_candidates_equals_bruteforce(spark, sf_dir, tmp_path):
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    from flink_infotheoretic_feature_selection_spark.operators.dedup import (
-        simhash64,
-        simhash64_chunk_index,
-    )
+    from flink_infotheoretic_feature_selection_spark.operators.dedup import simhash64
     from flink_infotheoretic_feature_selection_spark.streaming import (
         stream_neardup_candidates,
     )
@@ -572,12 +569,15 @@ def test_stream_neardup_candidates_equals_bruteforce(spark, sf_dir, tmp_path):
         land / "part-0.parquet",
     )
 
-    corpus_sig = simhash64(spark, sf_dir).where(f"doc_id % 10 != 0")
-    index = simhash64_chunk_index(corpus_sig).localCheckpoint(eager=True)
+    corpus_sig = (
+        simhash64(spark, sf_dir)
+        .where("doc_id % 10 != 0")
+        .localCheckpoint(eager=True)
+    )
 
     stream = spark.readStream.schema("doc_id long, text string").parquet(str(land))
     out = run_to_memory(
-        stream_neardup_candidates(stream, index), "neardup_cand_sink"
+        stream_neardup_candidates(stream, corpus_sig), "neardup_cand_sink"
     )
     got = {(r["doc_id"], r["dup_of"], r["hamming"]) for r in out.collect()}
     assert got == expect
