@@ -295,3 +295,35 @@ def test_substring_profile_broadcasts_dup_grams(spark, sf_dir):
     finally:
         spark.catalog.dropTempView("__substr_w")
         spark.catalog.dropTempView("__substr_g")
+
+
+def test_neardup_probe_chunk_join_is_signature_level(spark, sf_dir):
+    # The 100x-corpus lesson (BASELINE round-5 continuation): the chunk
+    # key space is 8 x 256 = 2048 values, so a chunk-band join keyed at
+    # the DOC level goes quadratic in corpus size.  The join must run
+    # over DISTINCT signatures (keys/condition carry signatures only,
+    # never doc ids) with docs re-attached by a later plain equi-join.
+    # stream_neardup_candidates is pure DataFrame ops, so its batch plan
+    # pins the shared design for the streaming path too.
+    import re
+
+    from flink_infotheoretic_feature_selection_spark.operators.dedup import simhash64
+    from flink_infotheoretic_feature_selection_spark.streaming import (
+        stream_neardup_candidates,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").where("doc_id % 10 = 0")
+    corpus = simhash64(spark, sf_dir).where("doc_id % 10 != 0")
+    plan = formatted_plan(stream_neardup_candidates(docs, corpus))
+    # the distinct-signature aggregate must exist under the chunk join
+    assert "HashAggregate" in plan, plan
+    blocks = re.split(r"\n\(\d+\) ", plan)
+    chunk_joins = [
+        b
+        for b in blocks
+        if b.split("\n", 1)[0].endswith("Join") or "Join" in b.split("\n", 1)[0]
+    ]
+    chunk_joins = [b for b in chunk_joins if "chunk_idx" in b]
+    assert chunk_joins, plan
+    for b in chunk_joins:
+        assert "doc_id" not in b, b
