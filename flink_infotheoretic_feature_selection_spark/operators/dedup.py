@@ -1221,35 +1221,72 @@ def simhash64_first_match_verify(
     return out, ham.cast("int")
 
 
-def _simhash64_hamming_pairs(sig: DataFrame, max_hamming: int) -> DataFrame:
-    """(doc_a, doc_b, hamming) for every pair of ``sig`` rows whose
-    64-bit signatures differ by ≤ ``max_hamming`` bits — chunk-banded
-    candidate join, first-match dedup, codegen Hamming verify."""
+def _simhash64_signature_pairs(dsig: DataFrame, max_hamming: int) -> DataFrame:
+    """``(sim_a, sim_b, hamming)`` for every unordered pair of DISTINCT
+    signatures within Hamming ≤ ``max_hamming``, INCLUDING the ``(s,
+    s)`` self-pair (hamming 0) that identical-signature families expand
+    from; oriented ``sim_a <= sim_b``.  This is the only place the
+    chunk-band join runs — over signatures, never docs, per
+    :func:`simhash64_chunk_index`'s SCALE RULE."""
     if max_hamming >= SIMHASH64_CHUNKS:
         raise ValueError(
             f"chunk banding is only exact for max_hamming < {SIMHASH64_CHUNKS}"
         )
     from pyspark.sql import functions as F
 
-    chunks = simhash64_chunk_index(sig)
+    a = simhash64_chunk_index(dsig).withColumnRenamed("simhash64", "sim_a")
+    b = simhash64_chunk_index(dsig).withColumnRenamed("simhash64", "sim_b")
     cand = (
-        chunks.alias("a")
+        a.alias("a")
         .join(
-            chunks.alias("b"),
+            b.alias("b"),
             (F.col("a.chunk_idx") == F.col("b.chunk_idx"))
             & (F.col("a.chunk_val") == F.col("b.chunk_val"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            & (F.col("sim_a") <= F.col("sim_b")),
         )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.col("a.simhash64").alias("sim_a"),
-            F.col("b.simhash64").alias("sim_b"),
-            F.col("a.chunk_idx").alias("chunk_idx"),
-        )
+        .select("sim_a", "sim_b", F.col("a.chunk_idx").alias("chunk_idx"))
     )
     verified, ham = simhash64_first_match_verify(cand, "sim_a", "sim_b", max_hamming)
-    return verified.select("doc_a", "doc_b", ham.alias("hamming"))
+    return verified.select("sim_a", "sim_b", ham.alias("hamming"))
+
+
+def _simhash64_hamming_pairs(sig: DataFrame, max_hamming: int) -> DataFrame:
+    """(doc_a, doc_b, hamming) for every pair of ``sig`` rows whose
+    64-bit signatures differ by ≤ ``max_hamming`` bits, ``doc_a <
+    doc_b``.
+
+    Mines Hamming edges between DISTINCT signatures
+    (:func:`_simhash64_signature_pairs`) and expands matched signatures
+    back to docs through plain equi-joins — only TRUE near-signature
+    pairs pay the expansion, so the chunk join's cost is bounded by
+    signature counts while the (inherently family-quadratic) pair
+    listing is produced entirely by the output-bound expansion.  An
+    input whose signatures are already distinct (the components rep
+    set) expands 1:1."""
+    from pyspark.sql import functions as F
+
+    spairs = _simhash64_signature_pairs(
+        sig.select("simhash64").distinct(), max_hamming
+    )
+    docs_a = sig.select(
+        F.col("doc_id").alias("ida"), F.col("simhash64").alias("sim_a")
+    )
+    docs_b = sig.select(
+        F.col("doc_id").alias("idb"), F.col("simhash64").alias("sim_b")
+    )
+    return (
+        spairs.join(docs_a, "sim_a")
+        .join(docs_b, "sim_b")
+        # equal-signature self-pairs expand to intra-family pairs once
+        # via the id order; cross-signature pairs are unordered-unique
+        # already (sim_a < sim_b), so any id orientation appears once
+        .where((F.col("sim_a") != F.col("sim_b")) | (F.col("ida") < F.col("idb")))
+        .select(
+            F.least("ida", "idb").alias("doc_a"),
+            F.greatest("ida", "idb").alias("doc_b"),
+            "hamming",
+        )
+    )
 
 
 def simhash64_pairs(
@@ -1260,23 +1297,30 @@ def simhash64_pairs(
 ) -> DataFrame:
     """Near-dup pairs by 64-bit SimHash Hamming distance ≤ ``max_hamming``.
 
-    Same plan shape as :func:`simhash_pairs` — signature pass computed
-    once and persisted, candidates from the (chunk_idx, chunk_val)
-    equi-join (8×8-bit chunks: pigeonhole-exact for ``max_hamming`` < 8),
-    verified by exact ``bit_count`` on the XOR, result materialized so
-    the cache never outlives the call.  The wider signature keeps the
-    chunk buckets selective on template-heavy corpora where the 28-bit
-    buckets go quadratic.
+    Signature pass computed once and persisted; candidates from the
+    (chunk_idx, chunk_val) equi-join over DISTINCT signatures (8×8-bit
+    chunks: pigeonhole-exact for ``max_hamming`` < 8 — and see
+    :func:`simhash64_chunk_index`'s SCALE RULE for why the join must
+    never run at the doc level), verified by exact ``bit_count`` on the
+    XOR, expanded back to doc pairs output-bound, result materialized
+    so the cache never outlives the call.
 
     NOTE the output itself is quadratic when the corpus has large
     identical-signature families (k docs sharing a signature ⇒ k·(k-1)/2
     rows); when the downstream need is dedup GROUPS rather than explicit
     pairs, :func:`simhash64_components` is the linear-output form.
     """
-    sig = simhash64(spark, sf_dir, hash_fn=hash_fn).persist()
-    pairs = _simhash64_hamming_pairs(sig, max_hamming).localCheckpoint(eager=True)
-    sig.unpersist()
-    return pairs
+    if max_hamming >= SIMHASH64_CHUNKS:  # fail before the signature pass
+        raise ValueError(
+            f"chunk banding is only exact for max_hamming < {SIMHASH64_CHUNKS}"
+        )
+    # Checkpoint the LINEAR signature table (computed once, reused by
+    # the distinct miner and both expansion sides), never the pair
+    # listing: materializing the family-quadratic output froze the 100×
+    # fixture (933M pairs) where the lazy expansion counts it in 34 s —
+    # BASELINE round-5 continuation tables.
+    sig = simhash64(spark, sf_dir, hash_fn=hash_fn).localCheckpoint(eager=True)
+    return _simhash64_hamming_pairs(sig, max_hamming)
 
 
 def _simhash64_md5_duck_sig_ctes() -> str:
