@@ -86,6 +86,12 @@ def minhash_params(n_hashes: int) -> list[tuple[int, int]]:
 
 MINHASH_PARAMS = minhash_params(8)
 N_BANDS = 4  # 8 hashes / 4 bands = 2 rows per band
+# Band-bucket skew cap: buckets above this are boilerplate-driven hash
+# mass, dropped before the quadratic self-join (measured at the 100×
+# fixture: ~1000-doc buckets → 63M false candidates; real buckets at
+# the gate/bench scales top out at 5/20, so the default never bites
+# there and gate outputs are bit-identical with or without it).
+LSH_MAX_BUCKET = 256
 # 28-bit SimHash: at 16 bits the signature space saturates on any real
 # corpus (measured: 60% of ALL doc pairs within Hamming 3 at 5k docs →
 # 7M meaningless "near-dup" pairs).  28 keeps Hamming ≤ 3 selective and
@@ -576,7 +582,9 @@ def minhash_signatures_vectorized(
     return docs.select("doc_id", "text").mapInPandas(kernel, schema)
 
 
-def _lsh_sql(duck: bool, threshold: float, n: int) -> str:
+def _lsh_sql(
+    duck: bool, threshold: float, n: int, max_bucket: int | None = None
+) -> str:
     rows_per_band = len(MINHASH_PARAMS) // N_BANDS
     band_keys = []
     for band in range(N_BANDS):
@@ -585,14 +593,26 @@ def _lsh_sql(duck: bool, threshold: float, n: int) -> str:
     band_union = " UNION ALL ".join(
         f"SELECT doc_id, {b} AS bkey, {i} AS band FROM sig" for i, b in enumerate(band_keys)
     )
+    # band-bucket skew cap (same role as the jaccard max_df guard): a
+    # band key shared by more than max_bucket docs is boilerplate-driven
+    # hash mass, not similarity signal — drop the bucket before the
+    # quadratic self-join
+    cap = (
+        f""",
+    bucket_ok AS (SELECT band, bkey FROM bands
+                  GROUP BY band, bkey HAVING count(*) <= {max_bucket}),
+    bands_ok AS (SELECT bands.* FROM bands JOIN bucket_ok USING (band, bkey))"""
+        if max_bucket is not None
+        else ",\n    bands_ok AS (SELECT * FROM bands)"
+    )
     return f"""
     WITH {_shingles_cte(duck, n)},
     sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
     sig AS ({_minhash_sql(duck, n).strip()}),
-    bands AS ({band_union}),
+    bands AS ({band_union}){cap},
     cand AS (
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-      FROM bands a JOIN bands b
+      FROM bands_ok a JOIN bands_ok b
         ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
     inter AS (
       SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS n_inter
@@ -616,6 +636,7 @@ def minhash_lsh_pairs(
     n_hashes: int = 8,
     n_bands: int = 4,
     vectorized: bool = False,
+    max_bucket: int | None = LSH_MAX_BUCKET,
 ) -> DataFrame:
     """LSH-banded candidate pairs verified by exact Jaccard.
 
@@ -651,7 +672,12 @@ def minhash_lsh_pairs(
     params = minhash_params(n_hashes)
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    docs_arr = doc_shingle_arrays(docs, n).persist()
+    # Checkpoint the LINEAR per-doc array table (reused by the
+    # signature build and both verify sides) and return the pair
+    # listing LAZILY — materializing a family-quadratic output is the
+    # failure mode the 100× fixture exposed on simhash64_pairs
+    # (BASELINE round-5 continuation).
+    docs_arr = doc_shingle_arrays(docs, n).localCheckpoint(eager=True)
 
     if vectorized:
         # Arrow kernel over the SAME persisted shingle-array table —
@@ -686,6 +712,21 @@ def minhash_lsh_pairs(
     bands = sig.select(
         "doc_id", F.explode(F.expr(f"array({band_structs})")).alias("bb")
     ).select("doc_id", "bb.band", "bb.bkey")
+    if max_bucket is not None:
+        # band-bucket skew cap: a band key shared by more than
+        # max_bucket docs is boilerplate-driven hash mass (common
+        # low-hash shingles pin the min for whole corpus swathes — the
+        # 100× fixture produced ~1000-doc buckets → 63M false
+        # candidates), not similarity signal.  The window shuffles on
+        # the SAME (band, bkey) key the self-join needs, so the cap
+        # costs no extra exchange pattern; a genuinely similar pair
+        # loses only buckets BOTH its docs share with > max_bucket
+        # others and keeps its other bands.
+        from pyspark.sql import Window
+
+        bands = bands.withColumn(
+            "__bn", F.count("*").over(Window.partitionBy("band", "bkey"))
+        ).where(F.col("__bn") <= max_bucket).drop("__bn")
 
     cand = (
         bands.alias("a")
@@ -720,18 +761,13 @@ def minhash_lsh_pairs(
         .filter(size_ok & (jac >= threshold))
         .select("doc_a", "doc_b", F.round(jac, 5).alias("jaccard"))
     )
-    # Cache lifecycle: the verified pair set is a tiny fraction of the
-    # corpus, so materialize IT (distributed, auto-cleaned when the
-    # returned DF is garbage-collected) and release the big per-doc
-    # shingle-array cache before returning — no stray corpus-sized cache
-    # outlives the call.
-    pairs = pairs.localCheckpoint(eager=True)
-    docs_arr.unpersist()
     return pairs
 
 
-def minhash_lsh_pairs_oracle(threshold: float = 0.2, n: int = 3) -> str:
-    return _lsh_sql(duck=True, threshold=threshold, n=n)
+def minhash_lsh_pairs_oracle(
+    threshold: float = 0.2, n: int = 3, max_bucket: int | None = LSH_MAX_BUCKET
+) -> str:
+    return _lsh_sql(duck=True, threshold=threshold, n=n, max_bucket=max_bucket)
 
 
 # ---------------------------------------------------------------------------
@@ -856,9 +892,13 @@ def simhash_pairs(
     DataFrame pipeline rather than the one-statement SQL form (which the
     oracle uses) because Spark inlines CTEs: the SQL form computes the
     corpus signature pass twice, once per self-join side.  Here the tiny
-    ``(doc_id, simhash)`` table is computed ONCE and persisted, chunks
-    derive from it, and — like :func:`minhash_lsh_pairs` — the verified
-    pair set is materialized so the cache never outlives the call.
+    LINEAR ``(doc_id, simhash)`` table is computed ONCE and
+    checkpointed; the pair listing returns LAZILY (materializing a
+    family-quadratic output is the 100×-fixture failure mode BASELINE
+    records for simhash64_pairs).  The 28-bit chunk join stays at the
+    DOC level deliberately: its buckets saturate on big corpora either
+    way (documented), and :func:`simhash64_pairs` is the production
+    form with the signature-level join.
     """
     if max_hamming >= SIMHASH_CHUNKS:
         raise ValueError(
@@ -867,7 +907,7 @@ def simhash_pairs(
     from pyspark.sql import functions as F
 
     _docs(spark, sf_dir)
-    sig = spark.sql(_simhash_sql(duck=False)).persist()
+    sig = spark.sql(_simhash_sql(duck=False)).localCheckpoint(eager=True)
     mask = (1 << SIMHASH_CHUNK_BITS) - 1
     chunks = sig.select(
         "doc_id",
@@ -897,13 +937,9 @@ def simhash_pairs(
         .distinct()
     )
     ham = F.expr("bit_count(CAST(sim_a AS BIGINT) ^ CAST(sim_b AS BIGINT))")
-    pairs = (
-        cand.filter(ham <= max_hamming)
-        .select("doc_a", "doc_b", ham.cast("int").alias("hamming"))
-        .localCheckpoint(eager=True)
+    return cand.filter(ham <= max_hamming).select(
+        "doc_a", "doc_b", ham.cast("int").alias("hamming")
     )
-    sig.unpersist()
-    return pairs
 
 
 def simhash_pairs_oracle(max_hamming: int = 3) -> str:
@@ -2106,8 +2142,9 @@ def neardup_groups_oracle(threshold: float = 0.2, n: int = 3) -> str:
 def _components_ctes(threshold: float, n: int) -> str:
     """Shared recursive-CTE chain computing (doc_id, component) — the
     DuckDB twin of :func:`neardup_groups`, reused by every oracle that
-    composes on top of near-dup components."""
-    return f"""pairs AS ({_lsh_sql(duck=True, threshold=threshold, n=n)}),
+    composes on top of near-dup components.  Carries the op-default
+    band-bucket cap so composed oracles match the engine pipeline."""
+    return f"""pairs AS ({_lsh_sql(duck=True, threshold=threshold, n=n, max_bucket=LSH_MAX_BUCKET)}),
     edges AS (
       SELECT doc_a AS a, doc_b AS b FROM pairs
       UNION

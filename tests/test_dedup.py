@@ -779,3 +779,39 @@ def test_simhash64_incremental_rejects_unbandable_threshold(spark):
 
     with pytest.raises(ValueError, match="max_hamming"):
         simhash64_incremental(spark, "/root/testdata/sf0.001", max_hamming=8)
+
+
+def test_lsh_bucket_cap_drops_hot_band_buckets(spark, tmp_path):
+    # Mirror of the jaccard max_df guard at the band level: 40 docs
+    # sharing one band bucket (identical text -> identical signatures)
+    # explode quadratically without the cap and vanish with it, while
+    # a small legitimate dup pair survives capping.
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from flink_infotheoretic_feature_selection_spark.operators.dedup import (
+        minhash_lsh_pairs,
+    )
+
+    hot = "alpha beta gamma delta epsilon zeta eta theta"
+    legit_a = "unique tokens one two three four five six seven"
+    legit_b = "unique tokens one two three four five six eight"
+    rows = [(i, hot) for i in range(40)] + [(100, legit_a), (101, legit_b)]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "text": pa.array([r[1] for r in rows], pa.string()),
+        }
+    )
+    d = tmp_path / "hotlsh"
+    d.mkdir()
+    pq.write_table(tbl, d / "documents.parquet")
+
+    uncapped = minhash_lsh_pairs(spark, str(d), max_bucket=None)
+    got_uncapped = {(r["doc_a"], r["doc_b"]) for r in uncapped.collect()}
+    assert (100, 101) in got_uncapped
+    assert len(got_uncapped) == 40 * 39 // 2 + 1
+
+    capped = minhash_lsh_pairs(spark, str(d), max_bucket=10)
+    got_capped = {(r["doc_a"], r["doc_b"]) for r in capped.collect()}
+    assert got_capped == {(100, 101)}
