@@ -36,6 +36,7 @@ __all__ = [
     "ivf_multiprobe_topk",
     "ivf_multiprobe_vectorized",
     "embedding_neardup_pairs",
+    "embedding_neardup_vectorized",
     "embedding_quantize",
     "ivf_topk_q8",
     "ivf_kmeans_topk",
@@ -181,10 +182,14 @@ def cosine_topk_oracle(k: int = 5, query_limit: int = 200) -> str:
 # ---------------------------------------------------------------------------
 # IVF (sign-grid) bucketed ANN — scale path, pure DataFrame ops
 # ---------------------------------------------------------------------------
-def _bucket_expr(emb_col: str, duck: bool) -> str:
+def _bucket_expr(emb_col: str, duck: bool, n_bits: int = N_SIGN_BITS) -> str:
+    # n_bits is the parallelism/recall dial for the same-bucket-only
+    # ops: buckets under a finer grid REFINE the coarser grid's (bit i
+    # agreement is independent of bit j), so raising n_bits only ever
+    # shrinks each bucket's pair set — pinned by test.
     get = (lambda i: f"{emb_col}[{i + 1}]") if duck else (lambda i: f"{emb_col}[{i}]")
     return " + ".join(
-        f"(CASE WHEN {get(i)} > 0 THEN {1 << i} ELSE 0 END)" for i in range(N_SIGN_BITS)
+        f"(CASE WHEN {get(i)} > 0 THEN {1 << i} ELSE 0 END)" for i in range(n_bits)
     )
 
 
@@ -520,14 +525,23 @@ def ivf_topk_q8_oracle(k: int = 3, query_limit: int = 200) -> str:
 # Embedding near-dup pairs (bucketed)
 # ---------------------------------------------------------------------------
 def embedding_neardup_pairs(
-    spark: SparkSession, sf_dir: str, threshold: float = 0.35
+    spark: SparkSession,
+    sf_dir: str,
+    threshold: float = 0.35,
+    n_bits: int = N_SIGN_BITS,
 ) -> DataFrame:
     """Pairs with cosine ≥ threshold (default tuned to the synthetic
     corpus), candidates restricted to the same sign-grid bucket (scale
     path — no cross join).  The threshold applies to the ROUNDED cosine
     on both engines — the module invariant; thresholding raw values
     would let sub-ulp summation-order noise flip membership of a pair
-    sitting exactly on the threshold."""
+    sitting exactly on the threshold.
+
+    ``n_bits`` is the candidate-volume dial: same-bucket pairs are
+    ~n²/2^n_bits, so the 6-bit gate default is quadratic-heavy past
+    ~100k vectors (408 s at 200k measured) — scale callers raise it
+    (finer buckets strictly refine, losing only cross-bucket recall)
+    and/or use :func:`embedding_neardup_vectorized` for the kernel."""
     _emb(spark, sf_dir)
     dot = _dot_expr_spark("a.emb", "b.emb")
     # per-row norms + a pairs CTE so the dot product is evaluated once
@@ -537,7 +551,7 @@ def embedding_neardup_pairs(
         f"""
         WITH e AS (SELECT vec_id, embedding AS emb,
                           {_norm_expr_spark('embedding')} AS nrm,
-                          {_bucket_expr('embedding', duck=False)} AS bucket
+                          {_bucket_expr('embedding', duck=False, n_bits=n_bits)} AS bucket
                    FROM embeddings),
         pairs AS (
           SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
@@ -546,6 +560,66 @@ def embedding_neardup_pairs(
         SELECT vec_a, vec_b, round(raw_cos, 5) AS cos
         FROM pairs WHERE round(raw_cos, 5) >= {threshold}
         """
+    )
+
+
+def embedding_neardup_vectorized(
+    spark: SparkSession,
+    sf_dir: str,
+    threshold: float = 0.35,
+    n_bits: int = N_SIGN_BITS,
+) -> DataFrame:
+    """Arrow-vectorized twin of :func:`embedding_neardup_pairs` —
+    identical bucket geometry, per-bucket pairwise cosine as ONE NumPy
+    matmul inside ``applyInPandas`` instead of a per-pair interpreted
+    O(d) fold (the fold dominates the SQL route at vector scale:
+    ~300M candidate folds at 200k×64).
+
+    NOT the gated variant, for the same reason as
+    :func:`ivf_multiprobe_vectorized`: matmul summation order differs
+    from the sequential SQL fold, so a cosine within float-epsilon of a
+    0.5e-5 rounding boundary could round differently — equivalence is
+    unit-pinned (pair overlap + cos delta), the SQL fold stays the
+    cross-engine oracle contract.
+
+    Scale shape: one exchange on bucket; state per task = one bucket's
+    members (matmul is blocked row-wise so peak memory is
+    block × bucket, not bucket²).  Bucket population is the memory/skew
+    dial — raise ``n_bits`` when buckets outgrow a task."""
+    from pyspark.sql import functions as F
+
+    emb = _emb(spark, sf_dir)
+    e = emb.selectExpr(
+        "vec_id", "embedding",
+        f"{_bucket_expr('embedding', duck=False, n_bits=n_bits)} AS bucket",
+    )
+
+    def bucket_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) < 2:
+            return pd.DataFrame({"vec_a": [], "vec_b": [], "cos": []}).astype(
+                {"vec_a": "int64", "vec_b": "int64", "cos": "float64"}
+            )
+        pdf = pdf.sort_values("vec_id")
+        m = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+        m /= np.linalg.norm(m, axis=1, keepdims=True)
+        ids = pdf["vec_id"].to_numpy()
+        out_a, out_b, out_c = [], [], []
+        block = 1024
+        for s in range(0, len(ids) - 1, block):
+            e_ = min(s + block, len(ids))
+            sims = np.round(m[s:e_] @ m.T, 5)
+            for r in range(e_ - s):
+                i = s + r
+                row = sims[r, i + 1 :]
+                hit = np.nonzero(row >= threshold)[0]
+                if len(hit):
+                    out_a.extend([int(ids[i])] * len(hit))
+                    out_b.extend(int(x) for x in ids[i + 1 + hit])
+                    out_c.extend(float(x) for x in row[hit])
+        return pd.DataFrame({"vec_a": out_a, "vec_b": out_b, "cos": out_c})
+
+    return e.groupBy("bucket").applyInPandas(
+        bucket_pairs, "vec_a long, vec_b long, cos double"
     )
 
 

@@ -320,3 +320,47 @@ def test_with_pq_codes_column_route_equals_sql_route(spark, sf_dir):
     }
     sql = {(r.vec_id, r.m): r.code for r in pq_encode(spark, sf_dir).collect()}
     assert col == sql
+
+
+def test_embedding_neardup_vectorized_matches_sql_route(spark, sf_dir):
+    # Perf-kernel equivalence pin (multiprobe precedent): identical
+    # bucket geometry, matmul kernel — pair sets must agree except
+    # possibly at round-5 boundaries (none on this fixture: exact match
+    # required, plus an explicit cos-delta bound on the intersection).
+    from flink_infotheoretic_feature_selection_spark.operators.similarity import (
+        embedding_neardup_pairs,
+        embedding_neardup_vectorized,
+    )
+
+    sql_pairs = {
+        (r["vec_a"], r["vec_b"]): r["cos"]
+        for r in embedding_neardup_pairs(spark, sf_dir).collect()
+    }
+    vec_pairs = {
+        (r["vec_a"], r["vec_b"]): r["cos"]
+        for r in embedding_neardup_vectorized(spark, sf_dir).collect()
+    }
+    assert set(vec_pairs) == set(sql_pairs)
+    assert len(sql_pairs) > 0
+    for k in sql_pairs:
+        assert abs(sql_pairs[k] - vec_pairs[k]) <= 2e-5, k
+
+
+def test_embedding_neardup_finer_grid_refines(spark, sf_dir):
+    # Raising n_bits must only ever SHRINK the pair set (bucket
+    # refinement): agreement on 12 sign bits implies agreement on the
+    # first 6, never the other way around.
+    from flink_infotheoretic_feature_selection_spark.operators.similarity import (
+        embedding_neardup_pairs,
+    )
+
+    coarse = {
+        (r["vec_a"], r["vec_b"]) for r in embedding_neardup_pairs(spark, sf_dir).collect()
+    }
+    fine = {
+        (r["vec_a"], r["vec_b"])
+        for r in embedding_neardup_pairs(spark, sf_dir, n_bits=8).collect()
+    }
+    assert fine <= coarse
+    assert len(fine) > 0
+    assert len(fine) < len(coarse)
