@@ -78,9 +78,11 @@ def _persistent_rdd_ids(spark):
 
 
 def test_minhash_lsh_pairs_releases_shingle_cache(spark, sf_dir):
-    # Cache lifecycle: the big per-doc shingle-array cache must not
-    # outlive the call — only the materialized (tiny) pair result may
-    # remain, and it is auto-cleaned when the DF is dropped.
+    # Cache lifecycle: at most ONE checkpointed RDD may outlive the call
+    # — the LINEAR per-doc shingle-array table the lazy pair listing
+    # reads from (auto-cleaned when the returned DF is dropped).  The
+    # pair OUTPUT must never be materialized (family-quadratic; the
+    # 100x finding recorded in BASELINE).
     from flink_infotheoretic_feature_selection_spark.operators.dedup import minhash_lsh_pairs
 
     before = _persistent_rdd_ids(spark)
