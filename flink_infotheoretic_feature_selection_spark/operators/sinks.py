@@ -24,7 +24,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-__all__ = ["write_corpus_shards", "read_corpus_shards"]
+__all__ = [
+    "write_corpus_shards",
+    "read_corpus_shards",
+    "read_documents_jsonl",
+    "write_documents_jsonl",
+    "DOCUMENTS_JSONL_SCHEMA",
+]
 
 
 def write_corpus_shards(
@@ -65,3 +71,71 @@ def read_corpus_shards(
     if shards is not None:
         df = df.filter(F.col("shard").isin(shards))
     return df
+
+
+DOCUMENTS_JSONL_SCHEMA = (
+    "doc_id long, text string, lang string, source string, n_chars long"
+)
+
+
+def read_documents_jsonl(
+    spark: SparkSession,
+    path: str,
+    schema: str = DOCUMENTS_JSONL_SCHEMA,
+    corrupt_col: str | None = None,
+) -> DataFrame:
+    """JSONL corpus reader — the de-facto LLM-training-data interchange
+    format (one JSON object per line, usually gzip shards).
+
+    Explicit schema ON PURPOSE: schema inference scans the data an
+    extra time (a full pass at 100 TB), and one malformed producer can
+    silently widen a column corpus-wide for every consumer.  Spark's
+    native JSON source handles gzip/zstd shards, predicate pushdown on
+    the parsed columns, and distributed line splitting — nothing
+    driver-side.
+
+    ``corrupt_col``: set to a column name to QUARANTINE instead of
+    silently nulling — unparseable lines land whole in that extra
+    string column (Spark's PERMISSIVE mode) with every schema column
+    NULL, so the caller can split clean/dirty in one pass.  Corrupt
+    capture requires the column to be part of the read schema, which is
+    why it is opt-in rather than always-on.
+    """
+    if corrupt_col is not None:
+        return (
+            spark.read.schema(f"{schema}, {corrupt_col} string")
+            .option("mode", "PERMISSIVE")
+            .option("columnNameOfCorruptRecord", corrupt_col)
+            .json(path)
+        )
+    return spark.read.schema(schema).json(path)
+
+
+def write_documents_jsonl(
+    df: DataFrame,
+    path: str,
+    key_col: str | None = None,
+    n_shards: int = 16,
+    compression: str | None = "gzip",
+    max_records_per_file: int | None = None,
+) -> None:
+    """JSONL corpus writer.  With ``key_col`` set, shard membership is
+    content-hashed and deterministic — the same
+    ``xxhash64(key) % n_shards`` layout as :func:`write_corpus_shards`,
+    re-run-stable for incremental consumers; without it, the current
+    partitioning writes as-is (one file per task)."""
+    writer = df
+    if key_col is not None:
+        if n_shards < 1:
+            raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+        writer = df.withColumn(
+            "shard", F.pmod(F.xxhash64(F.col(key_col)), F.lit(n_shards)).cast("int")
+        ).repartition(n_shards, "shard")
+    out = writer.write.mode("overwrite")
+    if key_col is not None:
+        out = out.partitionBy("shard")
+    if compression is not None:
+        out = out.option("compression", compression)
+    if max_records_per_file is not None:
+        out = out.option("maxRecordsPerFile", max_records_per_file)
+    out.json(path)

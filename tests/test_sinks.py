@@ -54,3 +54,64 @@ def test_invalid_shard_count_raises(spark):
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     with pytest.raises(ValueError, match="n_shards"):
         write_corpus_shards(docs, "/tmp/never", key_col="doc_id", n_shards=0)
+
+
+def test_jsonl_roundtrip_preserves_documents(spark, tmp_path):
+    # write (sharded, gzip) -> read (explicit schema) must reproduce the
+    # table exactly; shard membership content-hashed like the parquet sink.
+    from flink_infotheoretic_feature_selection_spark.operators.sinks import (
+        read_documents_jsonl,
+        write_documents_jsonl,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = str(tmp_path / "corpus_jsonl")
+    write_documents_jsonl(docs, out, key_col="doc_id", n_shards=4)
+    back = read_documents_jsonl(spark, out)
+    a = sorted(
+        (r["doc_id"], r["text"], r["lang"], r["source"], r["n_chars"])
+        for r in docs.collect()
+    )
+    b = sorted(
+        (r["doc_id"], r["text"], r["lang"], r["source"], r["n_chars"])
+        for r in back.collect()
+    )
+    assert a == b
+
+    # deterministic shard layout: re-write produces the same membership
+    # (shard is a partition DIRECTORY, recovered by the schemaless read)
+    out2 = str(tmp_path / "corpus_jsonl2")
+    write_documents_jsonl(docs, out2, key_col="doc_id", n_shards=4)
+    s1 = sorted((r["doc_id"], r["shard"]) for r in spark.read.json(out).collect())
+    s2 = sorted((r["doc_id"], r["shard"]) for r in spark.read.json(out2).collect())
+    assert s1 == s2
+    assert len({s for _, s in s1}) >= 2
+
+
+def test_jsonl_corrupt_lines_quarantine(spark, tmp_path):
+    # A malformed producer line must land whole in the corrupt column
+    # (schema columns NULL), never kill the read or poison good rows.
+    from flink_infotheoretic_feature_selection_spark.operators.sinks import (
+        read_documents_jsonl,
+    )
+
+    p = tmp_path / "dirty"
+    p.mkdir()
+    (p / "part-0.jsonl").write_text(
+        '{"doc_id": 1, "text": "good one", "lang": "en", "source": "web", "n_chars": 8}\n'
+        "this is not json at all\n"
+        '{"doc_id": 2, "text": "also good", "lang": "en", "source": "web", "n_chars": 9}\n'
+    )
+    df = read_documents_jsonl(spark, str(p), corrupt_col="_bad")
+    rows = df.collect()
+    good = {r["doc_id"]: r["text"] for r in rows if r["_bad"] is None}
+    bad = [r for r in rows if r["_bad"] is not None]
+    assert good == {1: "good one", 2: "also good"}
+    assert len(bad) == 1 and "not json" in bad[0]["_bad"]
+    assert bad[0]["doc_id"] is None
+
+    # without the opt-in column the same file reads clean rows + null row
+    plain = read_documents_jsonl(spark, str(p))
+    assert sorted(
+        r["doc_id"] for r in plain.collect() if r["doc_id"] is not None
+    ) == [1, 2]
