@@ -817,3 +817,81 @@ def test_lsh_bucket_cap_drops_hot_band_buckets(spark, tmp_path):
     capped = minhash_lsh_pairs(spark, str(d), max_bucket=10)
     got_capped = {(r["doc_a"], r["doc_b"]) for r in capped.collect()}
     assert got_capped == {(100, 101)}
+
+
+def test_simhash64_incremental_property_random_corpora(spark, tmp_path):
+    # Property pin for the signature-level incremental redesign: on
+    # arbitrary corpora — null/empty docs, identical-text bursts (the
+    # small alphabet forces signature families, exercising the
+    # per-(signature, side) argmin pre-agg) — the op must equal the
+    # brute-force replay over its own signatures.
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from flink_infotheoretic_feature_selection_spark.operators.dedup import (
+        simhash64,
+        simhash64_incremental,
+    )
+
+    word = st.sampled_from(["aa", "bb", "cc", "dd"])
+    doc = st.lists(word, min_size=0, max_size=6).map(" ".join)
+    texts_strategy = st.lists(
+        st.one_of(st.none(), doc), min_size=3, max_size=20
+    )
+    case = [0]
+    mask = (1 << 64) - 1
+
+    @settings(
+        max_examples=4,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(texts=texts_strategy)
+    def check(texts):
+        case[0] += 1
+        d = tmp_path / f"incr_{case[0]}"
+        d.mkdir()
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array(range(len(texts)), pa.int64()),
+                    "text": pa.array(texts, pa.string()),
+                }
+            ),
+            f"{d}/documents.parquet",
+        )
+        sigs = {
+            r["doc_id"]: r["simhash64"] for r in simhash64(spark, str(d)).collect()
+        }
+
+        def ham(a, b):
+            return bin((sigs[a] ^ sigs[b]) & mask).count("1")
+
+        expect = {}
+        for n in sigs:
+            if n % 10 != 0:
+                continue
+            if sigs[n] is None:
+                expect[n] = (None, None)
+                continue
+            cands = [
+                t
+                for t in sigs
+                if t != n
+                and sigs[t] is not None
+                and (t % 10 != 0 or t < n)
+                and ham(n, t) <= 3
+            ]
+            expect[n] = (
+                (min(cands), ham(n, min(cands))) if cands else (None, None)
+            )
+        got = {
+            r["doc_id"]: (r["dup_of"], r["hamming"])
+            for r in simhash64_incremental(spark, str(d)).collect()
+        }
+        assert got == expect, texts
+
+    check()
