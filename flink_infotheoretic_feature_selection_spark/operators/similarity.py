@@ -45,6 +45,7 @@ __all__ = [
     "pq_encode",
     "pq_encode_oracle",
     "ann_ivf_pq_topk",
+    "ann_ivf_pq_vectorized",
     "ann_ivf_pq_oracle",
     "with_pq_codes",
     "pq_corpus_index",
@@ -1085,6 +1086,121 @@ def ann_ivf_pq_topk(
     return spark.sql(_ann_ivf_pq_sql(duck=False, k=k, query_limit=query_limit))
 
 
+def ann_ivf_pq_vectorized(
+    spark: SparkSession, sf_dir: str, k: int = 3, query_limit: int = 200
+) -> DataFrame:
+    """Arrow-vectorized IVF-PQ twin — BIT-IDENTICAL rows to
+    :func:`ann_ivf_pq_topk`, unlike the float matmul twins: every
+    ingredient is exact.
+
+    The SQL route's scoring joins each candidate's M codes against the
+    LUT row-at-a-time — measured 54 s at 1M vectors (~25M candidates ×
+    M joins) where this runs the same arithmetic as a NumPy LUT gather.
+    Exactness argument: the LUT's fixed-point integers are computed by
+    the SAME JVM SQL expressions the gate uses (tiny queries × M × K
+    collect — the one driver collect, bounded by ``query_limit``);
+    candidate codes come from :func:`pq_corpus_index`
+    (:func:`with_pq_codes` is unit-pinned bit-equal to the gate's codes
+    CTE); and the per-candidate score is a SUM OF INTEGERS — exact in
+    any summation order, so the gather can never diverge the way a
+    float matmul can.  Per-batch local top-k truncation is lossless
+    (kept in the global (iscore desc, neighbor_id) order — the
+    :func:`cosine_topk` argument).
+
+    Scale shape: corpus index scanned once via ``mapInPandas`` with the
+    broadcast LUT + probe map; no join, no shuffle until the tiny
+    candidate merge window."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    _emb(spark, sf_dir)
+    fx = _load_pq_fixture()
+    m_total, sub_dim, k_codes = fx["m"], fx["sub_dim"], fx["k"]
+    cb, _, _, _ = _pq_codebook_cte(duck=False)
+    sdot_q = _pq_sub_dot(duck=False, emb="qq.emb", sub_dim=sub_dim)
+    lut_rows = spark.sql(
+        f"""
+        WITH cb AS ({cb}),
+        e AS (SELECT vec_id, embedding AS emb,
+                     {_norm_expr_spark('embedding')} AS nrm,
+                     {_bucket_expr('embedding', duck=False)} AS bucket
+              FROM embeddings)
+        SELECT qq.vec_id AS query_id, qq.bucket, cb.m, cb.code,
+               CAST(round(round(({sdot_q}) / qq.nrm, 5) * {PQ_SCORE_SCALE}, 0)
+                 AS BIGINT) AS pdot
+        FROM e qq CROSS JOIN cb WHERE qq.vec_id < {query_limit}
+        """
+    ).collect()
+    if not lut_rows:
+        return spark.createDataFrame(
+            [], "query_id long, neighbor_id long, approx_cos double, rank integer"
+        )
+    qids = sorted({r["query_id"] for r in lut_rows})
+    q_idx = {q: i for i, q in enumerate(qids)}
+    lut = np.zeros((len(qids), m_total, k_codes), dtype=np.int64)
+    q_bucket = {}
+    for r in lut_rows:
+        lut[q_idx[r["query_id"]], r["m"], r["code"]] = r["pdot"]
+        q_bucket[r["query_id"]] = r["bucket"]
+    probe_map: dict[int, list[int]] = {}
+    for q, b in q_bucket.items():
+        for p in [b] + [b ^ (1 << i) for i in range(N_SIGN_BITS)]:
+            probe_map.setdefault(int(p), []).append(q_idx[q])
+    qid_arr = np.asarray(qids, dtype=np.int64)
+    bc = spark.sparkContext.broadcast((lut, probe_map, qid_arr))
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        lut_, pmap, qarr = bc.value
+        marange = np.arange(m_total)
+        for pdf in batches:
+            buckets = pdf["bucket"].to_numpy()
+            vids = pdf["vec_id"].to_numpy()
+            codes = np.stack(
+                [pdf[f"c{m}"].to_numpy() for m in range(m_total)], axis=1
+            )
+            rows = []
+            for b in np.unique(buckets):
+                qs = pmap.get(int(b))
+                if not qs:
+                    continue
+                sel = buckets == b
+                v, c = vids[sel], codes[sel]
+                qi_arr = np.asarray(qs)
+                # (nq_b, nsel) integer score block in m_total gathers —
+                # vectorized across the bucket's probing queries, not a
+                # per-query Python loop (the first cut looped and spent
+                # 40 of 43 s in interpreter dispatch at 1M vectors)
+                s = np.zeros((len(qi_arr), len(v)), dtype=np.int64)
+                for m in range(m_total):
+                    s += lut_[qi_arr[:, None], m, c[None, :, m]]
+                for row in range(len(qi_arr)):
+                    qid = qarr[qi_arr[row]]
+                    mask = v != qid
+                    vm, sm = v[mask], s[row][mask]
+                    order = np.lexsort((vm, -sm))[: min(k, len(vm))]
+                    rows.extend((int(qid), int(vm[j]), int(sm[j])) for j in order)
+            yield pd.DataFrame(
+                rows, columns=["query_id", "neighbor_id", "iscore"]
+            ).astype({"query_id": "int64", "neighbor_id": "int64", "iscore": "int64"})
+
+    cand = pq_corpus_index(
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    ).mapInPandas(score, "query_id long, neighbor_id long, iscore long")
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("iscore"), F.asc("neighbor_id")
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            (F.col("iscore").cast("double") / PQ_SCORE_SCALE).alias("approx_cos"),
+            "rank",
+        )
+    )
+
+
 def ann_ivf_pq_oracle(k: int = 3, query_limit: int = 200) -> str:
     return _ann_ivf_pq_sql(duck=True, k=k, query_limit=query_limit)
 
@@ -1105,19 +1221,33 @@ def with_pq_codes(df: DataFrame, emb_col: str = "embedding") -> DataFrame:
 
     fx = _load_pq_fixture()
     sub_dim, k_codes = fx["sub_dim"], fx["k"]
+    # The norm STAYS the HOF fold: an inline 64-term sum was measured
+    # 4x SLOWER overall — CollapseProject inlines the __nrm alias into
+    # all M x K key expressions, so the "faster" inline form gets
+    # evaluated 128x per row where the single fold is one interpreted
+    # eval (negative result, kept so nobody retries it).
     nrm = _norm_expr_spark(emb_col)
     out = df.withColumn("__nrm", F.expr(nrm))
     for m, book in enumerate(fx["codebooks"]):
-        sub = f"slice({emb_col}, {m * sub_dim + 1}, {sub_dim})"
         keys = []
         for code, c in enumerate(book):
             cn2 = 0.0
             for x in c:
                 cn2 += float(x) * float(x)
-            arr = ", ".join(repr(float(x)) for x in c)
-            dot = _dot_expr_spark(sub, f"CAST(array({arr}) AS ARRAY<DOUBLE>)")
+            # INLINE codegen dot, not the aggregate(zip_with(...)) fold:
+            # a higher-order expression is CodegenFallback, and M×K of
+            # them per row dominated the 1M-vector index build (~35 of
+            # 43 s).  Subspace positions and centroid components are
+            # compile-time constants, so the dot is a flat multiply-add
+            # chain — and the leading `0.0 +` makes its left-assoc
+            # accumulation ((0.0+t0)+t1)... IDENTICAL to the fold's,
+            # keeping the codes bit-equal to the SQL route (unit-pinned).
+            dot = "0.0D + " + " + ".join(
+                f"CAST({emb_col}[{m * sub_dim + j}] AS DOUBLE) * {float(x)!r}D"
+                for j, x in enumerate(c)
+            )
             d_int = (
-                f"CAST(round(round({cn2!r} - 2.0 * ({dot}) / __nrm, 5) "
+                f"CAST(round(round({cn2!r}D - 2.0D * ({dot}) / __nrm, 5) "
                 f"* {PQ_SCORE_SCALE}, 0) AS BIGINT)"
             )
             keys.append(f"(({d_int} + {_PQ_D_OFFSET}) * {k_codes} + {code})")

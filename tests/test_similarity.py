@@ -364,3 +364,18 @@ def test_embedding_neardup_finer_grid_refines(spark, sf_dir):
     assert fine <= coarse
     assert len(fine) > 0
     assert len(fine) < len(coarse)
+
+
+def test_ann_ivf_pq_vectorized_bit_identical_to_gate(spark, sf_dir):
+    # Unlike the float matmul twins, the PQ ADC is integer arithmetic —
+    # the Arrow gather must reproduce the gated SQL route EXACTLY, every
+    # row, every score.
+    from flink_infotheoretic_feature_selection_spark.operators.similarity import (
+        ann_ivf_pq_topk,
+        ann_ivf_pq_vectorized,
+    )
+
+    a = sorted(tuple(r) for r in ann_ivf_pq_topk(spark, sf_dir).collect())
+    b = sorted(tuple(r) for r in ann_ivf_pq_vectorized(spark, sf_dir).collect())
+    assert a == b
+    assert len(a) > 0
