@@ -1454,6 +1454,7 @@ def simhash64_incremental(
     max_hamming: int = 3,
     hash_fn: str = "xxhash64",
     batch_pred: str = "doc_id % 10 = 0",
+    vectorized: bool = False,
 ) -> DataFrame:
     """Incremental near-dup check — the daily-ingest production shape:
     docs matching ``batch_pred`` are the INCOMING batch, the rest the
@@ -1486,7 +1487,10 @@ def simhash64_incremental(
         )
     from pyspark.sql import functions as F
 
-    sig = simhash64(spark, sf_dir, hash_fn=hash_fn).persist()
+    # vectorized: Arrow signature kernel (bit-identical, unit-pinned) —
+    # the components precedent; the expression route stays gate-default
+    sig_fn = simhash64_vectorized if vectorized else simhash64
+    sig = sig_fn(spark, sf_dir, hash_fn=hash_fn).persist()
     try:
         new_sig = sig.where(F.expr(batch_pred))
         new_ids = new_sig.select("doc_id")

@@ -895,3 +895,19 @@ def test_simhash64_incremental_property_random_corpora(spark, tmp_path):
         assert got == expect, texts
 
     check()
+
+
+def test_simhash64_incremental_vectorized_matches_expression(spark):
+    # The Arrow signature kernel slots into the incremental probe the
+    # same way as components; outputs must be identical.
+    from flink_infotheoretic_feature_selection_spark.operators.dedup import (
+        simhash64_incremental,
+    )
+    from tests.conftest import SF_CORRECT
+
+    a = sorted(tuple(r) for r in simhash64_incremental(spark, SF_CORRECT).collect())
+    b = sorted(
+        tuple(r)
+        for r in simhash64_incremental(spark, SF_CORRECT, vectorized=True).collect()
+    )
+    assert a == b and len(a) > 0
