@@ -1,4 +1,5 @@
 from flink_infotheoretic_feature_selection_spark.streaming.ops import (
+    read_documents_jsonl_stream,
     read_events_stream,
     stream_decontaminate,
     stream_neardup_candidates,
@@ -11,6 +12,7 @@ from flink_infotheoretic_feature_selection_spark.streaming.ops import (
 )
 
 __all__ = [
+    "read_documents_jsonl_stream",
     "read_events_stream",
     "stream_decontaminate",
     "stream_neardup_candidates",

@@ -44,6 +44,7 @@ __all__ = [
     "stream_ann_candidates",
     "stream_neardup_candidates",
     "stream_decontaminate",
+    "read_documents_jsonl_stream",
     "stream_feature_histogram",
 ]
 
@@ -517,3 +518,34 @@ def stream_decontaminate(
         .withWatermark(ts_col, watermark)
         .dropDuplicatesWithinWatermark(["doc_id"])
     )
+
+
+def read_documents_jsonl_stream(
+    spark: SparkSession,
+    path: str,
+    schema: str | None = None,
+    corrupt_col: str | None = None,
+) -> DataFrame:
+    """Streaming twin of :func:`~..operators.sinks.read_documents_jsonl`
+    — the landing-directory ingest shape: producers drop JSONL (often
+    gzip) files into ``path``, each new file becomes a micro-batch.
+    Same explicit-schema and corrupt-line-quarantine contract as the
+    batch reader (file streams REQUIRE an explicit schema anyway —
+    inference mid-stream is not a thing), so the whole streaming ingest
+    surface (:func:`stream_text_stats`, :func:`stream_decontaminate`,
+    :func:`stream_neardup_candidates`) composes directly on top.
+    """
+    from flink_infotheoretic_feature_selection_spark.operators.sinks import (
+        DOCUMENTS_JSONL_SCHEMA,
+    )
+
+    schema = DOCUMENTS_JSONL_SCHEMA if schema is None else schema
+    reader = spark.readStream
+    if corrupt_col is not None:
+        return (
+            reader.schema(f"{schema}, {corrupt_col} string")
+            .option("mode", "PERMISSIVE")
+            .option("columnNameOfCorruptRecord", corrupt_col)
+            .json(path)
+        )
+    return reader.schema(schema).json(path)

@@ -635,3 +635,64 @@ def test_stream_decontaminate_flags_equal_batch(spark, sf_dir, tmp_path):
     got = {r["doc_id"] for r in out.collect()}
     assert got == expect
     assert len(got) > 0
+
+
+def test_jsonl_landing_dir_ingest_composes_end_to_end(spark, sf_dir, tmp_path):
+    # The production ingest shape: producers drop (gzip) JSONL into a
+    # landing dir; the stream reader + decontamination flag compose and
+    # must equal the batch answer on the same files.  A malformed line
+    # in the landing dir must not kill the stream.
+    from flink_infotheoretic_feature_selection_spark.operators.dedup import (
+        decontaminate,
+        doc_shingles,
+    )
+    from flink_infotheoretic_feature_selection_spark.operators.sinks import (
+        write_documents_jsonl,
+    )
+    from flink_infotheoretic_feature_selection_spark.streaming import (
+        read_documents_jsonl_stream,
+        stream_decontaminate,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    eval_docs = docs.where("doc_id % 20 = 0")
+    train_docs = docs.where("doc_id % 20 != 0")
+    land = str(tmp_path / "landing")
+    write_documents_jsonl(
+        train_docs.selectExpr(
+            "doc_id", "text", "lang", "source", "n_chars",
+            "timestamp_micros(1700000000000000) AS ts",
+        ),
+        land,
+        key_col="doc_id",
+        n_shards=3,
+        compression="gzip",
+    )
+    # drop one junk line into the landing dir alongside the shards
+    import gzip
+    import pathlib
+
+    junk = pathlib.Path(land) / "shard=0" / "zz-junk.json.gz"
+    with gzip.open(junk, "wt") as f:
+        f.write("definitely not a json document\n")
+
+    eval_sh = (
+        doc_shingles(eval_docs).select("shingle").distinct().localCheckpoint(eager=True)
+    )
+    stream = read_documents_jsonl_stream(
+        spark,
+        land,
+        schema="doc_id long, text string, lang string, source string, "
+        "n_chars long, ts timestamp",
+    )
+    out = run_to_memory(
+        stream_decontaminate(stream, eval_sh), "jsonl_ingest_sink"
+    )
+    expect = {
+        r["doc_id"]
+        for r in decontaminate(
+            train_docs, eval_docs, mode="flag", max_train_df=None
+        ).collect()
+    }
+    got = {r["doc_id"] for r in out.collect()}
+    assert got == expect and len(got) > 0
