@@ -903,6 +903,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash64_incremental": _q_simhash64_incremental,
         "stream_neardup_cands": _q_stream_neardup_cands,
         "stream_decontaminate": _q_stream_decontaminate,
+        "semantic_decontaminate": similarity.semantic_decontaminate,
         "substring_dup_profile": dedup.substring_dup_profile,
         "substring_dup_spans": dedup.substring_dup_spans,
         "text_stats": text.text_stats,
@@ -1023,6 +1024,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash64_incremental": dedup.simhash64_incremental_oracle(),
         "stream_neardup_cands": dedup.stream_neardup_candidates_oracle(),
         "stream_decontaminate": dedup.stream_decontaminate_oracle(),
+        "semantic_decontaminate": similarity.semantic_decontaminate_oracle(),
         "pq_encode": similarity.pq_encode_oracle(),
         "ann_ivf_pq": similarity.ann_ivf_pq_oracle(),
         "substring_dup_profile": dedup.substring_dup_profile_oracle(),

@@ -56,6 +56,9 @@ __all__ = [
     "ivf_topk_oracle",
     "ivf_multiprobe_oracle",
     "embedding_neardup_oracle",
+    "semantic_decontaminate",
+    "semantic_decontaminate_vectorized",
+    "semantic_decontaminate_oracle",
     "embedding_quantize_oracle",
     "ivf_topk_q8_oracle",
 ]
@@ -1296,3 +1299,144 @@ def pq_adc_score_terms(
             f"CAST(round(round(({dot}) / {q_nrm}, 5) * {PQ_SCORE_SCALE}, 0) AS BIGINT)"
         )
     return " + ".join(terms), PQ_SCORE_SCALE
+
+
+# ---------------------------------------------------------------------------
+# Semantic decontamination (embedding-level benchmark overlap)
+# ---------------------------------------------------------------------------
+SEMANTIC_DECON_EVAL_PRED = "vec_id % 20 = 0"
+
+
+def _semantic_decon_sql(
+    duck: bool, threshold: float, eval_pred: str = SEMANTIC_DECON_EVAL_PRED
+) -> str:
+    """Training vectors semantically overlapping the eval/benchmark set:
+    one row per (train vector, eval vector) pair with round-5 cosine ≥
+    ``threshold``, candidates from the eval side's Hamming-1 multiprobe
+    over the sign grid.
+
+    The embedding-level complement of the n-gram :func:`~.dedup
+    .decontaminate`: paraphrased or reformatted benchmark material
+    keeps no shingle overlap but keeps its embedding neighborhood —
+    the standard second pass of a production contamination check.
+
+    Scale shape: the eval side is a benchmark (bounded), the training
+    corpus is touched only through the bucket equi-join — eval explodes
+    onto its probes, train vectors sit in their one bucket each, so no
+    pair is generated twice and nothing is all-pairs.  Probes are the
+    recall dial; the threshold applies to the ROUNDED cosine on both
+    engines (module invariant).
+    """
+    if duck:
+        bucket = _bucket_expr("embedding", duck=True)
+        cos = "round(list_cosine_similarity(t.emb, ev.emb), 5)"
+        emb_cast = "CAST(embedding AS DOUBLE[])"
+        nrm = "CAST(1 AS DOUBLE)"  # unused on the duck side
+    else:
+        bucket = _bucket_expr("embedding", duck=False)
+        dot = _dot_expr_spark("t.emb", "ev.emb")
+        cos = f"round({dot} / (t.nrm * ev.nrm), 5)"
+        emb_cast = "embedding"
+        nrm = _norm_expr_spark("embedding")
+    probe = _probe_list("bucket", N_SIGN_BITS, duck)
+    return f"""
+    WITH e AS (SELECT vec_id, {emb_cast} AS emb, {nrm} AS nrm, {bucket} AS bucket
+               FROM embeddings),
+    ev AS (SELECT vec_id, emb, nrm, {probe} AS probe
+           FROM e WHERE {eval_pred}),
+    t AS (SELECT * FROM e WHERE NOT ({eval_pred}))
+    SELECT t.vec_id, ev.vec_id AS eval_id, {cos} AS cos
+    FROM ev JOIN t ON t.bucket = ev.probe
+    WHERE {cos} >= {threshold}
+    """
+
+
+def semantic_decontaminate(
+    spark: SparkSession,
+    sf_dir: str,
+    threshold: float = 0.35,
+    eval_pred: str = SEMANTIC_DECON_EVAL_PRED,
+) -> DataFrame:
+    """Embedding-level contamination flags (train × eval, cos ≥ t)."""
+    _emb(spark, sf_dir)
+    return spark.sql(
+        _semantic_decon_sql(duck=False, threshold=threshold, eval_pred=eval_pred)
+    )
+
+
+def semantic_decontaminate_oracle(
+    threshold: float = 0.35, eval_pred: str = SEMANTIC_DECON_EVAL_PRED
+) -> str:
+    return _semantic_decon_sql(duck=True, threshold=threshold, eval_pred=eval_pred)
+
+
+def semantic_decontaminate_vectorized(
+    spark: SparkSession,
+    sf_dir: str,
+    threshold: float = 0.35,
+    eval_pred: str = SEMANTIC_DECON_EVAL_PRED,
+) -> DataFrame:
+    """Cogroup-matmul twin of :func:`semantic_decontaminate` — same
+    probe geometry, per-bucket NumPy cosine block instead of the
+    per-pair interpreted fold.
+
+    Exists because the eval side is only "bounded" operationally: the
+    gate's ``vec_id % 20`` predicate scales WITH the corpus, and at a
+    200k-vector fixture the SQL route's ~220M interpreted folds ran
+    107 s where this runs the identical candidate set as bucket
+    matmuls.  Same perf-twin contract as
+    :func:`ivf_multiprobe_vectorized`: float matmul summation order
+    differs from the SQL fold, so round-5 boundary pairs could differ —
+    equivalence unit-pinned on the fixtures, the SQL route stays the
+    gated form."""
+    from pyspark.sql import functions as F
+
+    emb = _emb(spark, sf_dir)
+    bucket = _bucket_expr("embedding", duck=False)
+    # SEPARATE scan for the corpus side, not a second branch of `emb`:
+    # a self-cogroup shares attribute ids across both children, and when
+    # nothing downstream reads the UDF output (a bare count) the
+    # optimizer binds the corpus side's `embedding` to the EVAL child's
+    # identically-numbered attribute and prunes it from the corpus
+    # projection entirely — the kernel then KeyErrors on a frame of
+    # [bucket, vec_id].  A fresh read gets fresh exprIds, making the
+    # two children's columns un-conflatable.  (The multiprobe twin is
+    # not exposed: its downstream window reads the UDF output, which
+    # keeps the pruning honest.)  Regression-pinned by a bare-count
+    # unit test.
+    corpus = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .where(f"NOT ({eval_pred})")
+        .selectExpr("vec_id", "embedding", f"{bucket} AS bucket")
+    )
+    probe = _probe_list(f"({bucket})", N_SIGN_BITS, duck=False)
+    evals = emb.where(eval_pred).selectExpr(
+        "vec_id AS eval_id", "embedding", f"{probe} AS bucket"
+    )
+
+    def block(epdf: pd.DataFrame, tpdf: pd.DataFrame) -> pd.DataFrame:
+        if epdf.empty or tpdf.empty:
+            return pd.DataFrame({"vec_id": [], "eval_id": [], "cos": []}).astype(
+                {"vec_id": "int64", "eval_id": "int64", "cos": "float64"}
+            )
+        em = np.stack(epdf["embedding"].to_numpy()).astype(np.float64)
+        tm = np.stack(tpdf["embedding"].to_numpy()).astype(np.float64)
+        em /= np.linalg.norm(em, axis=1, keepdims=True)
+        tm /= np.linalg.norm(tm, axis=1, keepdims=True)
+        sims = np.round(em @ tm.T, 5)
+        eids = epdf["eval_id"].to_numpy()
+        tids = tpdf["vec_id"].to_numpy()
+        ei, ti = np.nonzero(sims >= threshold)
+        return pd.DataFrame(
+            {
+                "vec_id": tids[ti].astype("int64"),
+                "eval_id": eids[ei].astype("int64"),
+                "cos": sims[ei, ti].astype("float64"),
+            }
+        )
+
+    return (
+        evals.groupBy("bucket")
+        .cogroup(corpus.groupBy("bucket"))
+        .applyInPandas(block, "vec_id long, eval_id long, cos double")
+    )

@@ -379,3 +379,81 @@ def test_ann_ivf_pq_vectorized_bit_identical_to_gate(spark, sf_dir):
     b = sorted(tuple(r) for r in ann_ivf_pq_vectorized(spark, sf_dir).collect())
     assert a == b
     assert len(a) > 0
+
+
+def test_semantic_decontaminate_matches_bruteforce(spark, sf_dir):
+    # Exact replay of the contract: a (train, eval) pair flags iff the
+    # train vector's sign-grid bucket is among the eval vector's
+    # Hamming-1 probes AND the round-5 cosine clears the threshold.
+    import pyarrow.parquet as pq
+
+    from flink_infotheoretic_feature_selection_spark.operators.similarity import (
+        N_SIGN_BITS,
+        semantic_decontaminate,
+    )
+
+    pdf = pq.read_table(f"{sf_dir}/embeddings.parquet").to_pandas()
+    ids = pdf["vec_id"].to_numpy()
+    mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+    nrm = np.linalg.norm(mat, axis=1)
+
+    def bucket(v):
+        return sum((1 << i) for i in range(N_SIGN_BITS) if v[i] > 0)
+
+    buckets = {int(i): bucket(mat[r]) for r, i in enumerate(ids)}
+    idx = {int(i): r for r, i in enumerate(ids)}
+    evals = [int(i) for i in ids if i % 20 == 0]
+    trains = [int(i) for i in ids if i % 20 != 0]
+    expect = set()
+    for e in evals:
+        probes = {buckets[e]} | {buckets[e] ^ (1 << i) for i in range(N_SIGN_BITS)}
+        for t in trains:
+            if buckets[t] not in probes:
+                continue
+            c = round(
+                float(mat[idx[t]] @ mat[idx[e]]) / (nrm[idx[t]] * nrm[idx[e]]), 5
+            )
+            if c >= 0.35:
+                expect.add((t, e))
+    got = {
+        (r["vec_id"], r["eval_id"])
+        for r in semantic_decontaminate(spark, sf_dir).collect()
+    }
+    assert got == expect
+    assert len(got) > 0
+
+
+def test_semantic_decontaminate_vectorized_matches_sql_route(spark, sf_dir):
+    from flink_infotheoretic_feature_selection_spark.operators.similarity import (
+        semantic_decontaminate,
+        semantic_decontaminate_vectorized,
+    )
+
+    a = {
+        (r["vec_id"], r["eval_id"]): r["cos"]
+        for r in semantic_decontaminate(spark, sf_dir).collect()
+    }
+    b = {
+        (r["vec_id"], r["eval_id"]): r["cos"]
+        for r in semantic_decontaminate_vectorized(spark, sf_dir).collect()
+    }
+    assert set(a) == set(b)
+    assert len(a) > 0
+    for kk in a:
+        assert abs(a[kk] - b[kk]) <= 2e-5, kk
+
+
+def test_semantic_decontaminate_vectorized_survives_bare_count(spark, sf_dir):
+    # Regression pin for the self-cogroup pruning hazard: with nothing
+    # downstream reading the UDF output, the optimizer used to conflate
+    # the two children's identically-numbered `embedding` attributes and
+    # prune it off the corpus side, crashing the kernel.  count() is
+    # exactly the exposure.
+    from flink_infotheoretic_feature_selection_spark.operators.similarity import (
+        semantic_decontaminate,
+        semantic_decontaminate_vectorized,
+    )
+
+    n = semantic_decontaminate_vectorized(spark, sf_dir).count()
+    assert n == semantic_decontaminate(spark, sf_dir).count()
+    assert n > 0
