@@ -899,8 +899,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # replica; rotate back into block A in r6.
         # simhash64_incremental was added AFTER block A was frozen for
         # r5: it heads block B so it is first in line for an r6 slot
-        # (never-verified outranks everything below).
+        # (never-verified outranks everything below).  The three round-5
+        # curation additions (source cap / epoch shuffle / cross-source
+        # overlap) queue right behind it for the same reason.
         "simhash64_incremental": _q_simhash64_incremental,
+        "source_token_cap": text.source_token_cap,
+        "epoch_shuffle": text.epoch_shuffle,
+        "cross_source_overlap": profile_ops.cross_source_overlap,
         "stream_neardup_cands": _q_stream_neardup_cands,
         "stream_decontaminate": _q_stream_decontaminate,
         "semantic_decontaminate": similarity.semantic_decontaminate,
@@ -1022,6 +1027,9 @@ def oracle_sql() -> dict[str, str]:
         "simhash64_pairs": dedup.simhash64_pairs_oracle(),
         "simhash64_components": dedup.simhash64_components_oracle(),
         "simhash64_incremental": dedup.simhash64_incremental_oracle(),
+        "source_token_cap": text.source_token_cap_oracle(),
+        "epoch_shuffle": text.epoch_shuffle_oracle(),
+        "cross_source_overlap": profile_ops.cross_source_overlap_oracle(),
         "stream_neardup_cands": dedup.stream_neardup_candidates_oracle(),
         "stream_decontaminate": dedup.stream_decontaminate_oracle(),
         "semantic_decontaminate": similarity.semantic_decontaminate_oracle(),

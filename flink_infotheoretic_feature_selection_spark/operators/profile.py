@@ -22,6 +22,8 @@ __all__ = [
     "key_skew_profile",
     "key_skew_profile_query",
     "KEY_SKEW_PROFILE_ORACLE",
+    "cross_source_overlap",
+    "cross_source_overlap_oracle",
 ]
 
 # numeric lineitem columns profiled by the gate query (stable order)
@@ -126,3 +128,63 @@ FROM counts
 ORDER BY n DESC, key
 LIMIT {SKEW_TOP}
 """
+
+
+# ---------------------------------------------------------------------------
+# Cross-source shingle-overlap matrix
+# ---------------------------------------------------------------------------
+def _cross_source_overlap_sql(duck: bool, n: int = 3) -> str:
+    """Pairwise Jaccard of the sources' distinct shingle sets.
+
+    The corpus-level twin of doc-level near-dup: before mixing sources
+    into a training set you want to know which ones are secretly the
+    same crawl (mirror sites, re-hosted dumps) — a high source-pair
+    Jaccard means the mixture weights double-count that content and the
+    dedup pass will be load-bearing.  Same diagnostic family as
+    key_skew_profile: run it BEFORE committing a mix.
+
+    Scale shape: one distinct over (source, shingle) (the only
+    data-sized shuffle); the intersection self-join fans out per
+    shingle by at most n_sources per side — bounded by sources², not by
+    corpus size — and every aggregate after it is sources²-sized.  The
+    pair grid is dense-completed (cross join of the source list + LEFT
+    JOIN, the token_mi grid pattern) so zero-overlap pairs report 0.0
+    instead of vanishing.  Jaccard divides exact integer counts: no
+    float accumulation, hash-stable across engines.
+    """
+    from flink_infotheoretic_feature_selection_spark.operators.dedup import _shingles_cte
+
+    return f"""
+    WITH {_shingles_cte(duck, n=n)},
+    ssh AS (
+      SELECT DISTINCT d.source, s.shingle
+      FROM sh s JOIN documents d ON s.doc_id = d.doc_id),
+    sizes AS (SELECT source, count(*) AS n_sh FROM ssh GROUP BY source),
+    inter AS (
+      SELECT a.source AS source_a, b.source AS source_b, count(*) AS n_common
+      FROM ssh a JOIN ssh b ON a.shingle = b.shingle AND a.source < b.source
+      GROUP BY a.source, b.source),
+    grid AS (
+      SELECT sa.source AS source_a, sb.source AS source_b,
+             sa.n_sh AS n_a, sb.n_sh AS n_b
+      FROM sizes sa JOIN sizes sb ON sa.source < sb.source)
+    SELECT g.source_a, g.source_b, g.n_a, g.n_b,
+           coalesce(i.n_common, 0) AS n_common,
+           round(CAST(coalesce(i.n_common, 0) AS DOUBLE)
+                 / (g.n_a + g.n_b - coalesce(i.n_common, 0)), 5) AS jaccard
+    FROM grid g LEFT JOIN inter i
+      ON g.source_a = i.source_a AND g.source_b = i.source_b
+    """
+
+
+def cross_source_overlap(spark: SparkSession, sf_dir: str, n: int = 3) -> DataFrame:
+    """Gate query: the source×source shingle-Jaccard matrix of the
+    documents corpus."""
+    spark.read.parquet(f"{sf_dir}/documents.parquet").createOrReplaceTempView(
+        "documents"
+    )
+    return spark.sql(_cross_source_overlap_sql(duck=False, n=n))
+
+
+def cross_source_overlap_oracle(n: int = 3) -> str:
+    return _cross_source_overlap_sql(duck=True, n=n)

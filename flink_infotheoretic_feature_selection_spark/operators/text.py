@@ -55,6 +55,10 @@ __all__ = [
     "split_case",
     "copy_explode_expr",
     "quality_threshold_filter",
+    "source_token_cap",
+    "source_token_cap_oracle",
+    "epoch_shuffle",
+    "epoch_shuffle_oracle",
 ]
 
 STOPWORDS_EN = ("the", "a", "and", "of", "to", "in", "is")
@@ -1068,3 +1072,117 @@ def quality_threshold_filter(
         .filter(F.col("quality_score") >= F.col("__thr"))
         .select("doc_id", "lang_pred", "quality_score")
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-source token-budget cap (domain caps)
+# ---------------------------------------------------------------------------
+SOURCE_TOKEN_BUDGET = 1_000  # tokens kept per source
+
+
+def _source_token_cap_sql(duck: bool, budget: int = SOURCE_TOKEN_BUDGET) -> str:
+    """Cap each source's contribution at ``budget`` tokens.
+
+    The over-represented-domain guard every web-corpus pipeline runs
+    (RefinedWeb/Dolma-style domain caps): without it a handful of huge
+    sources dominate the training mix no matter what the mixture weights
+    say.  Docs compete WITHIN their source in content-hash priority
+    order (no RNG, rerun- and reingest-stable, and unbiased w.r.t.
+    ingest order — an id-ordered cap would keep whatever was crawled
+    first), and a doc survives iff the running token total through it
+    still fits the budget.
+
+    Scale shape: one exchange on source + one window cumsum — the same
+    plan class as pack_sequences, and the skew story is the same too: a
+    corpus that is 90% one source makes that source's partition the
+    straggler, at which point the sessionize_skew bucket+stitch applies
+    (cap each bucket at budget/n_buckets).  The cumsum is exact integer
+    arithmetic end to end, so the gate hash cannot float-drift.
+    DuckDB's SUM(INTEGER) widens to HUGEINT where Spark stays BIGINT —
+    both dialects cast the window sum explicitly (the events_props_agg
+    r3 lesson).
+    """
+    tokens = _TOKENS_DUCK if duck else _TOKENS
+    size = "len" if duck else "size"
+    rh = (
+        rolling_hash_expr_duckdb("lower(trim(text))")
+        if duck
+        else rolling_hash_expr_spark("lower(trim(text))")
+    )
+    return f"""
+    WITH pr AS (
+      SELECT doc_id, source, {size}({tokens}) AS n_tokens, {rh} AS prio
+      FROM documents),
+    c AS (
+      SELECT doc_id, source, n_tokens,
+             CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY prio, doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS cum_tokens
+      FROM pr)
+    SELECT doc_id, source, CAST(n_tokens AS INT) AS n_tokens, cum_tokens
+    FROM c WHERE cum_tokens <= {budget}
+    """
+
+
+def source_token_cap(
+    spark: SparkSession, sf_dir: str, budget: int = SOURCE_TOKEN_BUDGET
+) -> DataFrame:
+    """Deterministic per-source token cap: the surviving docs and their
+    position in the source's running token budget."""
+    spark.read.parquet(f"{sf_dir}/documents.parquet").createOrReplaceTempView("documents")
+    return spark.sql(_source_token_cap_sql(duck=False, budget=budget))
+
+
+def source_token_cap_oracle(budget: int = SOURCE_TOKEN_BUDGET) -> str:
+    return _source_token_cap_sql(duck=True, budget=budget)
+
+
+# ---------------------------------------------------------------------------
+# Deterministic per-epoch corpus shuffle (training order)
+# ---------------------------------------------------------------------------
+EPOCH_SHUFFLE_SHARDS = 8
+
+
+def _epoch_shuffle_sql(duck: bool, seed: int, shards: int = EPOCH_SHUFFLE_SHARDS) -> str:
+    """Deterministic training-order assignment for one epoch.
+
+    Training wants the corpus in a different order every epoch, but the
+    order must be REPRODUCIBLE (resume a crashed run, compare two
+    trainers bit-for-bit) — so no RNG: position derives from a rolling
+    hash of (content, seed).  Each doc lands in shard ``h % shards`` and
+    at rank ``row_number`` by ``(h, doc_id)`` within the shard; a reader
+    consuming shards round-robin sees a pseudo-random permutation that
+    changes completely with ``seed`` (the hash seeds differ in every
+    character position, not just an offset).
+
+    Scale shape: this is the anti-global-sort formulation — ORDER BY
+    hash over the corpus would be a full range-partitioned sort of 100
+    TB; sharding first makes it one hash exchange + an independent
+    within-shard sort per shard, embarrassingly parallel and
+    straggler-free because the hash balances shard sizes.  Content-keyed
+    like hash_split, so re-ingested duplicates keep stable positions.
+    """
+    rh = (
+        rolling_hash_expr_duckdb(f"concat(lower(trim(text)), ' epoch{seed}')")
+        if duck
+        else rolling_hash_expr_spark(f"concat(lower(trim(text)), ' epoch{seed}')")
+    )
+    return f"""
+    WITH h AS (SELECT doc_id, {rh} AS oh FROM documents)
+    SELECT doc_id, CAST(oh % {shards} AS INT) AS shard,
+           CAST(row_number() OVER (PARTITION BY oh % {shards}
+                ORDER BY oh, doc_id) AS INT) AS pos
+    FROM h
+    """
+
+
+def epoch_shuffle(
+    spark: SparkSession, sf_dir: str, seed: int = 1, shards: int = EPOCH_SHUFFLE_SHARDS
+) -> DataFrame:
+    """Seeded deterministic corpus shuffle: (doc_id, shard, pos)."""
+    spark.read.parquet(f"{sf_dir}/documents.parquet").createOrReplaceTempView("documents")
+    return spark.sql(_epoch_shuffle_sql(duck=False, seed=seed, shards=shards))
+
+
+def epoch_shuffle_oracle(seed: int = 1, shards: int = EPOCH_SHUFFLE_SHARDS) -> str:
+    return _epoch_shuffle_sql(duck=True, seed=seed, shards=shards)

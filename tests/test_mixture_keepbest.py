@@ -222,3 +222,31 @@ def test_quality_threshold_filter_sort_free(spark, sf_dir):
     plan = formatted_plan(quality_threshold_filter(spark, sf_dir))
     assert "Window" not in plan  # no percent_rank, no per-lang total order
     assert "Sort" not in plan.split("== Physical Plan ==")[1].split("(1) Scan")[0]
+
+
+def test_cross_source_overlap_hand_computed(spark):
+    from flink_infotheoretic_feature_selection_spark.operators.profile import (
+        _cross_source_overlap_sql,
+    )
+
+    # srcA and srcB share exactly the 3-gram "a b c"; srcC is disjoint.
+    spark.createDataFrame(
+        [
+            (1, "a b c d", "srcA"),
+            (2, "x a b c", "srcB"),
+            (3, "p q r s", "srcC"),
+        ],
+        "doc_id long, text string, source string",
+    ).createOrReplaceTempView("documents")
+    rows = {
+        (r["source_a"], r["source_b"]): r
+        for r in spark.sql(_cross_source_overlap_sql(duck=False)).collect()
+    }
+    # dense grid: all 3 pairs present, zero-overlap pairs report 0.0
+    assert set(rows) == {("srcA", "srcB"), ("srcA", "srcC"), ("srcB", "srcC")}
+    ab = rows[("srcA", "srcB")]
+    # srcA grams {a b c, b c d}, srcB grams {x a b, a b c}: |∩|=1, |∪|=3
+    assert (ab["n_a"], ab["n_b"], ab["n_common"]) == (2, 2, 1)
+    assert abs(ab["jaccard"] - 1 / 3) < 1e-5
+    assert rows[("srcA", "srcC")]["n_common"] == 0
+    assert rows[("srcA", "srcC")]["jaccard"] == 0.0

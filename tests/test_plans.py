@@ -327,3 +327,22 @@ def test_neardup_probe_chunk_join_is_signature_level(spark, sf_dir):
     assert chunk_joins, plan
     for b in chunk_joins:
         assert "doc_id" not in b, b
+
+
+def test_source_token_cap_single_exchange(spark, sf_dir):
+    # One hash exchange on source; the window cumsum + filter reuse it.
+    from flink_infotheoretic_feature_selection_spark.operators.text import source_token_cap
+
+    q = source_token_cap(spark, sf_dir)
+    assert exchange_count(q) == 1, formatted_plan(q)
+
+
+def test_epoch_shuffle_no_global_sort(spark, sf_dir):
+    # The anti-global-sort contract: one hash exchange on the shard key,
+    # never a range-partitioned full sort of the corpus.
+    from flink_infotheoretic_feature_selection_spark.operators.text import epoch_shuffle
+
+    q = epoch_shuffle(spark, sf_dir)
+    plan = formatted_plan(q)
+    assert exchange_count(q) == 1, plan
+    assert "rangepartitioning" not in plan.lower(), plan

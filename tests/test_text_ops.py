@@ -115,3 +115,59 @@ def test_lm_score_matches_hand_computation(spark):
     assert 3 not in got  # single-token doc has no bigrams
     # fluent (corpus-typical) text outscores the rare transition
     assert got[2][1] > got[1][1]
+
+
+def test_source_token_cap_budget_and_priority(spark, sf_dir):
+    from flink_infotheoretic_feature_selection_spark.operators.text import source_token_cap
+
+    out = source_token_cap(spark, sf_dir, budget=200).collect()
+    assert out, "budget 200 must keep at least the first doc per source"
+    by_source = {}
+    for r in out:
+        by_source.setdefault(r["source"], []).append(r)
+    for rows in by_source.values():
+        # running total never exceeds the budget, and cum_tokens is an
+        # exact prefix sum of the kept docs' n_tokens (no doc skipped
+        # mid-prefix: survivors are a PREFIX of the priority order)
+        rows.sort(key=lambda r: r["cum_tokens"])
+        run = 0
+        for r in rows:
+            run += r["n_tokens"]
+            assert r["cum_tokens"] == run
+            assert run <= 200
+
+
+def test_source_token_cap_deterministic_vs_ids(spark, sf_dir):
+    # Re-keying every doc_id (new ingest ids, same content) must keep
+    # the same TEXTS per source: priority is content-hashed, not id-ed.
+    from flink_infotheoretic_feature_selection_spark.operators.text import (
+        _source_token_cap_sql,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    kept1 = spark.sql(_source_token_cap_sql(duck=False, budget=500))
+    docs.withColumn("doc_id", F.col("doc_id") + 1_000_000).createOrReplaceTempView(
+        "documents"
+    )
+    kept2 = spark.sql(_source_token_cap_sql(duck=False, budget=500))
+    t1 = {(r["source"], r["cum_tokens"]) for r in kept1.collect()}
+    t2 = {(r["source"], r["cum_tokens"]) for r in kept2.collect()}
+    assert t1 == t2
+
+
+def test_epoch_shuffle_is_permutation_and_seed_sensitive(spark, sf_dir):
+    from flink_infotheoretic_feature_selection_spark.operators.text import epoch_shuffle
+
+    e1 = epoch_shuffle(spark, sf_dir, seed=1).collect()
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    assert len(e1) == n_docs
+    # (shard, pos) is a proper dense ranking: unique, 1..n_in_shard
+    slots = {(r["shard"], r["pos"]) for r in e1}
+    assert len(slots) == n_docs
+    for shard in {s for s, _ in slots}:
+        poss = sorted(p for s, p in slots if s == shard)
+        assert poss == list(range(1, len(poss) + 1))
+    # a different epoch seed produces a genuinely different order
+    e2 = {r["doc_id"]: (r["shard"], r["pos"]) for r in epoch_shuffle(spark, sf_dir, seed=2).collect()}
+    moved = sum(1 for r in e1 if e2[r["doc_id"]] != (r["shard"], r["pos"]))
+    assert moved > n_docs // 2
