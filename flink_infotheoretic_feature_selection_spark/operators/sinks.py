@@ -30,6 +30,7 @@ __all__ = [
     "read_documents_jsonl",
     "write_documents_jsonl",
     "DOCUMENTS_JSONL_SCHEMA",
+    "write_bucketed",
 ]
 
 
@@ -139,3 +140,43 @@ def write_documents_jsonl(
     if max_records_per_file is not None:
         out = out.option("maxRecordsPerFile", max_records_per_file)
     out.json(path)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    key_col: str,
+    n_buckets: int = 16,
+    path: str | None = None,
+) -> None:
+    """Persist ``df`` as a bucketed, bucket-sorted parquet table.
+
+    Bucketing is the cross-JOB co-location tool shuffling can't be: a
+    ``repartition`` dies with the job, but a table written with
+    ``bucketBy(n, key)`` carries its partitioning in the catalog, so
+    EVERY future equi-join or aggregation on ``key`` against it — other
+    pipelines, incremental ingest runs, the next day's dedup pass —
+    skips its exchange entirely (plan-pinned in
+    test_plans.py::test_bucketed_join_skips_both_exchanges).  At 100 TB
+    the corpus-side shuffle is the dominant cost of every
+    join-against-corpus op in this repo; paying it ONCE at write time
+    amortizes it across every subsequent consumer.
+
+    The usual caveats are real and intentional here: both join sides
+    must agree on bucket count (use one corpus-wide constant), and
+    bucket files per task multiply without the ``repartition`` below —
+    we repartition on the bucket hash first so each bucket is one
+    task's output (same small-file rationale as write_corpus_shards).
+    """
+    if n_buckets < 1:
+        raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
+    writer = (
+        df.repartition(n_buckets, F.col(key_col))
+        .write.mode("overwrite")
+        .format("parquet")
+        .bucketBy(n_buckets, key_col)
+        .sortBy(key_col)
+    )
+    if path is not None:
+        writer = writer.option("path", path)
+    writer.saveAsTable(table)

@@ -346,3 +346,37 @@ def test_epoch_shuffle_no_global_sort(spark, sf_dir):
     plan = formatted_plan(q)
     assert exchange_count(q) == 1, plan
     assert "rangepartitioning" not in plan.lower(), plan
+
+
+def test_bucketed_join_skips_both_exchanges(spark, sf_dir, tmp_path):
+    # Two tables bucketed on the same key with the same bucket count
+    # must sort-merge-join with ZERO Exchange nodes — the catalog knows
+    # the on-disk partitioning, so the 100-TB corpus shuffle is paid
+    # once at write time, not per consumer job.
+    from flink_infotheoretic_feature_selection_spark.operators.sinks import write_bucketed
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    write_bucketed(
+        docs, "bkt_docs", "doc_id", n_buckets=4, path=str(tmp_path / "bkt_docs")
+    )
+    write_bucketed(
+        docs.select("doc_id", "source"),
+        "bkt_meta",
+        "doc_id",
+        n_buckets=4,
+        path=str(tmp_path / "bkt_meta"),
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        q = spark.table("bkt_docs").join(spark.table("bkt_meta"), "doc_id")
+        plan = formatted_plan(q)
+        assert exchange_count(q) == 0, plan
+        assert q.count() == docs.count()
+        # and a groupBy on the bucket key reuses the layout too
+        agg = spark.table("bkt_docs").groupBy("doc_id").count()
+        assert exchange_count(agg) == 0, formatted_plan(agg)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS bkt_docs")
+        spark.sql("DROP TABLE IF EXISTS bkt_meta")
