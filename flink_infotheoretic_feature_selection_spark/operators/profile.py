@@ -143,27 +143,89 @@ def _cross_source_overlap_sql(duck: bool, n: int = 3) -> str:
     dedup pass will be load-bearing.  Same diagnostic family as
     key_skew_profile: run it BEFORE committing a mix.
 
-    Scale shape: one distinct over (source, shingle) (the only
-    data-sized shuffle); the intersection self-join fans out per
-    shingle by at most n_sources per side — bounded by sources², not by
-    corpus size — and every aggregate after it is sources²-sized.  The
-    pair grid is dense-completed (cross join of the source list + LEFT
-    JOIN, the token_mi grid pattern) so zero-overlap pairs report 0.0
-    instead of vanishing.  Jaccard divides exact integer counts: no
+    Spark scale shape (duck=False): ONE data-sized exchange total.  Each
+    shingle's source set is collect_set-aggregated (partial map-side,
+    the shuffled value is a ≤n_sources set per shingle, never doc
+    rows), and both the per-source sizes and the pairwise intersections
+    derive from those sets with narrow explodes whose fanout is bounded
+    by n_sources (sizes) / n_sources² (pairs) per shingle — partial
+    counts collapse them to sources²-sized cells before any further
+    exchange.  The first cut of this op was the textbook
+    distinct-then-self-join (still the DuckDB oracle below, which keeps
+    the cross-engine check independently formulated); it needs THREE
+    data-sized exchanges (the distinct, then a shingle repartition of
+    each self-join side).  Honest measurement at 500k docs (min-of-3,
+    noisy host): the two are PAR (~12 s both) because gram tokenization
+    dominates at this scale — the 3→1 exchange cut is kept for the
+    regime where shuffle volume, not CPU, binds (the corpus >> memory
+    cluster case this repo designs for).
+
+    The pair grid is dense-completed (cross join of the source list +
+    LEFT JOIN, the token_mi grid pattern) so zero-overlap pairs report
+    0.0 instead of vanishing.  Jaccard divides exact integer counts: no
     float accumulation, hash-stable across engines.
     """
-    from flink_infotheoretic_feature_selection_spark.operators.dedup import _shingles_cte
+    if duck:
+        tokens = r"string_split_regex(trim(lower(text)), '\s+')"
+        return f"""
+        WITH tok AS (SELECT source, {tokens} AS ts FROM documents),
+        gr_all AS (
+          SELECT source,
+                 unnest(list_transform(range(1, len(ts) - {n - 2}),
+                        i -> array_to_string(ts[i : i + {n - 1}], ' '))) AS shingle
+          FROM tok WHERE len(ts) >= {n}),
+        ssh AS (SELECT DISTINCT source, shingle FROM gr_all),
+        sizes AS (SELECT source, count(*) AS n_sh FROM ssh GROUP BY source),
+        inter AS (
+          SELECT a.source AS source_a, b.source AS source_b, count(*) AS n_common
+          FROM ssh a JOIN ssh b ON a.shingle = b.shingle AND a.source < b.source
+          GROUP BY a.source, b.source),
+        grid AS (
+          SELECT sa.source AS source_a, sb.source AS source_b,
+                 sa.n_sh AS n_a, sb.n_sh AS n_b
+          FROM sizes sa JOIN sizes sb ON sa.source < sb.source)
+        SELECT g.source_a, g.source_b, g.n_a, g.n_b,
+               coalesce(i.n_common, 0) AS n_common,
+               round(CAST(coalesce(i.n_common, 0) AS DOUBLE)
+                     / (g.n_a + g.n_b - coalesce(i.n_common, 0)), 5) AS jaccard
+        FROM grid g LEFT JOIN inter i
+          ON g.source_a = i.source_a AND g.source_b = i.source_b
+        """
+    from flink_infotheoretic_feature_selection_spark.operators.dedup import (
+        SHINGLE_TOKENS_EXPR,
+        shingle_grams_expr,
+    )
 
+    grams = shingle_grams_expr(n, "ts")
+    # i is 0-based in transform's index lambda; slice() is 1-based, so
+    # "everything after element i" starts at i + 2.  OUTER explodes keep
+    # InferFiltersFromGenerate from re-evaluating the higher-order gram /
+    # pair expressions in an interpreted per-row Filter (the measured 6×
+    # generate trap — see _shingles_cte).
+    pairs_expr = (
+        "flatten(transform(ss, (x, i) -> "
+        "transform(slice(ss, i + 2, size(ss)), y -> struct(x AS a, y AS b))))"
+    )
     return f"""
-    WITH {_shingles_cte(duck, n=n)},
-    ssh AS (
-      SELECT DISTINCT d.source, s.shingle
-      FROM sh s JOIN documents d ON s.doc_id = d.doc_id),
-    sizes AS (SELECT source, count(*) AS n_sh FROM ssh GROUP BY source),
+    WITH tok AS (SELECT source, {SHINGLE_TOKENS_EXPR} AS ts FROM documents),
+    gr AS (
+      SELECT source, shingle
+      FROM tok
+      LATERAL VIEW OUTER explode({grams}) t AS shingle
+      WHERE size(ts) >= {n}),
+    sets AS (
+      SELECT shingle, sort_array(collect_set(source)) AS ss
+      FROM gr GROUP BY shingle),
+    sizes AS (
+      SELECT source, count(*) AS n_sh
+      FROM sets LATERAL VIEW explode(ss) t AS source
+      GROUP BY source),
     inter AS (
-      SELECT a.source AS source_a, b.source AS source_b, count(*) AS n_common
-      FROM ssh a JOIN ssh b ON a.shingle = b.shingle AND a.source < b.source
-      GROUP BY a.source, b.source),
+      SELECT pr.a AS source_a, pr.b AS source_b, count(*) AS n_common
+      FROM sets
+      LATERAL VIEW OUTER explode({pairs_expr}) t AS pr
+      WHERE pr IS NOT NULL
+      GROUP BY pr.a, pr.b),
     grid AS (
       SELECT sa.source AS source_a, sb.source AS source_b,
              sa.n_sh AS n_a, sb.n_sh AS n_b
