@@ -160,10 +160,13 @@ def _cross_source_overlap_sql(duck: bool, n: int = 3) -> str:
     regime where shuffle volume, not CPU, binds (the corpus >> memory
     cluster case this repo designs for).
 
-    The pair grid is dense-completed (cross join of the source list +
-    LEFT JOIN, the token_mi grid pattern) so zero-overlap pairs report
-    0.0 instead of vanishing.  Jaccard divides exact integer counts: no
-    float accumulation, hash-stable across engines.
+    The pair grid is dense-completed from ``SELECT DISTINCT source FROM
+    documents`` (NOT from the shingle-set sizes, which would silently
+    drop a source whose docs are all shorter than n tokens — the
+    round-5 review finding) + LEFT JOINs with coalesce-0, so every
+    source pair appears, zero-overlap and even zero-shingle ones, with
+    jaccard 0.0 (0/0 guarded to 0.0).  Jaccard divides exact integer
+    counts: no float accumulation, hash-stable across engines.
     """
     if duck:
         tokens = r"string_split_regex(trim(lower(text)), '\s+')"
@@ -180,14 +183,21 @@ def _cross_source_overlap_sql(duck: bool, n: int = 3) -> str:
           SELECT a.source AS source_a, b.source AS source_b, count(*) AS n_common
           FROM ssh a JOIN ssh b ON a.shingle = b.shingle AND a.source < b.source
           GROUP BY a.source, b.source),
+        srcs AS (SELECT DISTINCT source FROM documents),
         grid AS (
           SELECT sa.source AS source_a, sb.source AS source_b,
-                 sa.n_sh AS n_a, sb.n_sh AS n_b
-          FROM sizes sa JOIN sizes sb ON sa.source < sb.source)
+                 coalesce(za.n_sh, CAST(0 AS BIGINT)) AS n_a,
+                 coalesce(zb.n_sh, CAST(0 AS BIGINT)) AS n_b
+          FROM srcs sa JOIN srcs sb ON sa.source < sb.source
+          LEFT JOIN sizes za ON za.source = sa.source
+          LEFT JOIN sizes zb ON zb.source = sb.source)
         SELECT g.source_a, g.source_b, g.n_a, g.n_b,
                coalesce(i.n_common, 0) AS n_common,
-               round(CAST(coalesce(i.n_common, 0) AS DOUBLE)
-                     / (g.n_a + g.n_b - coalesce(i.n_common, 0)), 5) AS jaccard
+               CASE WHEN g.n_a + g.n_b - coalesce(i.n_common, 0) = 0
+                    THEN CAST(0 AS DOUBLE)
+                    ELSE round(CAST(coalesce(i.n_common, 0) AS DOUBLE)
+                         / (g.n_a + g.n_b - coalesce(i.n_common, 0)), 5)
+               END AS jaccard
         FROM grid g LEFT JOIN inter i
           ON g.source_a = i.source_a AND g.source_b = i.source_b
         """
@@ -226,14 +236,21 @@ def _cross_source_overlap_sql(duck: bool, n: int = 3) -> str:
       LATERAL VIEW OUTER explode({pairs_expr}) t AS pr
       WHERE pr IS NOT NULL
       GROUP BY pr.a, pr.b),
+    srcs AS (SELECT DISTINCT source FROM documents),
     grid AS (
       SELECT sa.source AS source_a, sb.source AS source_b,
-             sa.n_sh AS n_a, sb.n_sh AS n_b
-      FROM sizes sa JOIN sizes sb ON sa.source < sb.source)
+             coalesce(za.n_sh, CAST(0 AS BIGINT)) AS n_a,
+             coalesce(zb.n_sh, CAST(0 AS BIGINT)) AS n_b
+      FROM srcs sa JOIN srcs sb ON sa.source < sb.source
+      LEFT JOIN sizes za ON za.source = sa.source
+      LEFT JOIN sizes zb ON zb.source = sb.source)
     SELECT g.source_a, g.source_b, g.n_a, g.n_b,
            coalesce(i.n_common, 0) AS n_common,
-           round(CAST(coalesce(i.n_common, 0) AS DOUBLE)
-                 / (g.n_a + g.n_b - coalesce(i.n_common, 0)), 5) AS jaccard
+           CASE WHEN g.n_a + g.n_b - coalesce(i.n_common, 0) = 0
+                THEN CAST(0 AS DOUBLE)
+                ELSE round(CAST(coalesce(i.n_common, 0) AS DOUBLE)
+                     / (g.n_a + g.n_b - coalesce(i.n_common, 0)), 5)
+           END AS jaccard
     FROM grid g LEFT JOIN inter i
       ON g.source_a = i.source_a AND g.source_b = i.source_b
     """

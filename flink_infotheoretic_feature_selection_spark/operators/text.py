@@ -461,21 +461,37 @@ ROLLING_MOD = 1_000_000_007
 ROLLING_MULT = 31
 
 
-def rolling_hash_expr_spark(text_expr: str) -> str:
-    """Polynomial rolling hash over characters, JVM-side via aggregate()."""
+def rolling_hash_expr_spark(text_expr: str, mult: int = ROLLING_MULT) -> str:
+    """Polynomial rolling hash over characters, JVM-side via aggregate().
+
+    ``mult`` selects the polynomial base: two hashes with different
+    bases (e.g. 31 and 131) are independent enough that a simultaneous
+    collision of two DISTINCT texts under both is ~1e-18 — the tiebreak
+    pattern source_token_cap uses.
+    """
     return (
         f"aggregate(split({text_expr}, ''), CAST(0 AS BIGINT), "
-        f"(acc, c) -> (acc * {ROLLING_MULT} + CAST(coalesce(ascii(c), 0) AS BIGINT)) % {ROLLING_MOD})"
+        f"(acc, c) -> (acc * {mult} + CAST(coalesce(ascii(c), 0) AS BIGINT)) % {ROLLING_MOD})"
     )
 
 
-def rolling_hash_expr_duckdb(text_expr: str) -> str:
+def rolling_hash_expr_duckdb(text_expr: str, mult: int = ROLLING_MULT) -> str:
     return (
         f"list_reduce(list_prepend(CAST(0 AS BIGINT), "
         f"list_transform(regexp_split_to_array({text_expr}, ''), "
         f"c -> CAST(ascii(c) AS BIGINT))), "
-        f"(acc, x) -> (acc * {ROLLING_MULT} + x) % {ROLLING_MOD})"
+        f"(acc, x) -> (acc * {mult} + x) % {ROLLING_MOD})"
     )
+
+
+def rolling_hash_py(s: str, mult: int = ROLLING_MULT) -> int:
+    """Python twin of the SQL rolling hash (ASCII inputs only) — used to
+    fold CONSTANT strings (e.g. an epoch-seed label) into plan-time
+    literals instead of re-hashing them per row in both engines."""
+    acc = 0
+    for c in s:
+        acc = (acc * mult + ord(c)) % ROLLING_MOD
+    return acc
 
 
 def fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1104,18 +1120,26 @@ def _source_token_cap_sql(duck: bool, budget: int = SOURCE_TOKEN_BUDGET) -> str:
     """
     tokens = _TOKENS_DUCK if duck else _TOKENS
     size = "len" if duck else "size"
-    rh = (
-        rolling_hash_expr_duckdb("lower(trim(text))")
-        if duck
-        else rolling_hash_expr_spark("lower(trim(text))")
-    )
+    expr = rolling_hash_expr_duckdb if duck else rolling_hash_expr_spark
+    rh = expr("lower(trim(text))")
+    # Priority ties break on a SECOND independent content hash (base 131
+    # vs 31) before doc_id: base-31 collisions between distinct texts are
+    # birthday-expected above ~30k docs in the 1e9+7 space, and a
+    # same-source collision at the budget boundary resolved by doc_id
+    # would change survivors across a re-ingest (new ids, same content).
+    # Simultaneous collision under both bases is ~1e-18; doc_id remains
+    # only as the final tiebreak for byte-identical texts, where either
+    # survivor is the same content anyway.
+    rh2 = expr("lower(trim(text))", mult=131)
     return f"""
     WITH pr AS (
-      SELECT doc_id, source, {size}({tokens}) AS n_tokens, {rh} AS prio
+      SELECT doc_id, source, {size}({tokens}) AS n_tokens,
+             {rh} AS prio, {rh2} AS prio2
       FROM documents),
     c AS (
       SELECT doc_id, source, n_tokens,
-             CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY prio, doc_id
+             CAST(sum(n_tokens) OVER (PARTITION BY source
+                  ORDER BY prio, prio2, doc_id
                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
                AS cum_tokens
       FROM pr)
@@ -1148,12 +1172,20 @@ def _epoch_shuffle_sql(duck: bool, seed: int, shards: int = EPOCH_SHUFFLE_SHARDS
 
     Training wants the corpus in a different order every epoch, but the
     order must be REPRODUCIBLE (resume a crashed run, compare two
-    trainers bit-for-bit) — so no RNG: position derives from a rolling
-    hash of (content, seed).  Each doc lands in shard ``h % shards`` and
-    at rank ``row_number`` by ``(h, doc_id)`` within the shard; a reader
-    consuming shards round-robin sees a pseudo-random permutation that
-    changes completely with ``seed`` (the hash seeds differ in every
-    character position, not just an offset).
+    trainers bit-for-bit) — so no RNG: position derives from the content
+    hash MIXED MULTIPLICATIVELY with the seed,
+    ``oh = (h(content) * (2*h('epoch<seed>')+1) + h('epoch<seed>')) % MOD``.
+    Appending/prepending a seed suffix to the hashed string does NOT
+    work: a polynomial hash of ``content || suffix`` is
+    ``h(content)*B^len(suffix) + h(suffix)``, so equal-length seed
+    strings differ only by an additive constant — consecutive epochs
+    would replay the SAME within-shard order with shard labels rotated
+    (found by the round-5 review; pinned by
+    test_epoch_shuffle_within_shard_order_changes).  A per-seed
+    multiplier is a different bijection of the hash space each epoch, so
+    both the shard assignment and the within-shard order genuinely
+    reshuffle.  Each doc lands in shard ``oh % shards`` and at rank
+    ``row_number`` by ``(oh, doc_id)`` within the shard.
 
     Scale shape: this is the anti-global-sort formulation — ORDER BY
     hash over the corpus would be a full range-partitioned sort of 100
@@ -1162,13 +1194,18 @@ def _epoch_shuffle_sql(duck: bool, seed: int, shards: int = EPOCH_SHUFFLE_SHARDS
     straggler-free because the hash balances shard sizes.  Content-keyed
     like hash_split, so re-ingested duplicates keep stable positions.
     """
+    seed_h = rolling_hash_py(f"epoch{seed}")
+    seed_mult = (2 * seed_h + 1) % ROLLING_MOD or 1
     rh = (
-        rolling_hash_expr_duckdb(f"concat(lower(trim(text)), ' epoch{seed}')")
+        rolling_hash_expr_duckdb("lower(trim(text))")
         if duck
-        else rolling_hash_expr_spark(f"concat(lower(trim(text)), ' epoch{seed}')")
+        else rolling_hash_expr_spark("lower(trim(text))")
     )
+    # both factors < MOD ~1e9+7 so the product stays < 1.1e18 < 2^63-1:
+    # exact in BIGINT in both engines, no overflow wrap
     return f"""
-    WITH h AS (SELECT doc_id, {rh} AS oh FROM documents)
+    WITH h AS (SELECT doc_id, (({rh}) * {seed_mult} + {seed_h}) % {ROLLING_MOD} AS oh
+               FROM documents)
     SELECT doc_id, CAST(oh % {shards} AS INT) AS shard,
            CAST(row_number() OVER (PARTITION BY oh % {shards}
                 ORDER BY oh, doc_id) AS INT) AS pos

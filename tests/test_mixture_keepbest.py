@@ -229,12 +229,16 @@ def test_cross_source_overlap_hand_computed(spark):
         _cross_source_overlap_sql,
     )
 
-    # srcA and srcB share exactly the 3-gram "a b c"; srcC is disjoint.
+    # srcA and srcB share exactly the 3-gram "a b c"; srcC is disjoint;
+    # srcD's only doc is shorter than n=3 tokens, so it has ZERO shingles
+    # — it must still appear in the dense grid with n_sh 0 / jaccard 0.0
+    # (the round-5 review finding: a sizes-derived grid dropped it).
     spark.createDataFrame(
         [
             (1, "a b c d", "srcA"),
             (2, "x a b c", "srcB"),
             (3, "p q r s", "srcC"),
+            (4, "t u", "srcD"),
         ],
         "doc_id long, text string, source string",
     ).createOrReplaceTempView("documents")
@@ -242,11 +246,20 @@ def test_cross_source_overlap_hand_computed(spark):
         (r["source_a"], r["source_b"]): r
         for r in spark.sql(_cross_source_overlap_sql(duck=False)).collect()
     }
-    # dense grid: all 3 pairs present, zero-overlap pairs report 0.0
-    assert set(rows) == {("srcA", "srcB"), ("srcA", "srcC"), ("srcB", "srcC")}
+    # dense grid: all 6 pairs present, zero-overlap pairs report 0.0
+    assert set(rows) == {
+        ("srcA", "srcB"),
+        ("srcA", "srcC"),
+        ("srcB", "srcC"),
+        ("srcA", "srcD"),
+        ("srcB", "srcD"),
+        ("srcC", "srcD"),
+    }
     ab = rows[("srcA", "srcB")]
     # srcA grams {a b c, b c d}, srcB grams {x a b, a b c}: |∩|=1, |∪|=3
     assert (ab["n_a"], ab["n_b"], ab["n_common"]) == (2, 2, 1)
     assert abs(ab["jaccard"] - 1 / 3) < 1e-5
     assert rows[("srcA", "srcC")]["n_common"] == 0
     assert rows[("srcA", "srcC")]["jaccard"] == 0.0
+    ad = rows[("srcA", "srcD")]
+    assert (ad["n_a"], ad["n_b"], ad["n_common"], ad["jaccard"]) == (2, 0, 0, 0.0)

@@ -171,3 +171,37 @@ def test_epoch_shuffle_is_permutation_and_seed_sensitive(spark, sf_dir):
     e2 = {r["doc_id"]: (r["shard"], r["pos"]) for r in epoch_shuffle(spark, sf_dir, seed=2).collect()}
     moved = sum(1 for r in e1 if e2[r["doc_id"]] != (r["shard"], r["pos"]))
     assert moved > n_docs // 2
+
+
+def _shard_sequences(rows):
+    """shard -> tuple of doc_ids ordered by pos."""
+    by_shard = {}
+    for r in rows:
+        by_shard.setdefault(r["shard"], []).append((r["pos"], r["doc_id"]))
+    return {s: tuple(d for _, d in sorted(v)) for s, v in by_shard.items()}
+
+
+def test_epoch_shuffle_within_shard_order_changes(spark, sf_dir):
+    # The slot-moved assertion above passes trivially under a pure shard
+    # ROTATION (every doc changes shard label, training order unchanged)
+    # — which is exactly what an additive seed suffix produced: for
+    # equal-length seed strings the polynomial hash differs by a
+    # constant, so seed k+1 was seed k with shards rotated and the
+    # within-shard sequences bit-identical.  Pin the real property: the
+    # ordered doc lists must not survive ANY shard relabeling, i.e. no
+    # multi-doc shard sequence from seed 1 may reappear verbatim under
+    # seed 2 or 3 (consecutive AND equal-length seeds).
+    from flink_infotheoretic_feature_selection_spark.operators.text import epoch_shuffle
+
+    seqs = {
+        s: _shard_sequences(epoch_shuffle(spark, sf_dir, seed=s).collect())
+        for s in (1, 2, 3)
+    }
+    for s_a, s_b in ((1, 2), (2, 3), (1, 3)):
+        a = {q for q in seqs[s_a].values() if len(q) >= 2}
+        b = {q for q in seqs[s_b].values() if len(q) >= 2}
+        assert a, "fixture must fill multi-doc shards"
+        assert not (a & b), (
+            f"seeds {s_a}/{s_b} share a verbatim within-shard training "
+            f"sequence — seed mixing is degenerate (rotation, not shuffle)"
+        )
