@@ -569,10 +569,11 @@ def _q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_stream_neardup_cands(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Streaming ingest near-dup: batch docs (doc_id % 10 = 0) streamed
-    # against a STATIC chunk index of the corpus docs (md5 signature
-    # variant for the DuckDB oracle); append mode, stateless
-    # stream-static join.  Oracle is a brute-force batch x corpus
-    # Hamming scan — independent of banding and the index entirely.
+    # against a STATIC chunk index of the corpus docs, on the xxhash64
+    # PRODUCTION hash (oracle reads the frozen signature fixture);
+    # append mode, stateless stream-static join.  Oracle is a
+    # brute-force batch x corpus Hamming scan — independent of banding
+    # and the index entirely.
     import shutil
     import tempfile
 
@@ -588,13 +589,13 @@ def _q_stream_neardup_cands(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).parquet(d)
         with _few_shuffle_partitions(spark):
             corpus_sig = (
-                dedup.simhash64(spark, sf_dir, hash_fn="md5")
+                dedup.simhash64(spark, sf_dir)
                 .where("doc_id % 10 != 0")
                 .localCheckpoint(eager=True)
             )
             stream = spark.readStream.schema("doc_id long, text string").parquet(d)
             q = (
-                stream_neardup_candidates(stream, corpus_sig, hash_fn="md5")
+                stream_neardup_candidates(stream, corpus_sig)
                 .writeStream.format("memory")
                 .queryName("q_stream_neardup_cands")
                 .outputMode("append")
@@ -778,19 +779,22 @@ def _q_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_simhash64_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Gate runs the engine-portable md5 token hash; the xxhash64
-    # production default shares every downstream stage (majority fold,
-    # 8x8-bit banding, first-match dedup) and keeps its golden-signature
-    # pin + banding-exactness units.
-    return dedup.simhash64_pairs(spark, sf_dir, hash_fn="md5")
+    # Gates run the xxhash64 PRODUCTION hash (r6 upgrade from the md5
+    # engine-portable twin): the DuckDB oracles resolve signatures from
+    # the frozen golden fixture (tools/freeze_simhash64_sigs.py) and
+    # brute-force the Hamming mining from there, so the driver now
+    # verifies the production signature path, not just its md5 twin.
+    # The md5 variant keeps its unit + replica coverage
+    # (tests/test_simhash64.py parametrizes both).
+    return dedup.simhash64_pairs(spark, sf_dir)
 
 
 def _q_simhash64_components(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dedup.simhash64_components(spark, sf_dir, hash_fn="md5")
+    return dedup.simhash64_components(spark, sf_dir)
 
 
 def _q_simhash64_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dedup.simhash64_incremental(spark, sf_dir, hash_fn="md5")
+    return dedup.simhash64_incremental(spark, sf_dir)
 
 
 # ---------------------------------------------------------------------------
@@ -1017,8 +1021,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_multiprobe": similarity.ivf_multiprobe_topk,
         "embedding_neardup": similarity.embedding_neardup_pairs,
         # -- re-gate: the r4 driver-crash fix gets a second consecutive
-        # row, and the two 64-bit SimHash gates stay in block A pending
-        # their xxhash64 production-path upgrade this round.
+        # row, and the two 64-bit SimHash gates now run the xxhash64
+        # PRODUCTION hash against frozen golden-fixture signatures
+        # (upgraded this round from the md5 engine-portable twin).
         "embedding_quantize": similarity.embedding_quantize,
         "simhash64_pairs": _q_simhash64_pairs,
         "simhash64_components": _q_simhash64_components,

@@ -1413,13 +1413,58 @@ _SIMHASH64_DUCK_HAM = (
 )
 
 
-def simhash64_pairs_oracle(max_hamming: int = 3) -> str:
-    """DuckDB oracle for the md5-variant :func:`simhash64_pairs` gate —
-    BRUTE-FORCE all-pairs Hamming scan, no banding: a genuinely
-    independent check that the 8×8-bit chunk candidate join is exact
-    (pigeonhole), not just that two copies of the same plan agree."""
+def _simhash64_fixture_duck_sig_cte() -> str:
+    """DuckDB CTE resolving each document's PRODUCTION xxhash64 64-bit
+    signature from the frozen golden fixture
+    (``fixtures/simhash64_xxhash64_sigs.parquet``, written by
+    ``tools/freeze_simhash64_sigs.py`` — the kmeans-centroid / PQ-codebook
+    fixture lifecycle), as the same two 32-bit halves the md5-variant
+    CTEs emit.
+
+    DuckDB has no xxhash64-compatible hash, so the signature math cannot
+    be re-derived oracle-side; instead the oracle joins ``documents`` to
+    the fixture on an exact content key (md5 of the text bytes — id-
+    rekey-proof) and mines brute-force Hamming from the FROZEN values.
+    That checks two things at once: the live Spark signature expression
+    still reproduces the frozen signatures (drift flips downstream pair
+    values or drops join rows -> loud gate fail), and the banding /
+    components / incremental machinery is exact vs an oracle with no
+    banding at all.  The fixture covers the union of sf0.001/0.01/0.1
+    texts; a doc whose text is missing from it vanishes from ``sig`` and
+    fails the row-count compare (never a silent pass)."""
+    import os
+
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "fixtures",
+        "simhash64_xxhash64_sigs.parquet",
+    )
     return f"""
-    WITH {_simhash64_md5_duck_sig_ctes().strip()}
+    sig AS (
+      SELECT d.doc_id, s.sig_hi, s.sig_lo
+      FROM (SELECT doc_id, md5(coalesce(text, '')) AS fp FROM documents) d
+      JOIN '{path}' s USING (fp))
+    """
+
+
+def _simhash64_duck_sig_ctes(hash_fn: str) -> str:
+    if hash_fn == "md5":
+        return _simhash64_md5_duck_sig_ctes()
+    if hash_fn == "xxhash64":
+        return _simhash64_fixture_duck_sig_cte()
+    raise ValueError(f"no DuckDB signature source for hash_fn={hash_fn!r}")
+
+
+def simhash64_pairs_oracle(max_hamming: int = 3, hash_fn: str = "xxhash64") -> str:
+    """DuckDB oracle for :func:`simhash64_pairs` — BRUTE-FORCE all-pairs
+    Hamming scan, no banding: a genuinely independent check that the
+    8×8-bit chunk candidate join is exact (pigeonhole), not just that two
+    copies of the same plan agree.  ``hash_fn="xxhash64"`` (the
+    production default) resolves signatures from the frozen golden
+    fixture; ``"md5"`` recomputes them engine-portably (the pre-r6 gate
+    twin, kept for units)."""
+    return f"""
+    WITH {_simhash64_duck_sig_ctes(hash_fn).strip()}
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
            CAST({_SIMHASH64_DUCK_HAM} AS INT) AS hamming
     FROM sig a JOIN sig b ON a.doc_id < b.doc_id
@@ -1427,15 +1472,15 @@ def simhash64_pairs_oracle(max_hamming: int = 3) -> str:
     """
 
 
-def simhash64_components_oracle(max_hamming: int = 3) -> str:
-    """DuckDB oracle for the md5-variant :func:`simhash64_components`
-    gate — transitive closure by recursive CTE (labels flood along
-    brute-force Hamming edges until fixpoint; min label per doc is the
-    component id).  Independent of the Spark side's distinct-signature
-    graph + union-find on every axis: no banding, no signature grouping,
-    no driver step."""
+def simhash64_components_oracle(max_hamming: int = 3, hash_fn: str = "xxhash64") -> str:
+    """DuckDB oracle for :func:`simhash64_components` — transitive
+    closure by recursive CTE (labels flood along brute-force Hamming
+    edges until fixpoint; min label per doc is the component id).
+    Independent of the Spark side's distinct-signature graph + union-find
+    on every axis: no banding, no signature grouping, no driver step.
+    Signature source per ``hash_fn`` as in :func:`simhash64_pairs_oracle`."""
     return f"""
-    WITH RECURSIVE {_simhash64_md5_duck_sig_ctes().strip()},
+    WITH RECURSIVE {_simhash64_duck_sig_ctes(hash_fn).strip()},
     edges AS (
       SELECT a.doc_id AS src, b.doc_id AS dst
       FROM sig a JOIN sig b ON a.doc_id <> b.doc_id
@@ -1548,14 +1593,17 @@ def simhash64_incremental(
 
 
 def simhash64_incremental_oracle(
-    max_hamming: int = 3, batch_pred: str = "doc_id % 10 = 0"
+    max_hamming: int = 3,
+    batch_pred: str = "doc_id % 10 = 0",
+    hash_fn: str = "xxhash64",
 ) -> str:
-    """DuckDB oracle (md5 hash variant) — brute-force all-pairs Hamming
-    against both candidate classes, window argmin by target id: fully
-    independent of the banding, the first-match dedup and the packed
-    integer argmin the Spark side uses."""
+    """DuckDB oracle for :func:`simhash64_incremental` — brute-force
+    all-pairs Hamming against both candidate classes, window argmin by
+    target id: fully independent of the banding, the first-match dedup
+    and the packed integer argmin the Spark side uses.  Signature source
+    per ``hash_fn`` as in :func:`simhash64_pairs_oracle`."""
     return f"""
-    WITH {_simhash64_md5_duck_sig_ctes().strip()},
+    WITH {_simhash64_duck_sig_ctes(hash_fn).strip()},
     newdocs AS (SELECT * FROM sig WHERE {batch_pred}),
     tgt AS (SELECT *, ({batch_pred}) AS is_new FROM sig),
     cand AS (
@@ -1574,15 +1622,18 @@ def simhash64_incremental_oracle(
 
 
 def stream_neardup_candidates_oracle(
-    max_hamming: int = 3, batch_pred: str = "doc_id % 10 = 0"
+    max_hamming: int = 3,
+    batch_pred: str = "doc_id % 10 = 0",
+    hash_fn: str = "xxhash64",
 ) -> str:
-    """DuckDB oracle for the md5-variant streaming near-dup gate —
-    brute-force batch × corpus Hamming scan (no banding, no chunk
-    index): every ``(doc_id, dup_of, hamming)`` candidate the stream
-    must emit against a corpus-only static index."""
+    """DuckDB oracle for the streaming near-dup gate — brute-force
+    batch × corpus Hamming scan (no banding, no chunk index): every
+    ``(doc_id, dup_of, hamming)`` candidate the stream must emit against
+    a corpus-only static index.  Signature source per ``hash_fn`` as in
+    :func:`simhash64_pairs_oracle`."""
     ham = _SIMHASH64_DUCK_HAM.replace("a.", "n.").replace("b.", "t.")
     return f"""
-    WITH {_simhash64_md5_duck_sig_ctes().strip()},
+    WITH {_simhash64_duck_sig_ctes(hash_fn).strip()},
     newdocs AS (SELECT * FROM sig WHERE {batch_pred}),
     corpus AS (SELECT * FROM sig WHERE NOT ({batch_pred}))
     SELECT n.doc_id, t.doc_id AS dup_of, CAST({ham} AS INT) AS hamming

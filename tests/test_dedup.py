@@ -153,6 +153,38 @@ def test_simhash64_pairs_banding_is_exact(spark, sf_dir, hash_fn):
     assert got == expect
 
 
+def test_simhash64_golden_fixture_matches_live_signatures(spark, sf_dir):
+    # The frozen fixture (fixtures/simhash64_xxhash64_sigs.parquet) is
+    # the DuckDB oracles' signature source for the production xxhash64
+    # gates; it must equal the LIVE signature expression for every
+    # corpus doc, joined on the same exact-content key the oracle uses.
+    # If the signature math drifts, this fails before the driver does.
+    import os
+
+    from pyspark.sql import functions as F
+
+    from flink_infotheoretic_feature_selection_spark.operators.dedup import with_simhash64
+
+    fixture = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "flink_infotheoretic_feature_selection_spark",
+        "fixtures",
+        "simhash64_xxhash64_sigs.parquet",
+    )
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    live = with_simhash64(docs).select(
+        F.md5(F.coalesce(F.col("text"), F.lit(""))).alias("fp"),
+        F.expr("shiftrightunsigned(simhash64, 32)").alias("hi"),
+        F.expr("simhash64 & 4294967295").alias("lo"),
+    )
+    frozen = spark.read.parquet(fixture)
+    joined = live.join(frozen, "fp", "left").collect()
+    assert joined, "corpus empty?"
+    for r in joined:
+        assert r["sig_hi"] is not None, "doc text missing from golden fixture"
+        assert (r["hi"], r["lo"]) == (r["sig_hi"], r["sig_lo"])
+
+
 def test_simhash64_deterministic_and_64bit_wide(spark, sf_dir):
     from flink_infotheoretic_feature_selection_spark.operators.dedup import simhash64
 
