@@ -794,7 +794,26 @@ def _q_simhash64_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_simhash64_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dedup.simhash64_incremental(spark, sf_dir)
+    # End-to-end bucketed-corpus path: persist the corpus signature index
+    # bucketed on simhash64 (sinks.write_bucketed), then run the ingest
+    # check against the CATALOG table — the corpus-side aggregate runs
+    # exchange-free (plan-pinned in test_plans).  Same output contract
+    # and brute-force oracle as the self-computing variant; the gate now
+    # proves the zero-exchange claim on a value-checked operator, not
+    # just a synthetic plan test.
+    import shutil
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="simhash64_idx_")
+    table = "gate_simhash64_corpus_index"
+    try:
+        dedup.build_simhash64_index(spark, sf_dir, table=table, path=f"{d}/idx")
+        # output is eagerly localCheckpoint-ed, so the table and its
+        # files can be dropped before the driver collects
+        return dedup.simhash64_incremental_vs_index(spark, sf_dir, index_table=table)
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        shutil.rmtree(d, ignore_errors=True)
 
 
 # ---------------------------------------------------------------------------

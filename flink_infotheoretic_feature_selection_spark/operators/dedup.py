@@ -1500,6 +1500,7 @@ def simhash64_incremental(
     hash_fn: str = "xxhash64",
     batch_pred: str = "doc_id % 10 = 0",
     vectorized: bool = False,
+    checkpoint: bool = True,
 ) -> DataFrame:
     """Incremental near-dup check — the daily-ingest production shape:
     docs matching ``batch_pred`` are the INCOMING batch, the rest the
@@ -1538,58 +1539,165 @@ def simhash64_incremental(
     sig = sig_fn(spark, sf_dir, hash_fn=hash_fn).persist()
     try:
         new_sig = sig.where(F.expr(batch_pred))
-        new_ids = new_sig.select("doc_id")
         # per-(signature, side) argmin: the only doc that can win
         tgt_min = sig.groupBy(
             "simhash64", F.expr(batch_pred).alias("is_new")
         ).agg(F.min("doc_id").alias("tid"))
-        probe = new_sig.select("simhash64").distinct()
-        cand = (
-            simhash64_chunk_index(probe)
-            .withColumnRenamed("simhash64", "sim_n")
-            .alias("n")
-            .join(
-                simhash64_chunk_index(tgt_min)
-                .withColumnRenamed("simhash64", "sim_t")
-                .alias("t"),
-                (F.col("n.chunk_idx") == F.col("t.chunk_idx"))
-                & (F.col("n.chunk_val") == F.col("t.chunk_val")),
-            )
-            .select(
-                "sim_n",
-                "sim_t",
-                "tid",
-                "is_new",
-                F.col("n.chunk_idx").alias("chunk_idx"),
-            )
+        return _simhash64_incremental_mine(
+            new_sig, tgt_min, max_hamming, checkpoint=checkpoint
         )
-        kept, ham = simhash64_first_match_verify(cand, "sim_n", "sim_t", max_hamming)
-        near_sigs = kept.select("sim_n", "tid", "is_new", ham.alias("h"))
-        # expand back to batch docs: only TRUE near-signatures pay this
-        # join; the earlier-batch rule (family min precedes the probe)
-        # and the self-pair both reduce to tid < doc_id
-        verified = (
-            new_sig.join(near_sigs, new_sig["simhash64"] == near_sigs["sim_n"])
-            .where(~F.col("is_new") | (F.col("tid") < F.col("doc_id")))
-            .select("doc_id", "tid", "h")
-        )
-        # argmin by tid packed into one integer min (hamming ≤ 7 fits 3
-        # bits; tid*8 + h keeps (min tid, its hamming) in a single agg)
-        best = verified.groupBy("doc_id").agg(
-            F.min(F.expr("tid * 8 + h")).alias("packed")
-        )
-        out = (
-            new_ids.join(best, "doc_id", "left")
-            .select(
-                "doc_id",
-                F.expr("CAST(packed div 8 AS BIGINT)").alias("dup_of"),
-                F.expr("CAST(packed % 8 AS INT)").alias("hamming"),
-            )
-            .localCheckpoint(eager=True)
-        )
-        return out
     finally:
         sig.unpersist()
+
+
+def _simhash64_incremental_mine(
+    new_sig: DataFrame, tgt_min: DataFrame, max_hamming: int,
+    checkpoint: bool = True,
+) -> DataFrame:
+    """Shared mining stage of the incremental check: probe the
+    per-(signature, side) argmin table ``tgt_min`` (simhash64, is_new,
+    tid) with the batch signatures ``new_sig`` (doc_id, simhash64) and
+    emit (doc_id, dup_of, hamming) per batch doc.  One implementation
+    for both the self-computed (:func:`simhash64_incremental`) and the
+    persisted-bucketed-index (:func:`simhash64_incremental_vs_index`)
+    corpus sides, so the two physically cannot drift."""
+    from pyspark.sql import functions as F
+
+    new_ids = new_sig.select("doc_id")
+    probe = new_sig.select("simhash64").distinct()
+    cand = (
+        simhash64_chunk_index(probe)
+        .withColumnRenamed("simhash64", "sim_n")
+        .alias("n")
+        .join(
+            simhash64_chunk_index(tgt_min)
+            .withColumnRenamed("simhash64", "sim_t")
+            .alias("t"),
+            (F.col("n.chunk_idx") == F.col("t.chunk_idx"))
+            & (F.col("n.chunk_val") == F.col("t.chunk_val")),
+        )
+        .select(
+            "sim_n",
+            "sim_t",
+            "tid",
+            "is_new",
+            F.col("n.chunk_idx").alias("chunk_idx"),
+        )
+    )
+    kept, ham = simhash64_first_match_verify(cand, "sim_n", "sim_t", max_hamming)
+    near_sigs = kept.select("sim_n", "tid", "is_new", ham.alias("h"))
+    # expand back to batch docs: only TRUE near-signatures pay this
+    # join; the earlier-batch rule (family min precedes the probe)
+    # and the self-pair both reduce to tid < doc_id
+    verified = (
+        new_sig.join(near_sigs, new_sig["simhash64"] == near_sigs["sim_n"])
+        .where(~F.col("is_new") | (F.col("tid") < F.col("doc_id")))
+        .select("doc_id", "tid", "h")
+    )
+    # argmin by tid packed into one integer min (hamming ≤ 7 fits 3
+    # bits; tid*8 + h keeps (min tid, its hamming) in a single agg)
+    best = verified.groupBy("doc_id").agg(
+        F.min(F.expr("tid * 8 + h")).alias("packed")
+    )
+    out = new_ids.join(best, "doc_id", "left").select(
+        "doc_id",
+        F.expr("CAST(packed div 8 AS BIGINT)").alias("dup_of"),
+        F.expr("CAST(packed % 8 AS INT)").alias("hamming"),
+    )
+    # checkpoint=False keeps the LAZY plan (plan tests inspect it); the
+    # default eager checkpoint lets callers release caches / drop the
+    # index table before the result is consumed
+    return out.localCheckpoint(eager=True) if checkpoint else out
+
+
+SIMHASH64_INDEX_BUCKETS = 16
+
+
+def build_simhash64_index(
+    spark: SparkSession,
+    sf_dir: str,
+    table: str = "simhash64_corpus_index",
+    corpus_pred: str = "doc_id % 10 != 0",
+    hash_fn: str = "xxhash64",
+    n_buckets: int = SIMHASH64_INDEX_BUCKETS,
+    path: str | None = None,
+) -> None:
+    """Persist the corpus signature table BUCKETED on ``simhash64`` —
+    the production index :func:`simhash64_incremental_vs_index` probes.
+
+    Paying the signature pass + one shuffle at index-build time is the
+    whole point: every subsequent ingest batch aggregates and joins
+    against the corpus on ``simhash64`` with ZERO corpus-side exchange
+    (the catalog carries the bucketing; plan-pinned in
+    test_plans.py::test_incremental_vs_index_corpus_side_no_exchange).
+    At 100 TB the corpus-side shuffle dominates every
+    join-against-corpus op, and it re-runs per batch unless persisted
+    co-located — this is the bucketed-table story of
+    sinks.write_bucketed applied to the dedup index."""
+    from pyspark.sql import functions as F
+
+    from flink_infotheoretic_feature_selection_spark.operators.sinks import write_bucketed
+
+    sig = simhash64(spark, sf_dir, hash_fn=hash_fn).where(F.expr(corpus_pred))
+    write_bucketed(sig, table, "simhash64", n_buckets=n_buckets, path=path)
+
+
+def simhash64_incremental_vs_index(
+    spark: SparkSession,
+    sf_dir: str,
+    index_table: str = "simhash64_corpus_index",
+    max_hamming: int = 3,
+    hash_fn: str = "xxhash64",
+    batch_pred: str = "doc_id % 10 = 0",
+    checkpoint: bool = True,
+) -> DataFrame:
+    """:func:`simhash64_incremental` with the corpus side read from the
+    PERSISTED bucketed signature index instead of recomputed — the
+    actual daily-ingest shape (the self-computing variant rebuilds the
+    corpus signatures per call, which only a gate can afford).
+
+    Output contract and oracle are identical to
+    :func:`simhash64_incremental`; only the batch docs' signatures are
+    computed live.  The corpus-side min aggregate reads the bucketed
+    table exchange-free, and within one signature family only the
+    minimal doc id can ever win ``dup_of``, so the persisted index stays
+    correct under appends by re-aggregating (min is idempotent /
+    associative — a new day's index build can fold yesterday's index
+    with the new batch instead of rescanning the corpus)."""
+    if max_hamming >= SIMHASH64_CHUNKS:
+        raise ValueError(
+            f"chunk banding is only exact for max_hamming < {SIMHASH64_CHUNKS}"
+        )
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    new_sig = (
+        with_simhash64(docs.where(F.expr(batch_pred)), hash_fn=hash_fn)
+        .select("doc_id", "simhash64")
+        .persist()
+    )
+    try:
+        # corpus side: bucketed on simhash64 => this aggregate needs NO
+        # exchange (HashPartitioning(simhash64) satisfies the grouping)
+        corpus_min = (
+            spark.table(index_table)
+            .groupBy("simhash64")
+            .agg(F.min("doc_id").alias("tid"))
+            .withColumn("is_new", F.lit(False))
+        )
+        new_min = (
+            new_sig.groupBy("simhash64")
+            .agg(F.min("doc_id").alias("tid"))
+            .withColumn("is_new", F.lit(True))
+        )
+        tgt_min = corpus_min.unionByName(new_min).select(
+            "simhash64", "is_new", "tid"
+        )
+        return _simhash64_incremental_mine(
+            new_sig, tgt_min, max_hamming, checkpoint=checkpoint
+        )
+    finally:
+        new_sig.unpersist()
 
 
 def simhash64_incremental_oracle(

@@ -348,6 +348,57 @@ def test_epoch_shuffle_no_global_sort(spark, sf_dir):
     assert "rangepartitioning" not in plan.lower(), plan
 
 
+def test_incremental_vs_index_corpus_side_no_exchange(spark, sf_dir, tmp_path):
+    # The GATED bucketed-corpus operator, not just a synthetic bucketed
+    # join: simhash64_incremental_vs_index's corpus-side min aggregate
+    # must read the persisted bucketed index with ZERO exchange (the
+    # catalog carries HashPartitioning(simhash64), which satisfies the
+    # groupBy).  Pin it two ways: (1) the corpus aggregate subplan alone
+    # has no Exchange; (2) the full mining query's plan has exactly one
+    # fewer Exchange than the same query over an UNBUCKETED copy of the
+    # index, and both produce identical rows (also identical to the
+    # self-computing variant — the value equivalence).
+    from flink_infotheoretic_feature_selection_spark.operators.dedup import (
+        build_simhash64_index,
+        simhash64_incremental,
+        simhash64_incremental_vs_index,
+    )
+
+    try:
+        build_simhash64_index(
+            spark, sf_dir, table="t_sim_idx", path=str(tmp_path / "idx")
+        )
+        agg = spark.table("t_sim_idx").groupBy("simhash64").agg(F.min("doc_id"))
+        assert exchange_count(agg) == 0, formatted_plan(agg)
+
+        out_idx = simhash64_incremental_vs_index(
+            spark, sf_dir, "t_sim_idx", checkpoint=False
+        )
+        # unbucketed twin of the index
+        spark.table("t_sim_idx").write.mode("overwrite").parquet(
+            str(tmp_path / "flat")
+        )
+        spark.read.parquet(str(tmp_path / "flat")).createOrReplaceTempView(
+            "t_sim_flat"
+        )
+        out_flat = simhash64_incremental_vs_index(
+            spark, sf_dir, "t_sim_flat", checkpoint=False
+        )
+        n_idx = exchange_count(out_idx)
+        n_flat = exchange_count(out_flat)
+        assert n_idx == n_flat - 1, (
+            f"bucketed index saved {n_flat - n_idx} exchanges (want exactly "
+            f"the corpus-side one)\n{formatted_plan(out_idx)}"
+        )
+        rows_idx = sorted(tuple(r) for r in out_idx.collect())
+        assert rows_idx == sorted(tuple(r) for r in out_flat.collect())
+        assert rows_idx == sorted(
+            tuple(r) for r in simhash64_incremental(spark, sf_dir).collect()
+        )
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_sim_idx")
+
+
 def test_bucketed_join_skips_both_exchanges(spark, sf_dir, tmp_path):
     # Two tables bucketed on the same key with the same bucket count
     # must sort-merge-join with ZERO Exchange nodes — the catalog knows
