@@ -352,3 +352,104 @@ def test_asof_join_rejects_bad_direction(spark):
     ref = spark.createDataFrame([(1, _ts(1), 1.0)], "user_id long, ts timestamp, ref_value double")
     with _pytest.raises(ValueError, match="backward|forward"):
         asof_join(left, ref, direction="sideways")
+
+
+# ---------------------------------------------------------------------------
+# Property tests: random tie/duplicate-heavy inputs vs a pure-Python
+# brute force.  Tiny key/ts domains FORCE the adversarial cases — exact
+# ts ties between left and ref, duplicate (key, ts) ref rows resolved by
+# the tiebreak, keys present on only one side — in almost every example.
+# ---------------------------------------------------------------------------
+def test_asof_join_property_random_vs_brute_force(spark):
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    left_s = st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 9)), min_size=0, max_size=10
+    )
+    ref_s = st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 9), st.integers(-3, 3)),
+        min_size=0,
+        max_size=10,
+    )
+
+    @settings(
+        max_examples=8,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(left=left_s, ref=ref_s, direction=st.sampled_from(["backward", "forward"]))
+    def check(left, ref, direction):
+        lrows = [(k, _ts(s), i) for i, (k, s) in enumerate(left)]
+        rrows = [(k, _ts(s), 100 + i, float(v)) for i, (k, s, v) in enumerate(ref)]
+        ldf = spark.createDataFrame(lrows, "user_id long, ts timestamp, event_id long")
+        rdf = spark.createDataFrame(
+            rrows, "user_id long, ts timestamp, rid long, ref_value double"
+        )
+        got = {
+            r["event_id"]: (r["ref_ts"], r["ref_value"])
+            for r in asof_join(
+                ldf, rdf, ref_tiebreak="rid", direction=direction
+            ).collect()
+        }
+        expect = {}
+        for k, lts, lid in lrows:
+            if direction == "backward":
+                cands = [r for r in rrows if r[0] == k and r[1] <= lts]
+                best_ts = max((r[1] for r in cands), default=None)
+            else:
+                cands = [r for r in rrows if r[0] == k and r[1] >= lts]
+                best_ts = min((r[1] for r in cands), default=None)
+            if best_ts is None:
+                expect[lid] = (None, None)
+            else:
+                best = max((r for r in cands if r[1] == best_ts), key=lambda r: r[2])
+                expect[lid] = (best[1], best[3])
+        assert got == expect, (left, ref, direction)
+
+    check()
+
+
+def test_range_join_property_random_vs_brute_force(spark):
+    # Exactly-once pairing on random intervals/probes, including
+    # boundary probes (ts == start included, ts == end excluded),
+    # empty/inverted intervals (dropped before the explode), and bucket
+    # widths both exactly equal to and larger than the longest interval.
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    iv_s = st.lists(
+        st.tuples(st.integers(0, 30), st.integers(-3, 8)),  # (start, dur) sec
+        min_size=0,
+        max_size=8,
+    )
+    pb_s = st.lists(st.integers(0, 40), min_size=0, max_size=12)
+
+    @settings(
+        max_examples=8,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(ivs=iv_s, pbs=pb_s, slack=st.sampled_from([0, 1, 7]))
+    def check(ivs, pbs, slack):
+        max_dur = max((d for _, d in ivs), default=1)
+        width_us = max(max_dur + slack, 1) * 1_000_000
+        irows = [(i, _ts(s), _ts(s + d)) for i, (s, d) in enumerate(ivs)]
+        prows = [(100 + j, _ts(s)) for j, s in enumerate(pbs)]
+        idf = spark.createDataFrame(
+            irows, "interval_id long, start timestamp, end timestamp"
+        )
+        pdf = spark.createDataFrame(prows, "probe_id long, ts timestamp")
+        got = sorted(
+            (r["interval_id"], r["probe_id"])
+            for r in range_join(idf, pdf, width_us).collect()
+        )
+        expect = sorted(
+            (i, pid)
+            for i, st_, en in irows
+            for pid, ts in prows
+            if st_ < en and st_ <= ts < en
+        )
+        assert got == expect, (ivs, pbs, slack)
+
+    check()
