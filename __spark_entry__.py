@@ -969,6 +969,38 @@ def _substring_dup_all_oracle() -> str:
     """
 
 
+def _q_ann_ivf_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The three sign-grid IVF ANN gates share the bucket equi-join and
+    # the (query_id, neighbor_id, cos, rank) shape — one slot:
+    # kind='ivf' (single bucket), 'probe' (Hamming-1 multiprobe),
+    # 'q8' (int8-quantized vectors, same plan).
+    parts = [
+        ("ivf", similarity.ivf_topk),
+        ("probe", similarity.ivf_multiprobe_topk),
+        ("q8", similarity.ivf_topk_q8),
+    ]
+    out = None
+    for kind, fn in parts:
+        p = fn(spark, sf_dir).select(
+            F.lit(kind).alias("kind"), "query_id", "neighbor_id", "cos", "rank"
+        )
+        out = p if out is None else out.unionByName(p)
+    return out
+
+
+def _ann_ivf_all_oracle() -> str:
+    return f"""
+    SELECT 'ivf' AS kind, query_id, neighbor_id, cos, rank
+    FROM ({similarity.ivf_topk_oracle()})
+    UNION ALL
+    SELECT 'probe' AS kind, query_id, neighbor_id, cos, rank
+    FROM ({similarity.ivf_multiprobe_oracle()})
+    UNION ALL
+    SELECT 'q8' AS kind, query_id, neighbor_id, cos, rank
+    FROM ({similarity.ivf_topk_q8_oracle()})
+    """
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: mRMR greedy selection (k=5) on sf0.001."""
     return _q_selected_mrmr(spark, "/root/testdata/sf0.001")
@@ -987,14 +1019,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #   block B (past the cap): gates with a green driver row LAST round —
     #     they keep unit tests + the tools/gate_check.py replica and
     #     rotate back into block A next round.
-    # Round-6 consolidations (registry 81 -> 76 so every gate re-verifies
+    # Round-6 consolidations (registry 81 -> 74 so every gate re-verifies
     # within 2 rounds of the 50-row cap): simhash+simhash_pairs ->
     # simhash_pairs, minhash_signatures+minhash_lsh_pairs ->
     # minhash_lsh_pairs, text_stats+lang_id+doc_repetition ->
     # text_profile, substring_dup_profile+substring_dup_spans ->
-    # substring_dup_spans — each consolidated entry unions the SAME
-    # per-variant query/oracle SQL (see _q_simhash_all etc.), so every
-    # operator stays value-checked; only the slot is shared.
+    # substring_dup_spans, ann_ivf_topk+ann_ivf_multiprobe+
+    # ann_ivf_topk_q8 -> ann_ivf_variants — each consolidated entry
+    # unions the SAME per-variant query/oracle SQL (see _q_simhash_all
+    # etc.), so every operator stays value-checked; only the slot is
+    # shared.
     # tests/test_registry_contract.py enforces this ordering in-repo.
     return {
         "features_dense": _q_features,
@@ -1040,8 +1074,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_topk": text.vocab_topk,
         "chunk_documents": text.chunk_documents,
         "cosine_topk": similarity.cosine_topk,
-        "ann_ivf_topk": similarity.ivf_topk,
-        "ann_ivf_multiprobe": similarity.ivf_multiprobe_topk,
+        # consolidated this session (registry 76 -> 74): the former
+        # ann_ivf_topk + ann_ivf_multiprobe + ann_ivf_topk_q8 slots,
+        # value-checked per-variant through the kind column.  Never had
+        # a driver row under THIS name, hence inside block A.
+        "ann_ivf_variants": _q_ann_ivf_all,
         "embedding_neardup": similarity.embedding_neardup_pairs,
         # -- re-gate: the r4 driver-crash fix gets a second consecutive
         # row, and the two 64-bit SimHash gates now run the xxhash64
@@ -1050,6 +1087,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_quantize": similarity.embedding_quantize,
         "simhash64_pairs": _q_simhash64_pairs,
         "simhash64_components": _q_simhash64_components,
+        # pulled forward from block B into the slot the consolidation
+        # freed: earns its 2nd consecutive row on the frozen-centroid
+        # value-checked form.
+        "ann_ivf_kmeans": similarity.ivf_kmeans_fixture_topk,
         # The five Structured Streaming gates close block A: each runs a
         # real availableNow stream (file staging + state stores +
         # microbatch scheduling), the most wall-clock-expensive entries
@@ -1066,7 +1107,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Everything below was driver-green in r5 (streak >= 1 on current
         # code).  Each keeps unit tests + the tools/gate_check.py replica
         # and rotates back into block A in r7.
-        "ann_ivf_kmeans": similarity.ivf_kmeans_fixture_topk,
         "events_props_agg": events_ops.events_props_agg,
         "asof_join": _q_asof_join_both,
         "range_join_agg": temporal.range_join_query,
@@ -1088,7 +1128,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "label_centroids": similarity.label_centroids,
         "profile_lineitem": profile_ops.profile_lineitem,
         "pipeline_clean_pack": pipeline_ops.pipeline_clean_pack,
-        "ann_ivf_topk_q8": similarity.ivf_topk_q8,
         "corpus_rollup": text.corpus_rollup,
         "lm_score": text.lm_score,
         "scrub_dup_spans": dedup.scrub_dup_spans,
@@ -1201,11 +1240,9 @@ def oracle_sql() -> dict[str, str]:
         "vocab_topk": text.VOCAB_TOPK_ORACLE,
         "chunk_documents": text.CHUNK_DOCUMENTS_ORACLE,
         "cosine_topk": similarity.cosine_topk_oracle(),
-        "ann_ivf_topk": similarity.ivf_topk_oracle(),
-        "ann_ivf_multiprobe": similarity.ivf_multiprobe_oracle(),
+        "ann_ivf_variants": _ann_ivf_all_oracle(),
         "embedding_neardup": similarity.embedding_neardup_oracle(),
         "embedding_quantize": similarity.embedding_quantize_oracle(),
-        "ann_ivf_topk_q8": similarity.ivf_topk_q8_oracle(),
         "ann_ivf_kmeans": similarity.ivf_kmeans_fixture_oracle(),
         "label_centroids": similarity.LABEL_CENTROIDS_ORACLE,
         "events_window_agg": """
