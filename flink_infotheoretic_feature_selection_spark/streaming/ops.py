@@ -412,6 +412,13 @@ def stream_neardup_candidates(
     (only TRUE near-signatures pay it).  A deployment persists both
     derived frames materialized; built here from the one argument, the
     planner re-derives them per micro-batch — correct, just not cached.
+    Pass the PERSISTED bucketed index
+    (:func:`~..operators.dedup.build_simhash64_index`;
+    ``spark.table("simhash64_corpus_index")``) as ``corpus_sig`` and the
+    catalog's HashPartitioning(simhash64) drops the corpus-side
+    exchanges of BOTH derived frames — the signature DISTINCT and the
+    doc-id expansion join — from every micro-batch (plan-pinned in
+    test_plans.py::test_stream_neardup_over_bucketed_index).
     Stream-static inner joins are stateless on the stream side and
     every filter is narrow, so this runs in append mode with NO
     watermark and NO state store.

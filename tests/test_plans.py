@@ -431,3 +431,53 @@ def test_bucketed_join_skips_both_exchanges(spark, sf_dir, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS bkt_docs")
         spark.sql("DROP TABLE IF EXISTS bkt_meta")
+
+
+def test_stream_neardup_over_bucketed_index(spark, sf_dir, tmp_path):
+    # stream_neardup_candidates takes the corpus signature table as a
+    # plain DataFrame, so the persisted BUCKETED index slots straight in
+    # — and the catalog's HashPartitioning(simhash64) must remove the
+    # corpus-side exchanges of both derived frames (the signature
+    # DISTINCT and the doc-id expansion join) that an unbucketed corpus
+    # pays per micro-batch.  The op is composition-only (no streaming
+    # API touched), so pin the plan with a BATCH docs side: same
+    # DataFrames, inspectable plan, identical rows both ways.
+    from flink_infotheoretic_feature_selection_spark.operators.dedup import (
+        build_simhash64_index,
+    )
+    from flink_infotheoretic_feature_selection_spark.streaming import (
+        stream_neardup_candidates,
+    )
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .where("doc_id % 10 = 0")
+        .select("doc_id", "text")
+    )
+    prev_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # at test scale the tiny corpus auto-broadcasts, which hides the
+        # expansion join's corpus-side exchange in BOTH variants; force
+        # the at-scale SMJ shape so both savings are observable
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        build_simhash64_index(
+            spark, sf_dir, table="t_snd_idx", path=str(tmp_path / "idx")
+        )
+        out_idx = stream_neardup_candidates(docs, spark.table("t_snd_idx"))
+        spark.table("t_snd_idx").write.mode("overwrite").parquet(
+            str(tmp_path / "flat")
+        )
+        out_flat = stream_neardup_candidates(
+            docs, spark.read.parquet(str(tmp_path / "flat"))
+        )
+        n_idx, n_flat = exchange_count(out_idx), exchange_count(out_flat)
+        assert n_idx == n_flat - 2, (
+            f"bucketed index saved {n_flat - n_idx} exchanges (want the "
+            f"DISTINCT's and the expansion join's)\n{formatted_plan(out_idx)}"
+        )
+        rows = sorted(tuple(r) for r in out_idx.collect())
+        assert rows == sorted(tuple(r) for r in out_flat.collect())
+        assert rows  # the %10 batch has near-dups in this corpus
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thresh)
+        spark.sql("DROP TABLE IF EXISTS t_snd_idx")
