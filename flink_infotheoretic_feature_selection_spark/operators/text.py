@@ -468,9 +468,17 @@ def rolling_hash_expr_spark(text_expr: str, mult: int = ROLLING_MULT) -> str:
     bases (e.g. 31 and 131) are independent enough that a simultaneous
     collision of two DISTINCT texts under both is ~1e-18 — the tiebreak
     pattern source_token_cap uses.
+
+    TOTAL over NULL by construction: the input coalesces to '' (hash 0,
+    same as rolling_hash_py('')), because the engines disagree on the
+    bare-NULL fold — Spark's aggregate(split(NULL, ...)) is NULL while
+    DuckDB's list_prepend(0, NULL) folds to 0 — so a NULL-text doc would
+    hash-split/shuffle/cap DIFFERENTLY per engine (found by the
+    random-corpora cross-engine property test).  Non-null inputs are
+    bit-for-bit unchanged by the wrap.
     """
     return (
-        f"aggregate(split({text_expr}, ''), CAST(0 AS BIGINT), "
+        f"aggregate(split(coalesce({text_expr}, ''), ''), CAST(0 AS BIGINT), "
         f"(acc, c) -> (acc * {mult} + CAST(coalesce(ascii(c), 0) AS BIGINT)) % {ROLLING_MOD})"
     )
 
@@ -478,7 +486,7 @@ def rolling_hash_expr_spark(text_expr: str, mult: int = ROLLING_MULT) -> str:
 def rolling_hash_expr_duckdb(text_expr: str, mult: int = ROLLING_MULT) -> str:
     return (
         f"list_reduce(list_prepend(CAST(0 AS BIGINT), "
-        f"list_transform(regexp_split_to_array({text_expr}, ''), "
+        f"list_transform(regexp_split_to_array(coalesce({text_expr}, ''), ''), "
         f"c -> CAST(ascii(c) AS BIGINT))), "
         f"(acc, x) -> (acc * {mult} + x) % {ROLLING_MOD})"
     )

@@ -205,3 +205,80 @@ def test_epoch_shuffle_within_shard_order_changes(spark, sf_dir):
             f"seeds {s_a}/{s_b} share a verbatim within-shard training "
             f"sequence — seed mixing is degenerate (rotation, not shuffle)"
         )
+
+
+def test_curation_ops_cross_engine_on_random_corpora(spark, tmp_path):
+    # Randomized extension of the driver gate: the fixed synthetic
+    # corpus exercises one text distribution; here hypothesis-generated
+    # corpora (duplicate texts, null/empty/whitespace-only docs, unicode,
+    # single-source and many-source layouts) must still produce
+    # IDENTICAL rows from the Spark dialect and the DuckDB oracle for
+    # the three content-keyed curation ops.  Alphabet excludes \x0B —
+    # the DOCUMENTED Java-vs-RE2 \s boundary (dedup.py simhash64 note) —
+    # and sticks to case-stable characters (Java lower() full case
+    # mapping vs DuckDB simple mapping diverges on e.g. Turkish dotted I,
+    # which production normalizes upstream; same contract class).
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from flink_infotheoretic_feature_selection_spark.operators.text import (
+        HASH_SPLIT_ORACLE,
+        epoch_shuffle,
+        epoch_shuffle_oracle,
+        hash_split,
+        source_token_cap,
+        source_token_cap_oracle,
+    )
+
+    alphabet = st.sampled_from(list("ab \t\n\f\r.,;-01") + ["é", "中"])
+    docs_strategy = st.lists(
+        st.tuples(
+            st.one_of(st.none(), st.text(alphabet, max_size=30)),
+            st.sampled_from(["s1", "s2", "s3"]),
+        ),
+        min_size=1,
+        max_size=20,
+    )
+    case = [0]
+
+    @settings(
+        max_examples=6,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(docs=docs_strategy, seed=st.integers(1, 99))
+    def check(docs, seed):
+        case[0] += 1
+        d = tmp_path / f"corpus_{case[0]}"
+        d.mkdir()
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array(range(len(docs)), pa.int64()),
+                    "text": pa.array([t for t, _ in docs], pa.string()),
+                    "source": pa.array([s for _, s in docs], pa.string()),
+                }
+            ),
+            f"{d}/documents.parquet",
+        )
+        duck = duckdb.connect()
+        duck.execute(
+            f"CREATE VIEW documents AS SELECT * FROM '{d}/documents.parquet'"
+        )
+        pairs = [
+            (hash_split(spark, str(d)), HASH_SPLIT_ORACLE),
+            (source_token_cap(spark, str(d), budget=40),
+             source_token_cap_oracle(budget=40)),
+            (epoch_shuffle(spark, str(d), seed=seed),
+             epoch_shuffle_oracle(seed=seed)),
+        ]
+        for sdf, osql in pairs:
+            got = sorted(tuple(r) for r in sdf.collect())
+            exp = sorted(tuple(r) for r in duck.execute(osql).fetchall())
+            assert got == exp, (docs, seed, osql[:80], got[:5], exp[:5])
+        duck.close()
+
+    check()
