@@ -1,0 +1,140 @@
+"""Randomized cross-engine sweep: every documents-only gate must stay
+bit-equal to its DuckDB oracle on corpora the fixed synthetic corpus
+never exercises.
+
+The driver gate proves Spark == DuckDB on ONE text distribution; the
+NULL-text hash divergence (text.py rolling_hash_expr docstring) showed
+that a whole class of engine-boundary bugs hides outside it.  This
+sweep replays the same (queries(), oracle_sql()) contract over three
+DETERMINISTIC adversarial corpora (seeded, no flaky shrinking):
+
+- nulls / empties / whitespace-only docs,
+- exact duplicates and word-shuffled near-duplicates across sources,
+- safe unicode (the \\x0B Java-vs-RE2 and full-vs-simple case-mapping
+  boundaries are DOCUMENTED engine contracts, excluded by alphabet).
+
+Gates whose oracle reads a frozen fixture keyed to the synthetic corpus
+(xxhash64 SimHash family), needs non-documents tables, or depends on
+corpus-specific constants are excluded with the reason inline.
+"""
+
+from __future__ import annotations
+
+import random
+
+import duckdb
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+import __spark_entry__ as entry_mod
+
+# documents-only gates safe on arbitrary corpora; everything else is
+# excluded for a stated reason:
+#   - simhash64_*: oracle reads the frozen xxhash64 fixture (synthetic-
+#     corpus md5 keys) — random docs have no fixture rows
+#   - semantic_decontaminate / ann_* / cosine / embedding_*: embeddings
+#     table, not documents
+#   - events / lineitem / media gates: other tables
+#   - stream_*: availableNow staging, covered by their own fixtures
+#   - dedup_keep_best / neardup_groups: compose LSH groups — covered via
+#     minhash_lsh_pairs here and their own gate at the fixed corpus
+SWEEP_GATES = [
+    "text_profile",
+    "corpus_clean",
+    "doc_fingerprint",
+    "dedup_exact",
+    "dedup_jaccard_pairs",
+    "minhash_lsh_pairs",
+    "simhash_pairs",
+    "decontaminate",
+    "tfidf_topk",
+    "vocab_topk",
+    "chunk_documents",
+    "pack_sequences",
+    "stratified_sample",
+    "mixture_sample",
+    "quality_quantile_filter",
+    "hash_split",
+    "source_token_cap",
+    "epoch_shuffle",
+    "corpus_rollup",
+    "lm_score",
+    "token_mi_topk",
+    "cross_source_overlap",
+    "substring_dup_spans",
+    "scrub_dup_spans",
+]
+
+WORDS = [
+    "the", "fast", "key", "order", "sort", "table", "scan", "merge",
+    "part", "window", "small", "hash", "join", "batch", "stream",
+    "spark", "dup", "é", "中", "0", "a,b", "x;y", "-",
+]
+
+
+def _random_corpus(seed: int, n: int = 40) -> dict:
+    rng = random.Random(seed)
+    texts: list[str | None] = []
+    for i in range(n):
+        roll = rng.random()
+        if roll < 0.08:
+            texts.append(None)
+        elif roll < 0.14:
+            texts.append("")
+        elif roll < 0.20:
+            texts.append(rng.choice([" ", "\t\t", " \n ", "\r\n", "\f"]))
+        elif texts and roll < 0.30:
+            texts.append(rng.choice([t for t in texts if t] or ["dup doc"]))
+        elif texts and roll < 0.40:
+            base = rng.choice([t for t in texts if t and len(t) > 10] or ["dup doc here now"])
+            words = base.split(" ")
+            rng.shuffle(words)
+            texts.append(" ".join(words))
+        else:
+            k = rng.randint(1, 30)
+            texts.append(" ".join(rng.choice(WORDS) for _ in range(k)))
+    return {
+        "doc_id": pa.array(range(n), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+        "lang": pa.array([random.Random(seed * 7 + i).choice(["en", "es", "zh", "de"]) for i in range(n)], pa.string()),
+        "source": pa.array([f"src{random.Random(seed * 13 + i).randint(0, 3)}" for i in range(n)], pa.string()),
+        "n_chars": pa.array([len(t) if t is not None else 0 for t in texts], pa.int64()),
+    }
+
+
+@pytest.mark.parametrize("seed", [11, 23, 47])
+def test_documents_gates_cross_engine_on_random_corpus(spark, tmp_path, seed):
+    d = tmp_path / f"rc{seed}"
+    d.mkdir()
+    pq.write_table(pa.table(_random_corpus(seed)), f"{d}/documents.parquet")
+    duck = duckdb.connect()
+    duck.execute(f"CREATE VIEW documents AS SELECT * FROM '{d}/documents.parquet'")
+    queries, oracles = entry_mod.queries(), entry_mod.oracle_sql()
+    failures = []
+    nullsafe = lambda t: tuple((v is None, v) for v in t)  # noqa: E731
+    for name in SWEEP_GATES:
+        sdf = queries[name](spark, str(d))
+        got = sorted(
+            (
+                tuple(round(v, 9) if isinstance(v, float) else v for v in r)
+                for r in sdf.select(*sorted(sdf.columns)).collect()
+            ),
+            key=nullsafe,
+        )
+        cols = ", ".join(f'"{c}"' for c in sorted(sdf.columns))
+        exp = sorted(
+            (
+                tuple(round(v, 9) if isinstance(v, float) else v for v in r)
+                for r in duck.execute(
+                    f"SELECT {cols} FROM ({oracles[name]})"
+                ).fetchall()
+            ),
+            key=nullsafe,
+        )
+        if got != exp:
+            only_s = [r for r in got if r not in exp][:3]
+            only_d = [r for r in exp if r not in got][:3]
+            failures.append(f"{name}: spark_only={only_s} duck_only={only_d}")
+    duck.close()
+    assert not failures, f"seed {seed}:\n" + "\n".join(failures)
