@@ -76,11 +76,20 @@ SELECT event_type,
        max(k) AS max_k,
        count(CASE WHEN k IS NULL THEN 1 END) AS n_bad
 FROM (SELECT event_type,
-             CASE WHEN regexp_matches(trim(json_extract_string(props, '$.k')), '^-?[0-9]{1,18}$')
-                  THEN CAST(trim(json_extract_string(props, '$.k')) AS BIGINT) END AS k
-      FROM events)
+             CASE WHEN regexp_matches(trim(kx), '^-?[0-9]{1,18}$')
+                  THEN CAST(trim(kx) AS BIGINT) END AS k
+      FROM (SELECT event_type,
+                   CASE WHEN json_valid(props)
+                        THEN json_extract_string(props, '$.k') END AS kx
+            FROM events))
 GROUP BY event_type
 """
+# kx is guarded by json_valid because DuckDB's json_extract_string
+# RAISES on malformed JSON where Spark's get_json_object returns NULL —
+# an oracle abort, not a value divergence (found by the random-events
+# cross-engine sweep; the r4 fix covered only the int64-overflow
+# payload).  Spark-leniently-parseable-but-invalid-JSON payloads (bare
+# words, single quotes) are NULL on both sides under this guard.
 
 
 # ---------------------------------------------------------------------------
