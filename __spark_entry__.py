@@ -334,7 +334,8 @@ def selection_oracle_sql(
       JOIN mx mb ON mb.feat = p.j AND mb.x = p.xj
       GROUP BY p.i, p.j),
     {{pmi_ctes}}
-    s1 AS (SELECT feat, rel AS score FROM relv ORDER BY rel DESC, feat LIMIT 1),
+    s1 AS (SELECT feat, rel AS score FROM relv
+          ORDER BY round(rel, 5) DESC, feat LIMIT 1),
     sel1 AS (SELECT 0 AS step, feat, score FROM s1)"""
     if needs_cmi:
         head = head.format(
@@ -377,7 +378,8 @@ def selection_oracle_sql(
       WHERE p.j IN (SELECT feat FROM {prev})
         AND r.feat NOT IN (SELECT feat FROM {prev})
       GROUP BY r.feat, r.rel),
-    s{t} AS (SELECT feat, score FROM c{t} ORDER BY score DESC, feat LIMIT 1),
+    s{t} AS (SELECT feat, score FROM c{t}
+            ORDER BY round(score, 5) DESC, feat LIMIT 1),
     sel{t} AS (SELECT * FROM {prev} UNION ALL SELECT {t - 1}, feat, score FROM s{t})""")
     stage_sql = ("," + ",".join(stages)) if stages else ""
     return (
@@ -1177,7 +1179,8 @@ def oracle_sql() -> dict[str, str]:
         ),
         "relevance_mi": mi_sql + " SELECT CAST(feat AS INT) AS feat, mi FROM mi",
         "mim_topk": mi_sql
-        + " SELECT CAST(feat AS INT) AS feat, mi FROM mi ORDER BY mi DESC, feat LIMIT 5",
+        + " SELECT CAST(feat AS INT) AS feat, mi FROM mi"
+        + " ORDER BY round(mi, 5) DESC, feat LIMIT 5",
         "projection": f"WITH {_FM_CTE} SELECT f2, f5, f7, label FROM fm",
         "equal_freq_bucket": equal_freq_bucket_oracle(
             "(SELECT * FROM part WHERE p_partkey <= 2000)",

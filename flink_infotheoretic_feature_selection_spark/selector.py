@@ -22,7 +22,13 @@ Differences from the reference, deliberate and documented:
 - ``NF``/``NI`` parameters dropped — derived from schema / count
   (SURVEY.md §1.3).
 - argmax ties broken by lowest feature index (the reference's reduce
-  order is nondeterministic — SURVEY.md §7.1).
+  order is nondeterministic — SURVEY.md §7.1), and the comparison
+  happens at the gate's EMISSION precision (5 decimals): two engines
+  summing the same MI/CMI terms in different orders disagree in the
+  last ulps, so full-precision argmax over mathematically-tied scores
+  picks a different feature per engine and the tie rule never fires
+  (found by the random-matrix cross-engine sweep on duplicate-heavy
+  data; sub-1e-5 score gaps are summation noise, not signal).
 - the sparse path is handled by the same columnar code (the reference's
   sparse path throws, ``InfoSelector.scala:378-386``).
 """
@@ -265,13 +271,19 @@ class InfoThSelector:
         path: list[tuple[str, float]] = []
         if self.criterion.lower() == "mim":
             # MIM fast path: pure top-k by relevance, InfoSelector.scala:313-315.
-            order = sorted(feats, key=lambda c: (-relevances[c], feats.index(c)))
+            order = sorted(
+                feats, key=lambda c: (-round(relevances[c], 5), feats.index(c))
+            )
             path = [(c, relevances[c]) for c in order[: self.n_to_select]]
         else:
             n_parts = matrix.rdd.getNumPartitions()
             remaining = list(feats)
             while len(path) < self.n_to_select:
-                best = max(remaining, key=lambda c: (state[c].score, -feats.index(c)))
+                # round-5 comparison: see the module-docstring tie contract
+                best = max(
+                    remaining,
+                    key=lambda c: (round(state[c].score, 5), -feats.index(c)),
+                )
                 path.append((best, state[best].score))
                 state[best].valid = False
                 remaining.remove(best)
@@ -423,12 +435,15 @@ class SparseInfoThSelector:
 
             path: list[tuple[int, float]] = []
             if self.criterion.lower() == "mim":
-                order = sorted(range(nf), key=lambda i: (-relevances[i], i))
+                order = sorted(range(nf), key=lambda i: (-round(relevances[i], 5), i))
                 path = [(i, relevances[i]) for i in order[: self.n_to_select]]
             else:
                 remaining = list(range(nf))
                 while len(path) < self.n_to_select:
-                    best = max(remaining, key=lambda i: (state[i].score, -i))
+                    # round-5 comparison: module-docstring tie contract
+                    best = max(
+                        remaining, key=lambda i: (round(state[i].score, 5), -i)
+                    )
                     path.append((best, state[best].score))
                     state[best].valid = False
                     remaining.remove(best)
