@@ -37,8 +37,6 @@ import __spark_entry__ as entry_mod
 #     table, not documents
 #   - events / lineitem / media gates: other tables
 #   - stream_*: availableNow staging, covered by their own fixtures
-#   - dedup_keep_best / neardup_groups: compose LSH groups — covered via
-#     minhash_lsh_pairs here and their own gate at the fixed corpus
 SWEEP_GATES = [
     "text_profile",
     "corpus_clean",
@@ -46,6 +44,8 @@ SWEEP_GATES = [
     "dedup_exact",
     "dedup_jaccard_pairs",
     "minhash_lsh_pairs",
+    "neardup_groups",
+    "dedup_keep_best",
     "simhash_pairs",
     "decontaminate",
     "tfidf_topk",

@@ -52,6 +52,7 @@ CORE_GATES = [
     "selected_icap",
     "selected_mifs",
     "selected_sparse_mrmr",
+    "profile_lineitem",  # one-scan numeric profile, lineitem-only
 ]
 
 
