@@ -64,12 +64,16 @@ def attach_media(documents: DataFrame) -> DataFrame:
     """
     return documents.select(
         "doc_id",
-        F.encode("text", "UTF-8").alias("media"),
+        # coalesce: a NULL text doc attaches an EMPTY blob, not a NULL
+        # one — every kernel has an empty-buffer path, while a NULL
+        # buffer used to crash the Arrow kernels (bytes(None)); the
+        # oracles coalesce identically so n_bytes is 0 on both engines
+        F.encode(F.coalesce(F.col("text"), F.lit("")), "UTF-8").alias("media"),
         F.element_at(
             F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
             (F.col("doc_id") % 3 + 1).cast("int"),
         ).alias("media_type"),
-        F.length(F.encode("text", "UTF-8")).alias("n_bytes"),
+        F.length(F.encode(F.coalesce(F.col("text"), F.lit("")), "UTF-8")).alias("n_bytes"),
     )
 
 
@@ -93,8 +97,8 @@ MEDIA_META_ORACLE = f"""
     SELECT doc_id,
            CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
                 WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
-           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-           CAST(floor(octet_length(encode(text)) / {FRAME_BYTES}.0) AS BIGINT) AS n_frames
+           CAST(octet_length(encode(coalesce(text, ''))) AS BIGINT) AS n_bytes,
+           CAST(floor(octet_length(encode(coalesce(text, ''))) / {FRAME_BYTES}.0) AS BIGINT) AS n_frames
     FROM documents
 """
 
@@ -109,13 +113,20 @@ _DECODED_SCHEMA = StructType(
 )
 
 
+
+def _to_bytes(buf) -> bytes:
+    """NULL media blob == empty blob: one corrupt/missing payload must
+    not kill the executor task (bytes(None) raises) — the empty-buffer
+    path every kernel already has is the right degradation."""
+    return b"" if buf is None else bytes(buf)
+
 def byte_fold_decoder(buf: bytes, height: int, width: int) -> "np.ndarray":
     """Default decoder stand-in: fold bytes into an h×w float grid,
     pixel[i] = byte[i mod n]/255.  Deterministic, codec-free — keeps the
     whole decode pipeline testable in environments without image/audio
     libraries."""
     npix = height * width
-    b = np.frombuffer(bytes(buf), dtype=np.uint8)
+    b = np.frombuffer(_to_bytes(buf), dtype=np.uint8)
     if len(b) == 0:
         b = np.zeros(1, dtype=np.uint8)
     reps = int(np.ceil(npix / len(b)))
@@ -146,7 +157,7 @@ def decode_media(
         for pdf in it:
             pixels = []
             for buf in pdf["media"]:
-                grid = np.asarray(decoder(bytes(buf), height, width), dtype=np.float32)
+                grid = np.asarray(decoder(_to_bytes(buf), height, width), dtype=np.float32)
                 if grid.shape != (height, width):
                     raise ValueError(
                         f"decoder returned shape {grid.shape}, expected {(height, width)}"
@@ -187,7 +198,7 @@ def extract_features(media: DataFrame, dim: int = 16) -> DataFrame:
         for pdf in it:
             feats = []
             for buf in pdf["media"]:
-                b = np.frombuffer(bytes(buf), dtype=np.uint8)
+                b = np.frombuffer(_to_bytes(buf), dtype=np.uint8)
                 if len(b) == 0:
                     feats.append([0.0] * dim)
                     continue
@@ -262,10 +273,14 @@ def resize_media(decoded: DataFrame, out_h: int = 4, out_w: int = 4) -> DataFram
 # the engine.  Validates the full decode→resize plumbing end-to-end.
 MEDIA_RESIZE_ORACLE = """
     WITH pix AS (
+      -- empty/NULL text mirrors byte_fold_decoder's zeros(1) stand-in:
+      -- every pixel is 0 (the kernel substitutes one zero byte)
       SELECT doc_id,
              CAST(p.range AS INT) AS i,
-             CAST(CAST(unicode(substr(
-                 text, (CAST(p.range AS INT) % length(text)) + 1, 1)) AS FLOAT)
+             CAST(CAST(CASE WHEN length(coalesce(text, '')) = 0 THEN 0
+                  ELSE unicode(substr(
+                      text, (CAST(p.range AS INT) % length(text)) + 1, 1))
+                  END AS FLOAT)
                / CAST(255.0 AS FLOAT) AS FLOAT) AS v
       FROM documents, range(64) p),
     cells AS (
@@ -305,7 +320,7 @@ def extract_features_long(media: DataFrame, dim: int = 16) -> DataFrame:
         for pdf in it:
             out: dict[str, list] = {"doc_id": [], "bin": [], "cnt": [], "n_bytes": []}
             for doc_id, buf in zip(pdf["doc_id"], pdf["media"]):
-                b = np.frombuffer(bytes(buf), dtype=np.uint8)
+                b = np.frombuffer(_to_bytes(buf), dtype=np.uint8)
                 # clip like extract_features: remainder bytes fold into
                 # the top bucket when dim doesn't divide 256 (no-op for
                 # the gate's dim=16); truncation would lose their counts
@@ -337,14 +352,14 @@ def extract_features_long(media: DataFrame, dim: int = 16) -> DataFrame:
 # doc×bin grid left-join.
 MEDIA_FEATURES_ORACLE = """
     WITH pos AS (
-      SELECT doc_id, text, unnest(range(1, length(text) + 1)) AS i
+      SELECT doc_id, text, unnest(range(1, length(coalesce(text, '')) + 1)) AS i
       FROM documents),
     chars AS MATERIALIZED (
       SELECT doc_id,
              unicode(substr(text, CAST(i AS INT), 1)) // 16 AS bin
       FROM pos),
     cnts AS (SELECT doc_id, bin, count(*) AS c FROM chars GROUP BY 1, 2),
-    docs AS (SELECT doc_id, octet_length(encode(text)) AS n_bytes FROM documents),
+    docs AS (SELECT doc_id, octet_length(encode(coalesce(text, ''))) AS n_bytes FROM documents),
     grid AS (SELECT doc_id, n_bytes, r.range AS bin FROM docs, range(16) r)
     SELECT g.doc_id,
            CAST(g.bin AS INT) AS bin,
@@ -375,7 +390,7 @@ def frame_sample(media: DataFrame, every_k: int = 4) -> DataFrame:
         for pdf in it:
             out: dict[str, list] = {k.name: [] for k in schema.fields}
             for doc_id, buf in zip(pdf["doc_id"], pdf["media"]):
-                b = np.frombuffer(bytes(buf), dtype=np.uint8)
+                b = np.frombuffer(_to_bytes(buf), dtype=np.uint8)
                 n_frames = len(b) // FRAME_BYTES
                 for idx in range(0, n_frames, every_k):
                     frame = b[idx * FRAME_BYTES : (idx + 1) * FRAME_BYTES]
@@ -394,7 +409,7 @@ def frame_sample(media: DataFrame, every_k: int = 4) -> DataFrame:
 # 4th frame, sum byte values.
 FRAME_SAMPLE_ORACLE = f"""
     WITH pos AS (
-      SELECT doc_id, text, unnest(range(1, length(text) + 1)) AS i
+      SELECT doc_id, text, unnest(range(1, length(coalesce(text, '')) + 1)) AS i
       FROM documents),
     chars AS MATERIALIZED (
       SELECT doc_id,

@@ -35,7 +35,11 @@ import __spark_entry__ as entry_mod
 #     corpus md5 keys) — random docs have no fixture rows
 #   - semantic_decontaminate / ann_* / cosine / embedding_*: embeddings
 #     table, not documents
-#   - events / lineitem / media gates: other tables
+#   - events / lineitem gates: other tables
+#   - media_meta / media_pixels: their oracles walk unicode code points
+#     as BYTES, a trick only valid on pure-ASCII corpora (documented at
+#     multimodal.py MEDIA_FEATURES_ORACLE) — covered by the dedicated
+#     ASCII+NULL corpus test below instead
 #   - stream_*: availableNow staging, covered by their own fixtures
 SWEEP_GATES = [
     "text_profile",
@@ -138,3 +142,57 @@ def test_documents_gates_cross_engine_on_random_corpus(spark, tmp_path, seed):
             failures.append(f"{name}: spark_only={only_s} duck_only={only_d}")
     duck.close()
     assert not failures, f"seed {seed}:\n" + "\n".join(failures)
+
+
+def test_media_gates_on_ascii_corpus_with_nulls(spark, tmp_path):
+    # The media oracles' chars-as-bytes trick needs pure ASCII, so the
+    # media gates get their own random corpus: ASCII words plus the
+    # NULL/empty/whitespace docs that used to CRASH the Arrow kernels
+    # (bytes(None) on the NULL media blob attach_media now coalesces
+    # away — and _to_bytes guards arbitrary user binary columns too).
+    rng = random.Random(97)
+    texts = [None, "", " ", "\t\t"] + [
+        " ".join(rng.choice(WORDS[:17]) for _ in range(rng.randint(1, 40)))
+        for _ in range(36)
+    ]
+    d = tmp_path / "media_ascii"
+    d.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+                "lang": pa.array(["en"] * len(texts), pa.string()),
+                "source": pa.array(["s1"] * len(texts), pa.string()),
+                "n_chars": pa.array(
+                    [len(t) if t else 0 for t in texts], pa.int64()
+                ),
+            }
+        ),
+        f"{d}/documents.parquet",
+    )
+    duck = duckdb.connect()
+    duck.execute(f"CREATE VIEW documents AS SELECT * FROM '{d}/documents.parquet'")
+    queries, oracles = entry_mod.queries(), entry_mod.oracle_sql()
+    nullsafe = lambda t: tuple((v is None, v) for v in t)  # noqa: E731
+    for name in ("media_meta", "media_pixels"):
+        sdf = queries[name](spark, str(d))
+        got = sorted(
+            (
+                tuple(round(v, 9) if isinstance(v, float) else v for v in r)
+                for r in sdf.select(*sorted(sdf.columns)).collect()
+            ),
+            key=nullsafe,
+        )
+        cols = ", ".join(f'"{c}"' for c in sorted(sdf.columns))
+        exp = sorted(
+            (
+                tuple(round(v, 9) if isinstance(v, float) else v for v in r)
+                for r in duck.execute(
+                    f"SELECT {cols} FROM ({oracles[name]})"
+                ).fetchall()
+            ),
+            key=nullsafe,
+        )
+        assert got == exp, (name, got[:4], exp[:4])
+    duck.close()

@@ -57,16 +57,30 @@ def ensure_fixture(script: str, n: int, sf_dir: str, out: str) -> str:
     return out
 
 
-def drain(stream_df, name: str, budget_s: int = 1800):
-    """Run to a memory sink with availableNow; return metrics dict."""
+def drain(stream_df, name: str, budget_s: int = 1800, sink: str = "memory"):
+    """Run to a sink with availableNow; return metrics dict.
+
+    ``sink="parquet"`` for high-volume outputs: the memory sink COLLECTS
+    every output row to the driver — exactly the anti-pattern the
+    engine avoids — so a multi-million-row drain must land in files and
+    be counted from them, or the measurement times driver
+    materialization instead of the operator.
+    """
     spark = stream_df.sparkSession
-    q = (
-        stream_df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
+    w = stream_df.writeStream.outputMode("append").trigger(availableNow=True)
+    if sink == "parquet":
+        out_dir = f"/tmp/sp_stream_out/{name}"
+        import shutil
+
+        shutil.rmtree(out_dir, ignore_errors=True)
+        q = (
+            w.format("parquet")
+            .option("path", f"{out_dir}/data")
+            .option("checkpointLocation", f"{out_dir}/ckpt")
+            .start()
+        )
+    else:
+        q = w.format("memory").queryName(name).start()
     t0 = time.perf_counter()
     if not q.awaitTermination(budget_s):
         q.stop()
@@ -90,7 +104,10 @@ def drain(stream_df, name: str, budget_s: int = 1800):
     n_state_ops = max(
         (len(p.get("stateOperators", [])) for p in progresses), default=0
     )
-    rows = spark.table(name).count()
+    if sink == "parquet":
+        rows = spark.read.parquet(f"/tmp/sp_stream_out/{name}/data").count()
+    else:
+        rows = spark.table(name).count()
     return {
         "wall_s": round(wall, 2),
         "out_rows": rows,
@@ -102,8 +119,13 @@ def drain(stream_df, name: str, budget_s: int = 1800):
 
 
 def main() -> None:
-    n = int(sys.argv[1]) if len(sys.argv) > 1 else 100
-    sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
+    argv = [a for a in sys.argv[1:]]
+    ops = {a for a in argv if a in ("neardup", "decon", "winagg")} or {
+        "neardup", "decon", "winagg"
+    }
+    nums = [a for a in argv if a not in ops]
+    n = int(nums[0]) if nums else 100
+    sf_dir = nums[1] if len(nums) > 1 else "/root/testdata/sf0.1"
     docs_nx = ensure_fixture("make_scale_docs.py", n, sf_dir, f"/tmp/scale{n}")
     ev_nx = ensure_fixture("make_scale_events.py", n, sf_dir, f"/tmp/scale_ev{n}")
 
@@ -149,9 +171,12 @@ def main() -> None:
             .parquet(f"{docs_nx}/documents.parquet")
         )
 
-    report["stream_neardup_cands"] = drain(
-        stream_neardup_candidates(docs_stream(), corpus_sig), "sp_neardup"
-    )
+    if "neardup" in ops:
+        report["stream_neardup_cands"] = drain(
+            stream_neardup_candidates(docs_stream(), corpus_sig),
+            "sp_neardup",
+            sink="parquet",  # 18.6M output rows: never collect to the driver
+        )
 
     # Event time advances ~1 s per doc_id, so the 100-copy drain spans
     # days of event time — far past the 2 h watermark horizon; later
@@ -159,9 +184,10 @@ def main() -> None:
     docs_ts = docs_stream().withColumn(
         "ts", F.expr("timestamp_micros(1700000000000000 + doc_id * 1000000)")
     )
-    report["stream_decontaminate"] = drain(
-        stream_decontaminate(docs_ts, eval_sh).select("doc_id"), "sp_decon"
-    )
+    if "decon" in ops:
+        report["stream_decontaminate"] = drain(
+            stream_decontaminate(docs_ts, eval_sh).select("doc_id"), "sp_decon"
+        )
 
     # read_events_stream with the per-trigger file cap: same schema
     # probe + nanos handling, reader option added
@@ -177,9 +203,10 @@ def main() -> None:
         ev_stream = ev_stream.withColumn(
             "ts", F.timestamp_micros(F.expr("ts div 1000"))
         )
-    report["stream_window_agg"] = drain(
-        windowed_event_agg(ev_stream), "sp_winagg"
-    )
+    if "winagg" in ops:
+        report["stream_window_agg"] = drain(
+            windowed_event_agg(ev_stream), "sp_winagg"
+        )
 
     print(json.dumps({"n_copies": n, "files_per_trigger": fpt, "ops": report}))
 
