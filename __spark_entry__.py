@@ -1009,10 +1009,10 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # ---- GATE ROTATION CONTRACT (round 6) -------------------------------
+    # ---- GATE ROTATION CONTRACT (round 7) -------------------------------
     # The driver gate processes exactly the FIRST 50 entries of this dict
     # (entry-count cap, observed at 50/55 in r3, 50/76 in r4, 50/81 in
-    # r5 — it is not a time budget).  Ordering policy:
+    # r5, 50/74 in r6 — it is not a time budget).  Ordering policy:
     #   block A (first 50): the 18 SURVEY-§2 core gates, then every entry
     #     that has never had a green driver row, then the STALEST green
     #     entries (last row 2 rounds ago), then entries whose code changed
@@ -1021,6 +1021,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #   block B (past the cap): gates with a green driver row LAST round —
     #     they keep unit tests + the tools/gate_check.py replica and
     #     rotate back into block A next round.
+    # Round-7 reorder (the r6 verdict's ask #1): the 24 gates whose last
+    # green row is r5 re-enter block A; the r6-green extension gates
+    # rotate to block B.  tools/plan_gate_rotation.py computes this;
+    # tests/test_registry_contract.py enforces it in-repo BEFORE the
+    # driver runs — run both as the FIRST action of every round, right
+    # after the driver drops CORRECTNESS_r{N}.json.
     # Round-6 consolidations (registry 81 -> 74 so every gate re-verifies
     # within 2 rounds of the 50-row cap): simhash+simhash_pairs ->
     # simhash_pairs, minhash_signatures+minhash_lsh_pairs ->
@@ -1031,7 +1037,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # unions the SAME per-variant query/oracle SQL (see _q_simhash_all
     # etc.), so every operator stays value-checked; only the slot is
     # shared.
-    # tests/test_registry_contract.py enforces this ordering in-repo.
     return {
         "features_dense": _q_features,
         "class_prior": _q_class_prior,
@@ -1051,64 +1056,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "selected_icap": _q_selected_icap,
         "selected_mifs": _q_selected_mifs,
         "selected_sparse_mrmr": _q_selected_sparse,
-        # -- never driver-verified (added round 4/5 past the frozen cap);
-        # all replica-PASS bit-exact — first driver rows land here.
-        "simhash64_incremental": _q_simhash64_incremental,
-        "source_token_cap": text.source_token_cap,
-        "epoch_shuffle": text.epoch_shuffle,
-        "cross_source_overlap": profile_ops.cross_source_overlap,
-        "semantic_decontaminate": similarity.semantic_decontaminate,
-        # -- stalest green entries: last driver row was r4, would go
-        # 2-rounds-stale without a slot this round.
-        "substring_dup_spans": _q_substring_dup_all,
-        "text_profile": _q_text_profile,
-        "corpus_clean": text.corpus_clean,
-        "doc_fingerprint": text.fingerprint,
-        "dedup_exact": dedup.exact_dedup,
-        "dedup_jaccard_pairs": dedup.shingle_jaccard_pairs,
-        "minhash_lsh_pairs": _q_minhash_all,
-        "neardup_groups": dedup.neardup_groups,
-        "decontaminate": dedup.decontaminate_query,
-        "simhash_pairs": _q_simhash_all,
-        "tfidf_topk": text.tfidf_topk,
-        "stratified_sample": text.stratified_sample,
-        "pack_sequences": text.pack_sequences,
-        "vocab_topk": text.vocab_topk,
-        "chunk_documents": text.chunk_documents,
-        "cosine_topk": similarity.cosine_topk,
-        # consolidated this session (registry 76 -> 74): the former
-        # ann_ivf_topk + ann_ivf_multiprobe + ann_ivf_topk_q8 slots,
-        # value-checked per-variant through the kind column.  Never had
-        # a driver row under THIS name, hence inside block A.
-        "ann_ivf_variants": _q_ann_ivf_all,
-        "embedding_neardup": similarity.embedding_neardup_pairs,
-        # -- re-gate: the r4 driver-crash fix gets a second consecutive
-        # row, and the two 64-bit SimHash gates now run the xxhash64
-        # PRODUCTION hash against frozen golden-fixture signatures
-        # (upgraded this round from the md5 engine-portable twin).
-        "embedding_quantize": similarity.embedding_quantize,
-        "simhash64_pairs": _q_simhash64_pairs,
-        "simhash64_components": _q_simhash64_components,
-        # pulled forward from block B into the slot the consolidation
-        # freed: earns its 2nd consecutive row on the frozen-centroid
-        # value-checked form.
-        "ann_ivf_kmeans": similarity.ivf_kmeans_fixture_topk,
-        # The five Structured Streaming gates close block A: each runs a
-        # real availableNow stream (file staging + state stores +
-        # microbatch scheduling), the most wall-clock-expensive entries
-        # in the sweep; they share one staged fixture dir per sweep.
-        # stream_neardup_cands / stream_decontaminate have never had a
-        # driver row; the other three were touched by the fixture-sharing
-        # change.
-        "stream_window_agg": _q_stream_window_agg,
-        "stream_dedup": _q_stream_dedup,
-        "stream_sessionize": _q_stream_sessionize,
-        "stream_neardup_cands": _q_stream_neardup_cands,
-        "stream_decontaminate": _q_stream_decontaminate,
-        # ================= block B: past the 50-entry cap =================
-        # Everything below was driver-green in r5 (streak >= 1 on current
-        # code).  Each keeps unit tests + the tools/gate_check.py replica
-        # and rotates back into block A in r7.
+        # -- the 24 gates whose last green driver row is r5: they sat in
+        # block B through the r6 sweep and MUST re-verify this round to
+        # keep every gate within the 2-round rotation period (the r6
+        # verdict's ask #1; ordering from tools/plan_gate_rotation.py).
         "events_props_agg": events_ops.events_props_agg,
         "asof_join": _q_asof_join_both,
         "range_join_agg": temporal.range_join_query,
@@ -1133,6 +1084,45 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_rollup": text.corpus_rollup,
         "lm_score": text.lm_score,
         "scrub_dup_spans": dedup.scrub_dup_spans,
+        # -- r6-green streak-1 gates earning a 2nd consecutive row in the
+        # slots the rotation leaves free (5 batch + 3 streams; streams
+        # close the block — most wall-clock-expensive).
+        "simhash64_incremental": _q_simhash64_incremental,
+        "source_token_cap": text.source_token_cap,
+        "epoch_shuffle": text.epoch_shuffle,
+        "cross_source_overlap": profile_ops.cross_source_overlap,
+        "semantic_decontaminate": similarity.semantic_decontaminate,
+        "stream_window_agg": _q_stream_window_agg,
+        "stream_neardup_cands": _q_stream_neardup_cands,
+        "stream_decontaminate": _q_stream_decontaminate,
+        # ================= block B: past the 50-entry cap =================
+        # Everything below was driver-green in r6 (streak >= 1 on current
+        # code).  Each keeps unit tests + the tools/gate_check.py replica
+        # and rotates back into block A in r8.
+        "substring_dup_spans": _q_substring_dup_all,
+        "text_profile": _q_text_profile,
+        "corpus_clean": text.corpus_clean,
+        "doc_fingerprint": text.fingerprint,
+        "dedup_exact": dedup.exact_dedup,
+        "dedup_jaccard_pairs": dedup.shingle_jaccard_pairs,
+        "minhash_lsh_pairs": _q_minhash_all,
+        "neardup_groups": dedup.neardup_groups,
+        "decontaminate": dedup.decontaminate_query,
+        "simhash_pairs": _q_simhash_all,
+        "tfidf_topk": text.tfidf_topk,
+        "stratified_sample": text.stratified_sample,
+        "pack_sequences": text.pack_sequences,
+        "vocab_topk": text.vocab_topk,
+        "chunk_documents": text.chunk_documents,
+        "cosine_topk": similarity.cosine_topk,
+        "ann_ivf_variants": _q_ann_ivf_all,
+        "embedding_neardup": similarity.embedding_neardup_pairs,
+        "embedding_quantize": similarity.embedding_quantize,
+        "simhash64_pairs": _q_simhash64_pairs,
+        "simhash64_components": _q_simhash64_components,
+        "ann_ivf_kmeans": similarity.ivf_kmeans_fixture_topk,
+        "stream_dedup": _q_stream_dedup,
+        "stream_sessionize": _q_stream_sessionize,
     }
 
 
