@@ -27,6 +27,22 @@ def parse_props(events: DataFrame) -> DataFrame:
     """events + ``k`` extracted from the JSON props payload (int, null on
     malformed/missing).
 
+    STRICTNESS CONTRACT: ``k`` is extracted only from payloads that are
+    strict (RFC 8259) JSON.  Spark's ``get_json_object`` leniently
+    parses single-quoted JSON (``{'k': 7}`` → 7) where DuckDB's
+    ``json_valid`` is false, so a lenient Spark side diverges from the
+    strict oracle (found by the r6 advisor — the prior guard comment
+    claimed both sides NULL such payloads; empirically false).  The
+    validity probe is ``from_json`` with ``allowSingleQuotes=false``
+    plus a ``columnNameOfCorruptRecord`` column: the corrupt column is
+    non-null exactly when strict parsing failed, mirroring
+    ``json_valid``'s verdict (verified: single quotes, unquoted keys,
+    leading-zero numbers, bare scalars and junk all flag corrupt; a
+    valid object missing ``k`` does not).  Payloads that are valid JSON
+    but not objects ('5', '[1,2]') flag corrupt on Spark while
+    ``json_valid`` is true on DuckDB — no divergence, because ``$.k``
+    extracts NULL from them on both engines either way.
+
     The cast is guarded by the SAME integer-text regexp the DuckDB oracle
     uses (both trim first, so ``" 5"`` parses as 5 on both engines while
     ``"3.7"`` or ``"+5"`` is NULL on both by construction) — engine-
@@ -35,14 +51,27 @@ def parse_props(events: DataFrame) -> DataFrame:
     bounded to 18 so the guarded text always fits the BIGINT both
     engines cast to — an unbounded ``[0-9]+`` would let an overflowing
     payload return NULL from Spark's non-ANSI cast while DuckDB's CAST
-    raises, aborting the oracle.  Still a narrow codegen expression
-    fused into the scan: get_json_object + rlike + cast, no UDF.
+    raises, aborting the oracle.  Still narrow JVM-side per-row
+    expressions fused into the scan: from_json + get_json_object +
+    rlike + cast, no Python UDF.
     """
     from pyspark.sql import functions as F
 
+    strict = F.from_json(
+        "props",
+        "k string, _strict_corrupt string",
+        {
+            "allowSingleQuotes": "false",
+            "columnNameOfCorruptRecord": "_strict_corrupt",
+        },
+    )
     raw = F.trim(F.get_json_object("props", "$.k"))
     return events.withColumn(
-        "k", F.when(raw.rlike("^-?[0-9]{1,18}$"), raw.cast("bigint"))
+        "k",
+        F.when(
+            strict["_strict_corrupt"].isNull() & raw.rlike("^-?[0-9]{1,18}$"),
+            raw.cast("bigint"),
+        ),
     )
 
 
@@ -88,8 +117,10 @@ GROUP BY event_type
 # RAISES on malformed JSON where Spark's get_json_object returns NULL —
 # an oracle abort, not a value divergence (found by the random-events
 # cross-engine sweep; the r4 fix covered only the int64-overflow
-# payload).  Spark-leniently-parseable-but-invalid-JSON payloads (bare
-# words, single quotes) are NULL on both sides under this guard.
+# payload).  The Spark side mirrors this strictness with its own
+# strict-JSON probe (see parse_props's STRICTNESS CONTRACT): without
+# it, single-quoted payloads parse leniently on Spark only and k
+# diverges.
 
 
 # ---------------------------------------------------------------------------

@@ -38,6 +38,12 @@ TYPES = ["click", "purchase", "error", "signup", "view"]
 PROPS = [
     '{"k": 7}', '{"k": 0}', '{"k": -5}', "{}", None, "not json",
     '{"j": 1}', '{"k": 99999999999999999999999999}', '{"k": 3, "j": 9}',
+    # Spark-lenient / DuckDB-strict payloads (the r6 advisor's
+    # divergence class): get_json_object parses single quotes where
+    # json_valid is false; parse_props's strict-JSON probe must NULL
+    # them on the Spark side too.  Leading-zero numbers and bare
+    # scalars exercise the other strictness edges.
+    "{'k': 7}", "{k: 11}", '{"k": 07}', "5",
 ]
 
 

@@ -135,6 +135,43 @@ def test_parse_props_overflow_payload_is_null_on_both_engines(spark):
     assert got == expected == [9999999999, None, 5, None]
 
 
+def test_parse_props_strictness_matches_duckdb_json_valid(spark):
+    # r6 advisor finding: Spark's get_json_object leniently parses
+    # single-quoted JSON ({'k': 7} -> 7) while DuckDB's json_valid is
+    # false, so the oracle NULLs k and the gate diverges.  parse_props's
+    # strict-JSON probe (from_json, allowSingleQuotes=false, corrupt
+    # column) must land every payload in the same (value | NULL) cell as
+    # the oracle's json_valid-guarded extraction.
+    import duckdb
+
+    from flink_infotheoretic_feature_selection_spark.operators.events import parse_props
+
+    payloads = [
+        "{'k': 7}",        # single quotes: Spark-lenient, strict-invalid
+        "{k: 11}",         # unquoted key: strict-invalid
+        '{"k": 07}',       # leading zero: strict-invalid on both parsers
+        "5",               # bare scalar: json_valid true, $.k NULL on both
+        "[1, 2]",          # array: json_valid true, $.k NULL on both
+        '{"k": 7}',        # control: strict-valid, 7 on both
+        '{"x": 1}',        # valid object, missing k: NULL on both
+        None,              # NULL payload: NULL on both
+    ]
+    df = spark.createDataFrame([(p,) for p in payloads], "props string")
+    got = [r["k"] for r in parse_props(df).select("k").collect()]
+    duck = duckdb.connect()
+    expected = [
+        duck.execute(
+            """SELECT CASE WHEN regexp_matches(trim(kx), '^-?[0-9]{1,18}$')
+                       THEN CAST(trim(kx) AS BIGINT) END
+               FROM (SELECT CASE WHEN json_valid(?)
+                            THEN json_extract_string(?, '$.k') END AS kx)""",
+            [p, p],
+        ).fetchone()[0]
+        for p in payloads
+    ]
+    assert got == expected == [None, None, None, None, None, 7, None, None]
+
+
 def test_cosine_topk_empty_query_set_returns_empty(spark, sf_dir):
     from flink_infotheoretic_feature_selection_spark.operators.similarity import (
         cosine_topk,
