@@ -28,6 +28,24 @@ from flink_infotheoretic_feature_selection_spark.operators import profile as pro
 from flink_infotheoretic_feature_selection_spark.operators.histogram import feature_dims, hist2d, hist3d
 from flink_infotheoretic_feature_selection_spark.selector import InfoThSelector
 
+# Engine-identical 5-decimal score emission (the r6 advisor's rounding
+# finding): Python round() is half-to-even on the binary double while
+# DuckDB round() is half-away-from-zero on the decimal rendering, so a
+# score near an x.xxxxx5 boundary EMITS differently per engine even when
+# the doubles are bit-equal.  Both sides instead run the same IEEE steps
+# — multiply by 1e5, add 0.5, floor, divide — producing bit-identical
+# doubles.  _Q5_SQL is the DuckDB spelling; selector._tie_key is the
+# comparison-side twin (quantized BIGINT, no divide).
+def _q5(x: float) -> float:
+    import math
+
+    return math.floor(x * 100000.0 + 0.5) / 100000.0
+
+
+def _q5_sql(expr: str) -> str:
+    return f"floor(({expr}) * 100000.0 + 0.5) / 100000.0"
+
+
 # DuckDB CTE producing the feature matrix (shared prefix of every oracle).
 _FM_CTE = f"fm AS (SELECT {features_select_duckdb()} FROM lineitem)"
 
@@ -82,20 +100,20 @@ def _q_relevance_mi(spark: SparkSession, sf_dir: str) -> DataFrame:
     # A10 — MI(feature; class) for every feature, via the engine path.
     df = features_dense(spark, sf_dir)
     model = InfoThSelector(n_to_select=1, criterion="mim", emit_f32=False).fit(df)
-    rows = [(i, round(model.relevances[c], 5)) for i, c in enumerate(FEATURE_NAMES)]
+    rows = [(i, _q5(model.relevances[c])) for i, c in enumerate(FEATURE_NAMES)]
     return spark.createDataFrame(rows, "feat int, mi double")
 
 
 def _q_mim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # A13 — top-k features by relevance (MIM fast path), k=5.
     # The gate emits 5-decimal MI, so the top-k boundary must be decided
-    # on the ROUNDED value (ties then by feat id) exactly like the oracle
-    # — otherwise two features whose raw MIs differ by <5e-6 but round
-    # equal (f1/f5 at sf0.01) rank differently across engines.
+    # on the QUANTIZED value (ties then by feat id) exactly like the
+    # oracle — otherwise two features whose raw MIs differ by <5e-6 but
+    # quantize equal (f1/f5 at sf0.01) rank differently across engines.
     df = features_dense(spark, sf_dir)
     model = InfoThSelector(n_to_select=5, criterion="mim", emit_f32=False).fit(df)
     rows = sorted(
-        ((i, round(model.relevances[c], 5)) for i, c in enumerate(FEATURE_NAMES)),
+        ((i, _q5(model.relevances[c])) for i, c in enumerate(FEATURE_NAMES)),
         key=lambda t: (-t[1], t[0]),
     )[:5]
     return spark.createDataFrame(rows, "feat int, mi double")
@@ -201,12 +219,13 @@ def _q_sparse_hist3d(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _selection_query(criterion: str):
     # I1 — greedy selection, k=5.  emit_f32=False so scores stay float64
     # end-to-end and the DuckDB oracle (which unrolls the same greedy
-    # recursion) reproduces them bit-close; both sides round to 5.
+    # recursion) reproduces them bit-close; both sides quantize to 5
+    # decimals through the same IEEE steps (_q5 / _q5_sql).
     def q(spark: SparkSession, sf_dir: str) -> DataFrame:
         df = features_dense(spark, sf_dir)
         model = InfoThSelector(n_to_select=5, criterion=criterion, emit_f32=False).fit(df)
         rows = [
-            (step, FEATURE_NAMES.index(c), round(s, 5))
+            (step, FEATURE_NAMES.index(c), _q5(s))
             for step, (c, s) in enumerate(model.selection_path)
         ]
         return spark.createDataFrame(rows, "step int, feat int, score double")
@@ -244,7 +263,7 @@ def _q_selected_sparse(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         base.unpersist()
     rows = [
-        (step, FEATURE_NAMES.index(c), round(s, 5))
+        (step, FEATURE_NAMES.index(c), _q5(s))
         for step, (c, s) in enumerate(model.selection_path)
     ]
     return spark.createDataFrame(rows, "step int, feat int, score double")
@@ -258,7 +277,9 @@ def selection_oracle_sql(
     Mirrors ``InfoSelector.scala:353-362`` + the criterion algebra of
     ``InfoThCriterion.scala`` exactly: step 0 picks argmax relevance;
     step t picks argmax of the criterion score over remaining features,
-    ties broken by lowest feature id:
+    compared at the 5-decimal quantization ``CAST(floor(score*1e5+0.5)
+    AS BIGINT)`` (the engine-identical twin of selector._tie_key — see
+    _q5's rationale), ties broken by lowest feature id:
 
     - mrmr:  rel − (Σ_s MI(c;s)) / |S|                 (:143-164)
     - jmi:   rel − (Σ_s MI(c;s))/|S| + (Σ_s CMI(c;s|Y))/|S|   (:114-137)
@@ -335,7 +356,7 @@ def selection_oracle_sql(
       GROUP BY p.i, p.j),
     {{pmi_ctes}}
     s1 AS (SELECT feat, rel AS score FROM relv
-          ORDER BY round(rel, 5) DESC, feat LIMIT 1),
+          ORDER BY CAST(floor(rel * 100000.0 + 0.5) AS BIGINT) DESC, feat LIMIT 1),
     sel1 AS (SELECT 0 AS step, feat, score FROM s1)"""
     if needs_cmi:
         head = head.format(
@@ -379,7 +400,7 @@ def selection_oracle_sql(
         AND r.feat NOT IN (SELECT feat FROM {prev})
       GROUP BY r.feat, r.rel),
     s{t} AS (SELECT feat, score FROM c{t}
-            ORDER BY round(score, 5) DESC, feat LIMIT 1),
+            ORDER BY CAST(floor(score * 100000.0 + 0.5) AS BIGINT) DESC, feat LIMIT 1),
     sel{t} AS (SELECT * FROM {prev} UNION ALL SELECT {t - 1}, feat, score FROM s{t})""")
     stage_sql = ("," + ",".join(stages)) if stages else ""
     return (
@@ -387,7 +408,7 @@ def selection_oracle_sql(
         + stage_sql
         + f"""
     SELECT CAST(step AS INT) AS step, CAST(feat AS INT) AS feat,
-           round(score, 5) AS score
+           {_q5_sql("score")} AS score
     FROM sel{k}
     """
     )
@@ -1136,8 +1157,8 @@ def oracle_sql() -> dict[str, str]:
         my AS (SELECT feat, y, sum(c) AS cy FROM j GROUP BY feat, y),
         mi AS (
           SELECT j.feat AS feat,
-                 round(sum((CAST(c AS DOUBLE)/n) *
-                       log2(CAST(c AS DOUBLE)*n/(CAST(cx AS DOUBLE)*cy))), 5) AS mi
+                 {_q5_sql('''sum((CAST(c AS DOUBLE)/n) *
+                       log2(CAST(c AS DOUBLE)*n/(CAST(cx AS DOUBLE)*cy)))''')} AS mi
           FROM j JOIN tot USING (feat) JOIN mx USING (feat, x) JOIN my USING (feat, y)
           GROUP BY j.feat)
     """
@@ -1170,7 +1191,7 @@ def oracle_sql() -> dict[str, str]:
         "relevance_mi": mi_sql + " SELECT CAST(feat AS INT) AS feat, mi FROM mi",
         "mim_topk": mi_sql
         + " SELECT CAST(feat AS INT) AS feat, mi FROM mi"
-        + " ORDER BY round(mi, 5) DESC, feat LIMIT 5",
+        + " ORDER BY mi DESC, feat LIMIT 5",
         "projection": f"WITH {_FM_CTE} SELECT f2, f5, f7, label FROM fm",
         "equal_freq_bucket": equal_freq_bucket_oracle(
             "(SELECT * FROM part WHERE p_partkey <= 2000)",

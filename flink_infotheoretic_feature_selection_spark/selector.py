@@ -23,18 +23,29 @@ Differences from the reference, deliberate and documented:
   (SURVEY.md §1.3).
 - argmax ties broken by lowest feature index (the reference's reduce
   order is nondeterministic — SURVEY.md §7.1), and the comparison
-  happens at the gate's EMISSION precision (5 decimals): two engines
-  summing the same MI/CMI terms in different orders disagree in the
-  last ulps, so full-precision argmax over mathematically-tied scores
-  picks a different feature per engine and the tie rule never fires
-  (found by the random-matrix cross-engine sweep on duplicate-heavy
-  data; sub-1e-5 score gaps are summation noise, not signal).
+  happens at ``tie_precision`` decimals (default 5, the gate's emission
+  precision): two engines summing the same MI/CMI terms in different
+  orders disagree in the last ulps, so full-precision argmax over
+  mathematically-tied scores picks a different feature per engine and
+  the tie rule never fires (found by the random-matrix cross-engine
+  sweep on duplicate-heavy data; sub-1e-5 score gaps are summation
+  noise, not signal).  The quantization is ``floor(score·10^p + 0.5)``
+  — identical IEEE-double steps to the oracle's
+  ``CAST(floor(score * 100000.0 + 0.5) AS BIGINT)`` — NOT each
+  engine's ``round()``: Python rounds the binary double half-to-even
+  while DuckDB rounds the decimal rendering half-away-from-zero, so a
+  score near an x.xxxxx5 boundary rounds differently per engine and
+  re-opens the divergence (r6 advisor finding).  Library users whose
+  score gaps are genuinely sub-1e-5 signal (very large N) pass
+  ``tie_precision=None`` for full-precision argmax — deterministic via
+  the id tiebreak, but not oracle-reproducible across engines.
 - the sparse path is handled by the same columnar code (the reference's
   sparse path throws, ``InfoSelector.scala:378-386``).
 """
 
 from __future__ import annotations
 
+import math
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame
@@ -51,6 +62,23 @@ from flink_infotheoretic_feature_selection_spark.operators.histogram import (
 )
 
 __all__ = ["InfoThSelector", "InfoThSelectorModel", "SparseInfoThSelector"]
+
+
+def _tie_key(score: float, precision: int | None):
+    """Argmax comparison key under the tie contract (module docstring).
+
+    ``precision=None`` → the raw score (full-precision argmax);
+    otherwise ``floor(score·10^p + 0.5)`` — the exact IEEE-double step
+    sequence the DuckDB oracles run as
+    ``CAST(floor(score * 100000.0 + 0.5) AS BIGINT)``, so both engines
+    quantize every score to the SAME integer before comparing.  Not
+    ``round()``: the two engines' round() disagree on x.xxxxx5
+    boundaries (Python half-to-even on the binary double, DuckDB
+    half-away-from-zero on the decimal rendering).
+    """
+    if precision is None:
+        return score
+    return math.floor(score * 10.0**precision + 0.5)
 
 
 @dataclass
@@ -111,6 +139,14 @@ class InfoThSelector:
     ``beta`` (MIFS only) defaults to 1.0 — a deliberate divergence from
     the reference's 0.0 default, which degenerates MIFS into MIM; pass
     ``beta=0.0`` for reference parity.  See ``criterion_factory``.
+
+    ``tie_precision`` — decimals at which argmax compares scores before
+    the lowest-feature-index tiebreak (default 5, the gate emission
+    precision; see the module docstring's tie contract for the
+    cross-engine rationale).  ``None`` → full-precision argmax: two
+    scores differing by any amount order by score, equal scores still
+    break deterministically by index — for callers whose sub-1e-5 gaps
+    are real signal rather than summation noise.
     """
 
     def __init__(
@@ -122,6 +158,7 @@ class InfoThSelector:
         beta: float = 1.0,
         emit_f32: bool = True,
         validate: bool = False,
+        tie_precision: int | None = 5,
     ) -> None:
         self.n_to_select = int(n_to_select)
         self.criterion = criterion
@@ -130,6 +167,7 @@ class InfoThSelector:
         self.beta = beta
         self.emit_f32 = emit_f32
         self.validate = validate
+        self.tie_precision = tie_precision
 
     def fit(self, df: DataFrame) -> InfoThSelectorModel:
         df = self._widen_vectors(df)
@@ -272,17 +310,24 @@ class InfoThSelector:
         if self.criterion.lower() == "mim":
             # MIM fast path: pure top-k by relevance, InfoSelector.scala:313-315.
             order = sorted(
-                feats, key=lambda c: (-round(relevances[c], 5), feats.index(c))
+                feats,
+                key=lambda c: (
+                    -_tie_key(relevances[c], self.tie_precision),
+                    feats.index(c),
+                ),
             )
             path = [(c, relevances[c]) for c in order[: self.n_to_select]]
         else:
             n_parts = matrix.rdd.getNumPartitions()
             remaining = list(feats)
             while len(path) < self.n_to_select:
-                # round-5 comparison: see the module-docstring tie contract
+                # tie_precision comparison: module-docstring tie contract
                 best = max(
                     remaining,
-                    key=lambda c: (round(state[c].score, 5), -feats.index(c)),
+                    key=lambda c: (
+                        _tie_key(state[c].score, self.tie_precision),
+                        -feats.index(c),
+                    ),
                 )
                 path.append((best, state[best].score))
                 state[best].valid = False
@@ -342,12 +387,14 @@ class SparseInfoThSelector:
         criterion: str = "mrmr",
         beta: float = 1.0,
         emit_f32: bool = True,
+        tie_precision: int | None = 5,
     ) -> None:
         self.n_features = int(n_features)
         self.n_to_select = int(n_to_select)
         self.criterion = criterion
         self.beta = beta
         self.emit_f32 = emit_f32
+        self.tie_precision = tie_precision
 
     def fit(self, nonzeros: DataFrame, labels: DataFrame) -> InfoThSelectorModel:
         if self.n_to_select > self.n_features:
@@ -435,14 +482,18 @@ class SparseInfoThSelector:
 
             path: list[tuple[int, float]] = []
             if self.criterion.lower() == "mim":
-                order = sorted(range(nf), key=lambda i: (-round(relevances[i], 5), i))
+                order = sorted(
+                    range(nf),
+                    key=lambda i: (-_tie_key(relevances[i], self.tie_precision), i),
+                )
                 path = [(i, relevances[i]) for i in order[: self.n_to_select]]
             else:
                 remaining = list(range(nf))
                 while len(path) < self.n_to_select:
-                    # round-5 comparison: module-docstring tie contract
+                    # tie_precision comparison: module-docstring tie contract
                     best = max(
-                        remaining, key=lambda i: (round(state[i].score, 5), -i)
+                        remaining,
+                        key=lambda i: (_tie_key(state[i].score, self.tie_precision), -i),
                     )
                     path.append((best, state[best].score))
                     state[best].valid = False

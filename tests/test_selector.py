@@ -127,6 +127,52 @@ def test_transform_projects_selected(data):
     assert idx == sorted(idx)
 
 
+def test_tie_key_quantization_is_engine_identical():
+    # r6 advisor finding: Python round() (half-to-even on the binary
+    # double) and DuckDB round() (half-away-from-zero on the decimal
+    # rendering) disagree near x.xxxxx5 boundaries — round(0.123455, 5)
+    # is 0.12345 in Python, 0.12346 in DuckDB.  The floor-quantization
+    # must agree with DuckDB's spelling on exactly those inputs.
+    import duckdb
+
+    from flink_infotheoretic_feature_selection_spark.selector import _tie_key
+
+    duck = duckdb.connect()
+    boundary = [0.123455, 0.123465, -0.123455, 0.999995, 1e-06, 0.0,
+                0.5 / 1e5, 1.5 / 1e5, 0.728115, -0.000005]
+    for x in boundary:
+        d = duck.execute(
+            "SELECT CAST(floor(CAST(? AS DOUBLE) * 100000.0 + 0.5) AS BIGINT)",
+            [x],
+        ).fetchone()[0]
+        assert _tie_key(x, 5) == d, x
+    # sanity: the engines' own round() DOES diverge on the motivating
+    # input, which is why round() is not the quantizer.
+    assert round(0.123455, 5) != duck.execute(
+        "SELECT round(CAST(0.123455 AS DOUBLE), 5)"
+    ).fetchone()[0]
+    # precision=None passes the raw score through.
+    assert _tie_key(0.123455, None) == 0.123455
+
+
+def test_tie_precision_full_mode_still_deterministic(spark):
+    # tie_precision=None → full-precision argmax.  f0 and f1 are exact
+    # duplicates so every criterion scores them bit-identically at any
+    # precision; the id tiebreak must pick the lower index first.  f2 is
+    # noise orthogonal to the label.
+    rows = [(i % 3, i % 3, (i * 7) % 4, i % 3) for i in range(60)]
+    df = spark.createDataFrame(rows, "f0 int, f1 int, f2 int, label int")
+    for tp in (None, 5):
+        model = InfoThSelector(
+            n_to_select=2,
+            criterion="mrmr",
+            feature_cols=["f0", "f1", "f2"],
+            emit_f32=False,
+            tie_precision=tp,
+        ).fit(df)
+        assert [c for c, _ in model.selection_path] == ["f0", "f1"], tp
+
+
 def test_n_to_select_too_large_raises(data):
     df, _, _ = data
     with pytest.raises(ValueError):
