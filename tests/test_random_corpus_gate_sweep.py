@@ -32,7 +32,8 @@ import __spark_entry__ as entry_mod
 # documents-only gates safe on arbitrary corpora; everything else is
 # excluded for a stated reason:
 #   - simhash64_*: oracle reads the frozen xxhash64 fixture (synthetic-
-#     corpus md5 keys) — random docs have no fixture rows
+#     corpus md5 keys) — random docs have no fixture rows; covered by
+#     the md5-twin sweep below instead (same mining SQL, portable hash)
 #   - semantic_decontaminate / ann_* / cosine / embedding_*: embeddings
 #     table, not documents
 #   - events / lineitem gates: other tables
@@ -134,6 +135,57 @@ def test_documents_gates_cross_engine_on_random_corpus(spark, tmp_path, seed):
                     f"SELECT {cols} FROM ({oracles[name]})"
                 ).fetchall()
             ),
+            key=nullsafe,
+        )
+        if got != exp:
+            only_s = [r for r in got if r not in exp][:3]
+            only_d = [r for r in exp if r not in got][:3]
+            failures.append(f"{name}: spark_only={only_s} duck_only={only_d}")
+    duck.close()
+    assert not failures, f"seed {seed}:\n" + "\n".join(failures)
+
+
+@pytest.mark.parametrize("seed", [11, 47])
+def test_simhash64_family_cross_engine_via_md5_twin(spark, tmp_path, seed):
+    # The three simhash64 GATES run the production xxhash64 hash against
+    # the frozen fixture, which only covers the synthetic corpus — so
+    # they are excluded from the registry sweep above.  The md5 oracle
+    # twin (dedup.simhash64_*_oracle(hash_fn="md5")) recomputes
+    # signatures engine-portably through the SAME mining SQL / Spark
+    # plans, so the banding, components and incremental machinery get
+    # randomized cross-engine coverage here; the production-vs-twin
+    # bit-equality units keep covering the xxhash64 math itself.
+    from flink_infotheoretic_feature_selection_spark.operators import dedup
+
+    d = tmp_path / f"sh{seed}"
+    d.mkdir()
+    pq.write_table(pa.table(_random_corpus(seed)), f"{d}/documents.parquet")
+    duck = duckdb.connect()
+    duck.execute(f"CREATE VIEW documents AS SELECT * FROM '{d}/documents.parquet'")
+    cases = {
+        "pairs": (
+            dedup.simhash64_pairs(spark, str(d), hash_fn="md5"),
+            dedup.simhash64_pairs_oracle(hash_fn="md5"),
+        ),
+        "components": (
+            dedup.simhash64_components(spark, str(d), hash_fn="md5"),
+            dedup.simhash64_components_oracle(hash_fn="md5"),
+        ),
+        "incremental": (
+            dedup.simhash64_incremental(spark, str(d), hash_fn="md5"),
+            dedup.simhash64_incremental_oracle(hash_fn="md5"),
+        ),
+    }
+    nullsafe = lambda t: tuple((v is None, v) for v in t)  # noqa: E731
+    failures = []
+    for name, (sdf, osql) in cases.items():
+        got = sorted(
+            (tuple(r) for r in sdf.select(*sorted(sdf.columns)).collect()),
+            key=nullsafe,
+        )
+        cols = ", ".join(f'"{c}"' for c in sorted(sdf.columns))
+        exp = sorted(
+            (tuple(r) for r in duck.execute(f"SELECT {cols} FROM ({osql})").fetchall()),
             key=nullsafe,
         )
         if got != exp:
