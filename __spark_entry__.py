@@ -805,19 +805,41 @@ def _q_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.media_meta(spark.read.parquet(f"{sf_dir}/documents.parquet"))
 
 
-def _q_simhash64_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _q_simhash64_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Consolidated round 7 (pays the keel_read slot, registry stays 74):
+    # the former simhash64_pairs + simhash64_components entries as one
+    # tagged long-format slot (kind, a, b, v) — same pattern as
+    # _q_simhash_all; both operators stay value-checked per-variant.
     # Gates run the xxhash64 PRODUCTION hash (r6 upgrade from the md5
     # engine-portable twin): the DuckDB oracles resolve signatures from
     # the frozen golden fixture (tools/freeze_simhash64_sigs.py) and
-    # brute-force the Hamming mining from there, so the driver now
-    # verifies the production signature path, not just its md5 twin.
-    # The md5 variant keeps its unit + replica coverage
-    # (tests/test_simhash64.py parametrizes both).
-    return dedup.simhash64_pairs(spark, sf_dir)
+    # brute-force the Hamming mining / recursive-CTE closure from there,
+    # so the driver verifies the production signature path, not just
+    # its md5 twin (which keeps unit + randomized-sweep coverage).
+    pairs = dedup.simhash64_pairs(spark, sf_dir).select(
+        F.lit("pair").alias("kind"),
+        F.col("doc_a").alias("a"),
+        F.col("doc_b").alias("b"),
+        F.col("hamming").cast("bigint").alias("v"),
+    )
+    comps = dedup.simhash64_components(spark, sf_dir).select(
+        F.lit("comp").alias("kind"),
+        F.col("doc_id").alias("a"),
+        F.lit(None).cast("bigint").alias("b"),
+        F.col("component").cast("bigint").alias("v"),
+    )
+    return pairs.unionByName(comps)
 
 
-def _q_simhash64_components(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dedup.simhash64_components(spark, sf_dir)
+def _simhash64_mining_oracle() -> str:
+    return f"""
+    SELECT 'pair' AS kind, doc_a AS a, doc_b AS b, CAST(hamming AS BIGINT) AS v
+    FROM ({dedup.simhash64_pairs_oracle()})
+    UNION ALL
+    SELECT 'comp' AS kind, doc_id AS a, CAST(NULL AS BIGINT) AS b,
+           CAST(component AS BIGINT) AS v
+    FROM ({dedup.simhash64_components_oracle()})
+    """
 
 
 def _q_simhash64_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -841,6 +863,117 @@ def _q_simhash64_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {table}")
         shutil.rmtree(d, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# KEEL reader gate (S1/S2) — the last SURVEY-§2 operators without a
+# driver row (unit-only through r6).  The format PARSER is the unit
+# under test, so the gate stages a fixed file covering every body
+# dialect the reference's parser handles — dense CSV, Weka-style sparse
+# `{idx value}` rows with nominal/numeric defaults, '?' / '<null>'
+# missing tokens, @-line and blank-line filtering, @inputs reordering —
+# and the oracle re-parses the SAME file through DuckDB's CSV reader
+# with the nominal→index map unrolled in SQL.  Reference semantics:
+# KeelParser.scala:27-53 (nominal declared-order index, numeric parse),
+# InfoSelectorTest.scala:110 (header/comment filter); normalization
+# (Attribute.java:600-606) is covered by units (it ships commented-out
+# in the reference's parseLabeledPoint).
+# ---------------------------------------------------------------------------
+_KEEL_GATE_ATTRS = [
+    ("color", ["red", "green", "blue"]),  # nominal
+    ("cnt", None),                        # integer
+    ("ratio", None),                      # real
+    ("class", ["neg", "pos"]),            # nominal label
+]
+_KEEL_GATE_CONTENT = """@relation gate-roundtrip
+@attribute color {red, green, blue}
+@attribute cnt integer [0, 9]
+@attribute ratio real [0.0, 5.0]
+@attribute class {neg, pos}
+@inputs ratio, color, cnt
+@outputs class
+@data
+red, 3, 1.5, neg
+green, 7, 0.25, pos
+blue, 0, 4.75, neg
+{0 blue, 3 pos}
+{1   4}
+{}
+green, ?, 2.5, pos
+red, 5, <null>, neg
+  blue , 9 , 0.0 , pos
+{2 3.25, 0 green, 3 pos}
+"""
+
+
+def _staged_keel_path() -> str:
+    def stage(d: str) -> None:
+        with open(f"{d}/gate.dat", "w") as fh:
+            fh.write(_KEEL_GATE_CONTENT)
+
+    return _staged_dir(("keel_gate",), stage) + "/gate.dat"
+
+
+def _q_keel_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # sf-independent by design: a file-format parse does not scale with
+    # sf, and oracle_sql() has no sf_dir — the staged fixture is the
+    # shared input on both sides.
+    from flink_infotheoretic_feature_selection_spark.sources.keel import read_keel
+
+    return read_keel(spark, _staged_keel_path())
+
+
+def _keel_read_oracle() -> str:
+    path = _staged_keel_path()
+    # Cell extraction mirrors sources/keel.py row-for-row: sparse rows
+    # resolve each attribute index against the `{idx value}` entry list
+    # (absent -> first nominal value / '0'), dense rows split on commas;
+    # both trim per cell, then map the missing-value tokens to NULL.
+    # TRY_CAST, not CAST: the entry list is computed for every row
+    # (vectorized, no branch short-circuit) and dense cells like 'red'
+    # must not abort — kcells only READS entries where is_sparse.
+    entries = (
+        r"list_transform(list_filter(string_split("
+        r"regexp_replace(trim(line), '^\{|\}$', '', 'g'), ','),"
+        r" t -> trim(t) <> ''),"
+        r" t -> {'k': TRY_CAST(string_split_regex(trim(t), '\s+')[1] AS INT),"
+        r"       'v': string_split_regex(trim(t), '\s+')[2]})"
+    )
+    cells = []
+    for idx, (name, vals) in enumerate(_KEEL_GATE_ATTRS):
+        default = vals[0] if vals else "0"
+        cells.append(
+            f"CASE WHEN is_sparse THEN coalesce(list_transform("
+            f"list_filter(entries, e -> e.k = {idx}), e -> e.v)[1], '{default}')"
+            f" ELSE trim(parts[{idx + 1}]) END AS c{idx}"
+        )
+    outs = []
+    for out_name, (name, vals), idx in [
+        ("ratio", _KEEL_GATE_ATTRS[2], 2),
+        ("color", _KEEL_GATE_ATTRS[0], 0),
+        ("cnt", _KEEL_GATE_ATTRS[1], 1),
+        ("label", _KEEL_GATE_ATTRS[3], 3),
+    ]:
+        cell = f"(CASE WHEN lower(c{idx}) IN ('?', '<null>') THEN NULL ELSE c{idx} END)"
+        if vals:  # nominal -> declared-order index (KeelParser.scala:27-32)
+            arms = " ".join(f"WHEN '{v}' THEN {i}" for i, v in enumerate(vals))
+            outs.append(f"CASE {cell} {arms} END AS {out_name}")
+        else:
+            outs.append(f"CAST({cell} AS DOUBLE) AS {out_name}")
+    return f"""
+    WITH klines AS (
+      SELECT value AS line
+      FROM read_csv('{path}', columns={{'value': 'VARCHAR'}}, header=false,
+                    delim=chr(1), quote='')
+      WHERE trim(value) <> '' AND substr(trim(value), 1, 1) <> '@'),
+    kparsed AS (
+      SELECT starts_with(trim(line), '{{') AS is_sparse,
+             string_split(line, ',') AS parts,
+             {entries} AS entries
+      FROM klines),
+    kcells AS (SELECT {", ".join(cells)} FROM kparsed)
+    SELECT {", ".join(outs)} FROM kcells
+    """
 
 
 # ---------------------------------------------------------------------------
@@ -1105,12 +1238,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_rollup": text.corpus_rollup,
         "lm_score": text.lm_score,
         "scrub_dup_spans": dedup.scrub_dup_spans,
+        # -- never driver-verified entries (must sit inside the cap):
+        # keel_read closes the last §2 gap (S1/S2 were unit-only);
+        # simhash64_mining is this round's consolidation of the former
+        # simhash64_pairs + simhash64_components slots (pays for
+        # keel_read — registry stays 74), both variants value-checked
+        # through the kind column.
+        "keel_read": _q_keel_read,
+        "simhash64_mining": _q_simhash64_mining,
         # -- r6-green streak-1 gates earning a 2nd consecutive row in the
-        # slots the rotation leaves free (5 batch + 3 streams; streams
-        # close the block — most wall-clock-expensive).
+        # remaining slots (streams close the block — most
+        # wall-clock-expensive).
         "simhash64_incremental": _q_simhash64_incremental,
-        "source_token_cap": text.source_token_cap,
-        "epoch_shuffle": text.epoch_shuffle,
         "cross_source_overlap": profile_ops.cross_source_overlap,
         "semantic_decontaminate": similarity.semantic_decontaminate,
         "stream_window_agg": _q_stream_window_agg,
@@ -1139,8 +1278,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_variants": _q_ann_ivf_all,
         "embedding_neardup": similarity.embedding_neardup_pairs,
         "embedding_quantize": similarity.embedding_quantize,
-        "simhash64_pairs": _q_simhash64_pairs,
-        "simhash64_components": _q_simhash64_components,
+        "source_token_cap": text.source_token_cap,
+        "epoch_shuffle": text.epoch_shuffle,
         "ann_ivf_kmeans": similarity.ivf_kmeans_fixture_topk,
         "stream_dedup": _q_stream_dedup,
         "stream_sessionize": _q_stream_sessionize,
@@ -1233,8 +1372,8 @@ def oracle_sql() -> dict[str, str]:
         "neardup_groups": dedup.neardup_groups_oracle(),
         "decontaminate": dedup.decontaminate_oracle(),
         "simhash_pairs": _simhash_all_oracle(),
-        "simhash64_pairs": dedup.simhash64_pairs_oracle(),
-        "simhash64_components": dedup.simhash64_components_oracle(),
+        "keel_read": _keel_read_oracle(),
+        "simhash64_mining": _simhash64_mining_oracle(),
         "simhash64_incremental": dedup.simhash64_incremental_oracle(),
         "source_token_cap": text.source_token_cap_oracle(),
         "epoch_shuffle": text.epoch_shuffle_oracle(),
