@@ -530,19 +530,26 @@ def _q_stream_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Streaming dedup with bounded state, rows-only gate (the stream
-    # machinery — dropDuplicatesWithinWatermark over a watermarked file
-    # source — has no DuckDB analogue; unit tests pin the values): two
-    # copies of the events file in one stream directory must dedup back
-    # to exactly the original event_ids.
+    # Streaming dedup with bounded state — the MULTI-BATCH gate (r6
+    # verdict ask #6): three copies of the events file drain through
+    # maxFilesPerTrigger=1, so the availableNow run executes >=3 real
+    # micro-batches and the hash-green result proves state carryover
+    # and watermark advance ACROSS batch boundaries, not just within
+    # one drain.  Batch 1 emits every event_id; the copy-2/copy-3
+    # duplicates must then vanish either way the boundary semantics
+    # cut: keys still inside the 2h watermark horizon hit retained
+    # dedup state, older rows are dropped by the late-record filter —
+    # both paths land on exactly the original event_ids (the oracle).
     from flink_infotheoretic_feature_selection_spark.streaming import (
         read_events_stream,
         streaming_dedup,
     )
 
-    d = _staged_stream_dir(sf_dir, "events.parquet", n_copies=2)
+    d = _staged_stream_dir(sf_dir, "events.parquet", n_copies=3)
     with _few_shuffle_partitions(spark):
-        dd = streaming_dedup(read_events_stream(spark, d)).select("event_id")
+        dd = streaming_dedup(
+            read_events_stream(spark, d, max_files_per_trigger=1)
+        ).select("event_id")
         q = (
             dd.writeStream.format("memory")
             .queryName("q_stream_dedup")
@@ -557,6 +564,15 @@ def _q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         if not q.awaitTermination(_STREAM_BUDGET_MS // 1000):
             q.stop()
             raise RuntimeError("stream_dedup did not finish in budget")
+        # the multi-batch contract is part of the gate: a Spark that
+        # ignored maxFilesPerTrigger under availableNow would silently
+        # degrade this back to the single-batch proof
+        n_batches = len([p for p in q.recentProgress if p["numInputRows"] > 0])
+        if n_batches < 3:
+            raise RuntimeError(
+                f"stream_dedup ran {n_batches} non-empty micro-batches; "
+                "the multi-batch gate requires >= 3"
+            )
     return spark.table("q_stream_dedup")
 
 
@@ -1252,7 +1268,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash64_incremental": _q_simhash64_incremental,
         "cross_source_overlap": profile_ops.cross_source_overlap,
         "semantic_decontaminate": similarity.semantic_decontaminate,
-        "stream_window_agg": _q_stream_window_agg,
+        "stream_dedup": _q_stream_dedup,  # code changed: multi-batch gate
         "stream_neardup_cands": _q_stream_neardup_cands,
         "stream_decontaminate": _q_stream_decontaminate,
         # ================= block B: past the 50-entry cap =================
@@ -1281,7 +1297,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_token_cap": text.source_token_cap,
         "epoch_shuffle": text.epoch_shuffle,
         "ann_ivf_kmeans": similarity.ivf_kmeans_fixture_topk,
-        "stream_dedup": _q_stream_dedup,
+        "stream_window_agg": _q_stream_window_agg,
         "stream_sessionize": _q_stream_sessionize,
     }
 

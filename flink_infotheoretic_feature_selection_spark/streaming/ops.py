@@ -48,7 +48,9 @@ __all__ = [
     "stream_feature_histogram",
 ]
 
-def read_events_stream(spark: SparkSession, path: str) -> DataFrame:
+def read_events_stream(
+    spark: SparkSession, path: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
     """File-source stream over an events parquet directory.
 
     File sources need an explicit schema (no inference mid-stream); new
@@ -56,9 +58,18 @@ def read_events_stream(spark: SparkSession, path: str) -> DataFrame:
     the existing files' footer (``datasets.events_read_plan``): a
     timestamp ``ts`` streams as-is, the long-nanos layout gets a narrow
     JVM-side nanos → micros conversion.
+
+    ``max_files_per_trigger`` caps files per micro-batch — with
+    ``Trigger.AvailableNow`` the drain then executes MULTIPLE
+    micro-batches (state carryover + watermark advance across batch
+    boundaries), which one unbounded availableNow batch never
+    exercises.
     """
     schema, ts_is_nanos = events_read_plan(path)
-    df = spark.readStream.schema(schema).parquet(path)
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    df = reader.parquet(path)
     if ts_is_nanos:
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return df
