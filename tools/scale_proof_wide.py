@@ -1,0 +1,109 @@
+"""Reference-shaped WIDE-matrix bench for the greedy selector (round 7).
+
+Every loop bench runs the 32-feature lineitem matrix, but the
+reference's own default workload is 631 attributes x ~8k rows
+(``InfoSelectorTest.scala:102-103``) — the regime where the greedy
+loop's per-iteration cost is linear in the REMAINING features and the
+blob volume grows with features x dims^2.  This script builds that
+shape (plus the README toy: 100 features x 100k rows), runs mRMR k=10,
+and records which hist3d_mi_cmi merge route engages (driver blob merge
+vs the distributed applyInPandas merge — the decision formula from
+``histogram.py::BLOB_DRIVER_MERGE_MAX_BYTES``).
+
+Deterministic synthetic data (seeded numpy): feature j has dim
+``2 + j % 7``; a quarter of the features carry label signal (value
+correlated with y), the rest are noise — so relevances spread and the
+greedy path is non-degenerate.
+
+Usage: python tools/scale_proof_wide.py [out_dir]   (default /tmp/wide)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def build_matrix(out: str, n_rows: int, n_feats: int, seed: int) -> str:
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng = np.random.default_rng(seed)
+    y = rng.integers(0, 2, size=n_rows)
+    cols = {}
+    for j in range(n_feats):
+        dim = 2 + j % 7
+        if j % 4 == 0:  # signal feature: leaks y with feature-dependent noise
+            noise = rng.integers(0, dim, size=n_rows)
+            flip = rng.random(n_rows) < (0.2 + 0.6 * (j % 8) / 8)
+            cols[f"f{j}"] = np.where(flip, noise, y % dim).astype(np.int32)
+        else:
+            cols[f"f{j}"] = rng.integers(0, dim, size=n_rows).astype(np.int32)
+    cols["label"] = y.astype(np.int32)
+    path = f"{out}/matrix_{n_feats}x{n_rows}.parquet"
+    os.makedirs(out, exist_ok=True)
+    pq.write_table(pa.table(cols), path)
+    return path
+
+
+def run_case(spark, path: str, n_feats: int, n_rows: int, k: int) -> dict:
+    from flink_infotheoretic_feature_selection_spark.operators.histogram import (
+        BLOB_DRIVER_MERGE_MAX_BYTES,
+    )
+    from flink_infotheoretic_feature_selection_spark.selector import InfoThSelector
+
+    feats = [f"f{j}" for j in range(n_feats)]
+    df = spark.read.parquet(path)
+    sel = InfoThSelector(
+        n_to_select=k, criterion="mrmr", feature_cols=feats, emit_f32=False
+    )
+    t0 = time.perf_counter()
+    model = sel.fit(df)
+    wall = time.perf_counter() - t0
+
+    # replay the merge-route decision for the FIRST loop iteration with
+    # the loop's own formula (partitions x sum(xdims) x y_dim x z_dim x 4B)
+    dims = {f"f{j}": 2 + j % 7 for j in range(n_feats)}
+    sc = spark.sparkContext
+    target = max(
+        1,
+        min(-(-n_rows // InfoThSelector.LOOP_ROWS_PER_PARTITION), sc.defaultParallelism),
+    )
+    n_parts = df.rdd.getNumPartitions()
+    loop_parts = target if n_rows >= 2 * InfoThSelector.LOOP_ROWS_PER_PARTITION else n_parts
+    best0 = model.selection_path[0][0]
+    xsum = sum(dims[c] for c in feats if c != best0)
+    blob_bytes = loop_parts * xsum * dims[best0] * 2 * 4
+    return {
+        "shape": f"{n_feats} feats x {n_rows} rows",
+        "mrmr_k10_sec": round(wall, 2),
+        "per_iter_sec": round(wall / k, 2),
+        "loop_partitions": loop_parts,
+        "iter1_blob_mb": round(blob_bytes / (1 << 20), 2),
+        "blob_bound_mb": BLOB_DRIVER_MERGE_MAX_BYTES >> 20,
+        "merge_path": "driver" if blob_bytes <= BLOB_DRIVER_MERGE_MAX_BYTES else "distributed",
+        "selection_head": [c for c, _ in model.selection_path[:5]],
+    }
+
+
+def main() -> None:
+    out = sys.argv[1] if len(sys.argv) > 1 else "/tmp/wide"
+    from flink_infotheoretic_feature_selection_spark.session import get_spark
+
+    spark = get_spark("scale_proof_wide", cpus=os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+    results = []
+    for n_rows, n_feats in ((8192, 631), (100_000, 100)):
+        path = build_matrix(out, n_rows, n_feats, seed=n_feats)
+        results.append(run_case(spark, path, n_feats, n_rows, k=10))
+        print(json.dumps(results[-1]), flush=True)
+    print(json.dumps({"wide_matrix_proof": results}), flush=True)
+
+
+if __name__ == "__main__":
+    main()
