@@ -939,15 +939,25 @@ def _q_keel_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_keel(spark, _staged_keel_path())
 
 
-def _keel_read_oracle() -> str:
-    path = _staged_keel_path()
-    # Cell extraction mirrors sources/keel.py row-for-row: sparse rows
-    # resolve each attribute index against the `{idx value}` entry list
-    # (absent -> first nominal value / '0'), dense rows split on commas;
-    # both trim per cell, then map the missing-value tokens to NULL.
-    # TRY_CAST, not CAST: the entry list is computed for every row
-    # (vectorized, no branch short-circuit) and dense cells like 'red'
-    # must not abort — kcells only READS entries where is_sparse.
+def keel_oracle_sql(
+    path: str,
+    attrs: list[tuple[str, list[str] | None]],
+    inputs: list[str],
+    label: str,
+    label_as: str = "label",
+) -> str:
+    """DuckDB re-parse of a KEEL file — the oracle twin of
+    ``sources.keel.read_keel`` for ANY attribute spec (the gate passes
+    the fixed fixture; the randomized KEEL sweep generates specs).
+
+    Cell extraction mirrors sources/keel.py row-for-row: sparse rows
+    resolve each attribute index against the `{idx value}` entry list
+    (absent -> first nominal value / '0'), dense rows split on commas;
+    both trim per cell, then map the missing-value tokens to NULL.
+    TRY_CAST, not CAST: the entry list is computed for every row
+    (vectorized, no branch short-circuit) and dense cells like 'red'
+    must not abort — kcells only READS entries where is_sparse.
+    """
     entries = (
         r"list_transform(list_filter(string_split("
         r"regexp_replace(trim(line), '^\{|\}$', '', 'g'), ','),"
@@ -956,20 +966,18 @@ def _keel_read_oracle() -> str:
         r"       'v': string_split_regex(trim(t), '\s+')[2]})"
     )
     cells = []
-    for idx, (name, vals) in enumerate(_KEEL_GATE_ATTRS):
+    for idx, (name, vals) in enumerate(attrs):
         default = vals[0] if vals else "0"
         cells.append(
             f"CASE WHEN is_sparse THEN coalesce(list_transform("
             f"list_filter(entries, e -> e.k = {idx}), e -> e.v)[1], '{default}')"
             f" ELSE trim(parts[{idx + 1}]) END AS c{idx}"
         )
+    by_name = {name: (idx, vals) for idx, (name, vals) in enumerate(attrs)}
+    out_cols = [(n, n) for n in inputs if n != label] + [(label, label_as)]
     outs = []
-    for out_name, (name, vals), idx in [
-        ("ratio", _KEEL_GATE_ATTRS[2], 2),
-        ("color", _KEEL_GATE_ATTRS[0], 0),
-        ("cnt", _KEEL_GATE_ATTRS[1], 1),
-        ("label", _KEEL_GATE_ATTRS[3], 3),
-    ]:
+    for name, out_name in out_cols:
+        idx, vals = by_name[name]
         cell = f"(CASE WHEN lower(c{idx}) IN ('?', '<null>') THEN NULL ELSE c{idx} END)"
         if vals:  # nominal -> declared-order index (KeelParser.scala:27-32)
             arms = " ".join(f"WHEN '{v}' THEN {i}" for i, v in enumerate(vals))
@@ -990,6 +998,15 @@ def _keel_read_oracle() -> str:
     kcells AS (SELECT {", ".join(cells)} FROM kparsed)
     SELECT {", ".join(outs)} FROM kcells
     """
+
+
+def _keel_read_oracle() -> str:
+    return keel_oracle_sql(
+        _staged_keel_path(),
+        _KEEL_GATE_ATTRS,
+        inputs=["ratio", "color", "cnt"],
+        label="class",
+    )
 
 
 # ---------------------------------------------------------------------------
