@@ -1,0 +1,332 @@
+"""PackedMatrix — the greedy loop's iteration substrate.
+
+The reference's Flink job caches a hand-built columnar byte layout once
+and then runs every bulk-iteration superstep against it
+(``InfoSelector.scala:421-437``, ``InfoTheory.scala:474-521``).  The
+round-3..6 Spark loop re-read the Tungsten DataFrame cache through a
+fresh ``mapInArrow`` plan every iteration — correct, but each iteration
+re-paid (a) Catalyst analysis of a fresh plan (``remaining`` shrinks and
+``best`` changes, so the plan never repeats) and (b) the row-cache →
+Arrow columnar conversion of the full matrix.  Measured at sf0.1
+(600k × 33 tinyint, 10 partitions, local[32]): 0.63-0.73 s per
+iteration, of which the NumPy bincount work is ~0.03 s.
+
+This module packs the matrix ONCE into a persisted RDD of per-partition
+NumPy column blocks — the true Spark analogue of the reference's
+one-time transpose-and-cache.  Each greedy iteration is then a plain
+``mapPartitions`` closure over the already-columnar blocks: no Catalyst
+plan, no Arrow conversion, no Python-worker re-serialization of the
+data (the blocks stay cached in the Python workers' block store).
+Measured: 0.26-0.30 s per iteration on the same workload — 2.3× — and
+the win grows with column count (the 631-feature reference-shaped
+matrix pays Arrow conversion per column).
+
+This is the documented "RDD only where per-partition imperative logic
+is genuine" exception: the greedy loop is driver-side imperative by
+design (SURVEY.md §7.1), and its inner pass is a fixed NumPy kernel
+over data whose layout never changes across k iterations.
+
+Scale shape (100 TB): the packed RDD is the same bytes as the DataFrame
+cache (int8/int16 columns, per-partition dict overhead amortized), it
+inherits the loop's 65536-rows-per-partition layout, and partials
+follow the same two-regime merge as ``histogram.hist3d_mi_cmi``:
+``partitions × Σxd × y_dim × z_dim × 4`` bytes under
+``BLOB_DRIVER_MERGE_MAX_BYTES`` are collected and merged on the driver
+(one stage, no shuffle); above the bound, int32 partials flow through a
+``combineByKey`` (int64 accumulators — merge order cannot change exact
+integer sums) and MI/CMI run executor-side, so the driver collects
+``n_features`` scalars.  Bit-equality of both regimes against the
+DataFrame route is pinned by tests/test_packed.py.
+"""
+
+from __future__ import annotations
+
+import pickle
+from typing import Iterator
+
+import numpy as np
+import pyarrow as pa
+from pyspark.sql import DataFrame
+from pyspark.storagelevel import StorageLevel
+
+__all__ = ["PackedMatrix"]
+
+
+def _block_of(batches: list[pa.RecordBatch], cols: list[str]) -> dict[str, np.ndarray]:
+    arrs: dict[str, np.ndarray] = {}
+    for i, c in enumerate(cols):
+        chunks = [b.column(i).to_numpy(zero_copy_only=False) for b in batches]
+        arrs[c] = chunks[0] if len(chunks) == 1 else np.concatenate(chunks)
+    return arrs
+
+
+class PackedMatrix:
+    """Per-partition NumPy column blocks of a wide discrete matrix,
+    persisted as an RDD.
+
+    Build with :meth:`pack`; release with :meth:`unpersist`.  All
+    histogram methods return exact integer-merged results bit-identical
+    to the ``histogram.py`` DataFrame routes (same int64 partition
+    accumulators, same int32 partial emit, same f64 MI/CMI math).
+    """
+
+    def __init__(self, rdd, cols: list[str], n_partitions: int) -> None:
+        self.rdd = rdd
+        self.cols = list(cols)
+        self.n_partitions = n_partitions
+
+    @classmethod
+    def pack(
+        cls,
+        matrix: DataFrame,
+        cols: list[str],
+        n_partitions: int | None = None,
+        storage_level: StorageLevel = StorageLevel.MEMORY_AND_DISK,
+    ) -> "PackedMatrix":
+        """One scan of ``matrix`` → persisted RDD of column blocks.
+
+        ``n_partitions`` (when it differs from the input layout) rides
+        the same single scan: the round-robin repartition exchange feeds
+        ``mapInArrow`` directly, so no second DataFrame persist exists —
+        the pack IS the repartitioned cache.
+        """
+        cols = list(cols)
+        src = matrix.select(*cols)
+        if n_partitions is not None and src.rdd.getNumPartitions() != n_partitions:
+            src = src.repartition(n_partitions)
+
+        def pack_batches(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+            got = list(batches)
+            if got:
+                blob = pickle.dumps(_block_of(got, cols), protocol=pickle.HIGHEST_PROTOCOL)
+                yield pa.RecordBatch.from_arrays(
+                    [pa.array([blob], type=pa.binary())], names=["blk"]
+                )
+
+        rdd = (
+            src.mapInArrow(pack_batches, "blk binary")
+            .rdd.map(lambda r: pickle.loads(r.blk))
+            .persist(storage_level)
+        )
+        n_parts = rdd.getNumPartitions()
+        rdd.count()  # materialize: downstream timing is pure iteration cost
+        return cls(rdd, cols, n_parts)
+
+    def unpersist(self) -> None:
+        self.rdd.unpersist()
+
+    # -- stats / layout ------------------------------------------------------
+
+    def dims_and_count(self, cap: int = 256) -> tuple[dict[str, int], int]:
+        """Per-column ``min(max+1, cap)`` + row count from the blocks —
+        the packed twin of ``histogram.feature_dims_and_count`` (same
+        errors on empty / all-NULL input, same cap semantics,
+        ``InfoTheory.scala:413-419``).
+
+        On wide schemas this replaces a Catalyst aggregate whose plan
+        cost grows badly with column count (measured on 632 columns ×
+        8k rows, local[32]: 60.9 s for the max-per-column agg vs 0.17 s
+        here — NumPy ``max`` per block, scalars to the driver).
+        """
+        import math
+
+        cols = self.cols
+        stats = self.rdd.map(
+            lambda blk: (
+                [float(blk[c].max()) if blk[c].size else float("nan") for c in cols],
+                len(blk[cols[0]]),
+            )
+        ).collect()
+        n = sum(s[1] for s in stats)
+        maxes = [
+            max((s[0][i] for s in stats), default=float("nan"))
+            for i in range(len(cols))
+        ]
+        missing = [c for i, c in enumerate(cols) if math.isnan(maxes[i])]
+        if n == 0 or missing:
+            raise ValueError(
+                "cannot derive dims: input is empty or columns are all-NULL: "
+                f"{missing or cols}"
+            )
+        return {c: min(int(maxes[i]) + 1, cap) for i, c in enumerate(cols)}, n
+
+    def validate_byte_range(self, cols: list[str]) -> list[str]:
+        """Columns violating the non-null-integer-in-[0,255] contract —
+        the packed twin of ``InfoThSelector._validate_byte_range`` (one
+        pass, NULLs arrive as NaN through Arrow's null→float promotion)."""
+        cols = list(cols)
+
+        def check(blk):
+            bad = []
+            for c in cols:
+                a = blk[c]
+                if a.size == 0:
+                    continue
+                if a.dtype.kind == "f":
+                    # Arrow promotes nullable ints to float; NaN is a NULL
+                    if np.isnan(a).any() or np.any(a % 1 != 0):
+                        bad.append(c)
+                        continue
+                if a.min() < 0 or a.max() > 255:
+                    bad.append(c)
+            return bad
+
+        seen = set().union(*self.rdd.map(check).collect(), set())
+        return [c for c in cols if c in seen]
+
+    def rebalance(
+        self,
+        n_partitions: int,
+        rows_per_partition: int,
+        storage_level: StorageLevel = StorageLevel.MEMORY_AND_DISK,
+    ) -> "PackedMatrix":
+        """Re-layout the blocks to ``n_partitions`` without touching the
+        source: each block splits into ≤``rows_per_partition``-row chunks
+        at the NumPy level, chunks shuffle (pickled, no Arrow), each new
+        partition concatenates what it received.  Exactness is untouched
+        — histogram merges are partition-agnostic integer sums.  The old
+        RDD is unpersisted; a new materialized PackedMatrix returns."""
+        cols = self.cols
+
+        def split(blk):
+            nrows = len(blk[cols[0]])
+            step = max(1, rows_per_partition)
+            if nrows <= step:
+                yield blk
+                return
+            for lo in range(0, nrows, step):
+                yield {c: blk[c][lo : lo + step] for c in cols}
+
+        def concat(chunks):
+            got = list(chunks)
+            if got:
+                yield {
+                    c: (got[0][c] if len(got) == 1 else np.concatenate([g[c] for g in got]))
+                    for c in cols
+                }
+
+        rdd = (
+            self.rdd.flatMap(split)
+            .repartition(n_partitions)
+            .mapPartitions(concat)
+            .persist(storage_level)
+        )
+        rdd.count()
+        self.unpersist()
+        return PackedMatrix(rdd, cols, rdd.getNumPartitions())
+
+    # -- histograms --------------------------------------------------------
+
+    def relevances(
+        self,
+        feature_cols: list[str],
+        y_col: str,
+        dims: dict[str, int],
+        n: int,
+        emit_f32: bool = True,
+    ) -> dict[str, float]:
+        """MI(x; y) for every feature in one pass — the packed twin of
+        ``hist2d`` + ``collect_hist2d`` + ``mutual_info`` (stage 2 of the
+        fit; ``InfoTheory.scala:413-432``).  2-D tables are tiny
+        (Σxd × y_dim ints), always driver-merged."""
+        from flink_infotheoretic_feature_selection_spark.functions.infotheory import mutual_info
+
+        feats = list(feature_cols)
+        y_dim = dims[y_col]
+        xd = [dims[c] for c in feats]
+
+        def partials(blocks):
+            for blk in blocks:
+                y = blk[y_col].astype(np.int64)
+                yield [
+                    np.bincount(
+                        blk[c].astype(np.int64) * y_dim + y, minlength=xd[fi] * y_dim
+                    )
+                    for fi, c in enumerate(feats)
+                ]
+
+        totals = [np.zeros(d * y_dim, dtype=np.int64) for d in xd]
+        for part in self.rdd.mapPartitions(partials).collect():
+            for fi, acc in enumerate(part):
+                totals[fi] += acc
+        return {
+            c: mutual_info(totals[fi].reshape(xd[fi], y_dim), n, emit_f32=emit_f32)
+            for fi, c in enumerate(feats)
+        }
+
+    def hist3d_mi_cmi(
+        self,
+        feature_cols: list[str],
+        y_col: str,
+        z_col: str,
+        dims: dict[str, int],
+        n: int,
+        emit_f32: bool = True,
+    ) -> dict[str, tuple[float, float]]:
+        """``{feature: (MI(x;y), CMI(x;y|z))}`` — one redundancy pass of
+        the greedy loop, same contract and bit-identical output as
+        ``histogram.hist3d_mi_cmi`` (``InfoTheory.scala:535-586``)."""
+        from flink_infotheoretic_feature_selection_spark.functions.infotheory import mi_and_cmi
+        from flink_infotheoretic_feature_selection_spark.operators.histogram import (
+            BLOB_DRIVER_MERGE_MAX_BYTES,
+        )
+
+        feats = list(feature_cols)
+        y_dim, z_dim = dims[y_col], dims[z_col]
+        yz = y_dim * z_dim
+        xd = [dims[c] for c in feats]
+
+        def partials(blocks):
+            for blk in blocks:
+                yz_code = blk[y_col].astype(np.int64) * z_dim + blk[z_col].astype(np.int64)
+                yield [
+                    np.bincount(
+                        blk[c].astype(np.int64) * yz + yz_code, minlength=xd[fi] * yz
+                    )
+                    for fi, c in enumerate(feats)
+                ]
+
+        blob_bytes = self.n_partitions * sum(xd) * yz * 4
+        if blob_bytes <= BLOB_DRIVER_MERGE_MAX_BYTES:
+            totals = [np.zeros(d * yz, dtype=np.int64) for d in xd]
+            for part in self.rdd.mapPartitions(partials).collect():
+                for fi, acc in enumerate(part):
+                    totals[fi] += acc
+            scores = {
+                feats[fi]: mi_and_cmi(
+                    totals[fi].reshape(xd[fi], y_dim, z_dim), n, emit_f32=emit_f32
+                )
+                for fi in range(len(feats))
+            }
+        else:
+            # 100 TB regime: int32 partial emit (histogram.py's shuffle
+            # volume), int64 combiners (exact merge in any order),
+            # executor-side MI/CMI, n_features scalars to the driver.
+            def kv_partials(blocks):
+                for part in partials(blocks):
+                    for fi, acc in enumerate(part):
+                        yield fi, acc.astype(np.int32)
+
+            merged = (
+                self.rdd.mapPartitions(kv_partials)
+                .combineByKey(
+                    lambda v: v.astype(np.int64),
+                    lambda a, v: a + v,
+                    lambda a, b: a + b,
+                    numPartitions=min(len(feats), self.n_partitions),
+                )
+                .map(
+                    lambda kv: (
+                        kv[0],
+                        mi_and_cmi(
+                            kv[1].reshape(xd[kv[0]], y_dim, z_dim), n, emit_f32=emit_f32
+                        ),
+                    )
+                )
+                .collect()
+            )
+            scores = {feats[fi]: mi_cmi for fi, mi_cmi in merged}
+        # empty matrix → no blocks → zero histograms, like collect_hist3d
+        for c in feats:
+            scores.setdefault(c, (0.0, 0.0))
+        return scores

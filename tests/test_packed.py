@@ -1,0 +1,141 @@
+"""PackedMatrix (operators/packed.py) — bit-equality against the
+DataFrame histogram routes, both merge regimes, and fit parity between
+``loop_engine="packed"`` and ``loop_engine="arrow"``.
+
+The packed substrate replaces the per-iteration mapInArrow pass of the
+greedy loop; these tests pin that the replacement changes NOTHING about
+the numbers — same int64 partition accumulators, same exact integer
+merges, same MI/CMI floats, same selection paths.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from flink_infotheoretic_feature_selection_spark import InfoThSelector
+from flink_infotheoretic_feature_selection_spark.datasets import features_dense
+from flink_infotheoretic_feature_selection_spark.operators import histogram
+from flink_infotheoretic_feature_selection_spark.operators.histogram import (
+    collect_hist2d,
+    feature_dims_and_count,
+    hist2d,
+    hist3d_mi_cmi,
+)
+from flink_infotheoretic_feature_selection_spark.operators.packed import PackedMatrix
+from flink_infotheoretic_feature_selection_spark.functions.infotheory import mutual_info
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def matrix(spark):
+    df = features_dense(spark, SF_DIR).persist()
+    df.count()
+    yield df
+    df.unpersist()
+
+
+@pytest.fixture(scope="module")
+def packed(matrix):
+    feats = [c for c in matrix.columns if c != "label"]
+    pm = PackedMatrix.pack(matrix, feats + ["label"], n_partitions=4)
+    yield pm
+    pm.unpersist()
+
+
+def _dims_n(matrix):
+    cols = list(matrix.columns)
+    return feature_dims_and_count(matrix, cols)
+
+
+def test_relevances_bit_equal_hist2d_route(matrix, packed):
+    feats = [c for c in matrix.columns if c != "label"]
+    dims, n = _dims_n(matrix)
+    y_dim = dims["label"]
+    h2 = collect_hist2d(hist2d(matrix, feats, "label", dims, y_dim), feats, dims, y_dim)
+    want = {c: mutual_info(h2[c], n, emit_f32=True) for c in feats}
+    got = packed.relevances(feats, "label", dims, n, emit_f32=True)
+    assert got == want  # exact float equality, not approx
+
+
+@pytest.mark.parametrize("forced_regime", ["driver", "distributed"])
+def test_hist3d_mi_cmi_bit_equal_both_regimes(matrix, packed, forced_regime, monkeypatch):
+    feats = [c for c in matrix.columns if c != "label"]
+    dims, n = _dims_n(matrix)
+    best, remaining = feats[3], [c for c in feats if c != feats[3]]
+    if forced_regime == "distributed":
+        # force the combineByKey/executor-side-MI path on tiny data
+        monkeypatch.setattr(histogram, "BLOB_DRIVER_MERGE_MAX_BYTES", 0)
+    want = hist3d_mi_cmi(
+        matrix, remaining, best, "label", dims, dims[best], dims["label"], n,
+        emit_f32=True,
+    )
+    got = packed.hist3d_mi_cmi(remaining, best, "label", dims, n, emit_f32=True)
+    assert got == want  # exact float equality in BOTH regimes
+
+
+@pytest.mark.parametrize("criterion", ["mrmr", "cmim", "mim"])
+def test_fit_identical_packed_vs_arrow(matrix, criterion):
+    a = InfoThSelector(n_to_select=6, criterion=criterion, loop_engine="arrow").fit(matrix)
+    p = InfoThSelector(n_to_select=6, criterion=criterion, loop_engine="packed").fit(matrix)
+    assert p.selection_path == a.selection_path
+    assert p.relevances == a.relevances
+    assert p.selected_cols == a.selected_cols
+
+
+def test_loop_engine_validated():
+    with pytest.raises(ValueError, match="loop_engine"):
+        InfoThSelector(loop_engine="flink")
+
+
+def test_dims_and_count_matches_catalyst_route(matrix, packed):
+    want = feature_dims_and_count(matrix, list(matrix.columns))
+    assert packed.dims_and_count() == want
+
+
+def test_dims_and_count_raises_on_empty(spark, matrix):
+    empty = matrix.limit(0)
+    pm = PackedMatrix.pack(empty, list(matrix.columns))
+    try:
+        with pytest.raises(ValueError, match="empty or .*all-NULL"):
+            pm.dims_and_count()
+    finally:
+        pm.unpersist()
+
+
+def test_validate_byte_range_flags_null_and_range(spark):
+    rows = [(1, None, 300, 2), (0, 3, 1, 2)]
+    df = spark.createDataFrame(rows, "f0 int, f1 int, f2 int, label int")
+    pm = PackedMatrix.pack(df, ["f0", "f1", "f2", "label"])
+    try:
+        assert pm.validate_byte_range(["f0", "f1", "f2"]) == ["f1", "f2"]
+    finally:
+        pm.unpersist()
+
+
+def test_rebalance_preserves_histograms(matrix, packed):
+    feats = [c for c in matrix.columns if c != "label"]
+    dims, n = _dims_n(matrix)
+    best, remaining = feats[0], feats[1:6]
+    want = packed.hist3d_mi_cmi(remaining, best, "label", dims, n)
+    pm2 = PackedMatrix.pack(matrix, feats + ["label"], n_partitions=2)
+    try:
+        pm3 = pm2.rebalance(6, rows_per_partition=max(1, n // 6))
+        assert pm3.n_partitions >= 2  # actually re-laid-out
+        assert pm3.dims_and_count() == (dims, n)
+        assert pm3.hist3d_mi_cmi(remaining, best, "label", dims, n) == want
+        pm3.unpersist()
+    finally:
+        pm2.unpersist()
+
+
+def test_pack_keeps_layout_when_target_none(matrix):
+    feats = [c for c in matrix.columns if c != "label"]
+    pm = PackedMatrix.pack(matrix, feats + ["label"], n_partitions=None)
+    try:
+        assert pm.n_partitions == matrix.rdd.getNumPartitions()
+        blocks = pm.rdd.collect()
+        assert sum(len(b["label"]) for b in blocks) == matrix.count()
+        assert list(blocks[0].keys()) == feats + ["label"]
+    finally:
+        pm.unpersist()
