@@ -49,7 +49,7 @@ import pyarrow as pa
 from pyspark.sql import DataFrame
 from pyspark.storagelevel import StorageLevel
 
-__all__ = ["PackedMatrix"]
+__all__ = ["PackedMatrix", "PackedSparse"]
 
 
 def _block_of(batches: list[pa.RecordBatch], cols: list[str]) -> dict[str, np.ndarray]:
@@ -330,3 +330,197 @@ class PackedMatrix:
         for c in feats:
             scores.setdefault(c, (0.0, 0.0))
         return scores
+
+
+class PackedSparse:
+    """CSC-style per-partition blocks of the label-attached nonzero
+    cells — the sparse twin of :class:`PackedMatrix`.
+
+    Input contract: a DataFrame ``(row_id, feat, x, y)`` whose
+    partitioning CO-LOCATES every cell of a row (the selector's merge
+    zipper join on ``row_id`` guarantees this — its SMJ exchange hash
+    partitions the output by ``row_id``).  Co-location is what makes the
+    per-iteration z-attach (selected feature's value per row) a purely
+    partition-local scatter, so the greedy loop runs with ZERO
+    per-iteration shuffles or joins — the SQL route
+    (``SparseInfoThSelector`` with ``loop_engine="sql"``) pays a fresh
+    plan + zipper join + sparse-cell ``toPandas`` per iteration instead.
+
+    Block layout (built once, NumPy): cells stable-sorted by ``feat``
+    with ``ptr[f]:ptr[f+1]`` slicing (the CSC column pointer), per-cell
+    ``x``/``y``/local-row arrays, local row count.  Zero-crediting stays
+    EXACTLY where the SQL route put it — on the driver against the
+    dims-bounded global ``N_y`` / ``N_zy`` tables
+    (``InfoTheory.scala:296-304``, ``:377-384``) — so histograms and
+    scores are bit-identical (pinned by tests/test_packed.py).
+    """
+
+    def __init__(self, rdd, n_features: int, n_partitions: int) -> None:
+        self.rdd = rdd
+        self.n_features = int(n_features)
+        self.n_partitions = n_partitions
+
+    @classmethod
+    def pack(
+        cls,
+        nzy: DataFrame,
+        n_features: int,
+        storage_level: StorageLevel = StorageLevel.MEMORY_AND_DISK,
+    ) -> "PackedSparse":
+        nf = int(n_features)
+
+        def pack_batches(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+            got = list(batches)
+            if not got:
+                return
+            cols = {
+                name: np.concatenate(
+                    [b.column(b.schema.get_field_index(name)).to_numpy(zero_copy_only=False) for b in got]
+                )
+                for name in ("row_id", "feat", "x", "y")
+            }
+            feat = cols["feat"].astype(np.int64)
+            x = cols["x"].astype(np.int64)
+            y = cols["y"].astype(np.int64)
+            if feat.size and (x.min() < 0 or y.min() < 0 or feat.min() < 0):
+                # the SQL route raises the same contract error when the
+                # collected histogram cells go negative
+                raise ValueError("sparse histogram indices must be >= 0")
+            _, inv = np.unique(cols["row_id"], return_inverse=True)
+            order = np.argsort(feat, kind="stable")
+            # int32 cell arrays: halves the block bytes the persisted RDD
+            # re-deserializes on EVERY job (the per-job floor) — x/y are
+            # byte-ranged by contract (the >=0 check above and the
+            # caller's dim>256 check run on these stored values, so a
+            # wild cell still errors, int32 can't overflow on [0, 2^31)),
+            # local row index is < 2^31 rows per partition by construction
+            blk = {
+                "ptr": np.searchsorted(feat[order], np.arange(nf + 1)),
+                "x": x[order].astype(np.int32),
+                "y": y[order].astype(np.int32),
+                "row": inv[order].astype(np.int32),
+                "nrows": int(inv.max()) + 1 if inv.size else 0,
+            }
+            yield pa.RecordBatch.from_arrays(
+                [pa.array([pickle.dumps(blk, protocol=pickle.HIGHEST_PROTOCOL)], type=pa.binary())],
+                names=["blk"],
+            )
+
+        rdd = (
+            nzy.select("row_id", "feat", "x", "y")
+            .mapInArrow(pack_batches, "blk binary")
+            .rdd.map(lambda r: pickle.loads(r.blk))
+            .persist(storage_level)
+        )
+        n_parts = rdd.getNumPartitions()
+        rdd.count()
+        return cls(rdd, nf, n_parts)
+
+    def unpersist(self) -> None:
+        self.rdd.unpersist()
+
+    def dims_and_hist2d(self, y_dim: int) -> tuple[dict[int, int], dict[int, np.ndarray]]:
+        """ONE pass: per-feature dims (``max(x)+1`` over the nonzeros,
+        UNCAPPED — the caller applies the 256-contract check with its own
+        message; empty features get dim 1, mirroring the SQL route's
+        ``max(drow.get(i, 1), 1)``) AND the global ``count(x, y)``
+        nonzero tables (``(dims[f], y_dim)`` int64).
+
+        Dims ride the histogram for free: each partition bincounts codes
+        ``x·y_dim + y`` with NO minlength, so the bincount LENGTH is
+        ``local_max_code + 1`` and ``ceil(len / y_dim)`` is the local
+        ``max(x)+1``; the driver pads partials to the global length
+        before the exact integer merge.  The caller credits the x=0 row
+        from ``N_y`` exactly like the SQL route's ``collect2d``."""
+        nf = self.n_features
+
+        def partials(blocks):
+            for blk in blocks:
+                ptr, x, y = blk["ptr"], blk["x"], blk["y"]
+                # upcast before the code product: blocks store int32
+                yield [
+                    np.bincount(
+                        x[ptr[f] : ptr[f + 1]].astype(np.int64) * y_dim
+                        + y[ptr[f] : ptr[f + 1]]
+                    )
+                    for f in range(nf)
+                ]
+
+        parts = self.rdd.mapPartitions(partials).collect()
+        dims = {
+            f: max(-(-max((len(p[f]) for p in parts), default=0) // y_dim), 1)
+            for f in range(nf)
+        }
+        totals = [np.zeros(dims[f] * y_dim, dtype=np.int64) for f in range(nf)]
+        for part in parts:
+            for f, acc in enumerate(part):
+                totals[f][: len(acc)] += acc
+        return dims, {f: totals[f].reshape(dims[f], y_dim) for f in range(nf)}
+
+    def hist3d_nonzero(
+        self,
+        remaining: list[int],
+        best: int,
+        dims: dict[int, int],
+        sel_dim: int,
+        y_dim: int,
+    ) -> dict[int, np.ndarray]:
+        """Global ``count(x, z=selected, y)`` over the nonzero cells of
+        every remaining feature (``(dims[f], sel_dim, y_dim)`` int64) —
+        ONE partition-local pass, no join: z comes from scattering the
+        selected feature's cells onto the partition's local row index.
+
+        Driver merge under ``BLOB_DRIVER_MERGE_MAX_BYTES`` (the loop's
+        tables are near-dense); above it, int32 partials flow through a
+        ``combineByKey`` int64 merge and only the merged per-feature
+        tables return — same two-regime shape as the dense path.
+        """
+        from flink_infotheoretic_feature_selection_spark.operators.histogram import (
+            BLOB_DRIVER_MERGE_MAX_BYTES,
+        )
+
+        rem = list(remaining)
+        szy = sel_dim * y_dim
+
+        def block_tables(blk):
+            ptr, x, y, row = blk["ptr"], blk["x"], blk["y"], blk["row"]
+            z_row = np.zeros(blk["nrows"], dtype=np.int64)
+            sl = slice(ptr[best], ptr[best + 1])
+            z_row[row[sl]] = x[sl]
+            for f in rem:
+                fsl = slice(ptr[f], ptr[f + 1])
+                # int64 upcast first: blocks store int32 cells
+                code = x[fsl].astype(np.int64) * szy + z_row[row[fsl]] * y_dim + y[fsl]
+                yield f, np.bincount(code, minlength=dims[f] * szy)
+
+        blob_bytes = self.n_partitions * sum(dims[f] for f in rem) * szy * 4
+        if blob_bytes <= BLOB_DRIVER_MERGE_MAX_BYTES:
+            totals = {f: np.zeros(dims[f] * szy, dtype=np.int64) for f in rem}
+
+            def partials(blocks):
+                for blk in blocks:
+                    yield list(block_tables(blk))
+
+            for part in self.rdd.mapPartitions(partials).collect():
+                for f, acc in part:
+                    totals[f] += acc
+        else:
+            def kv_partials(blocks):
+                for blk in blocks:
+                    for f, acc in block_tables(blk):
+                        yield f, acc.astype(np.int32)
+
+            merged = (
+                self.rdd.mapPartitions(kv_partials)
+                .combineByKey(
+                    lambda v: v.astype(np.int64),
+                    lambda a, v: a + v,
+                    lambda a, b: a + b,
+                    numPartitions=min(len(rem), self.n_partitions) or 1,
+                )
+                .collect()
+            )
+            totals = {f: np.zeros(dims[f] * szy, dtype=np.int64) for f in rem}
+            for f, arr in merged:
+                totals[f] = arr
+        return {f: totals[f].reshape(dims[f], sel_dim, y_dim) for f in rem}

@@ -129,6 +129,58 @@ def test_rebalance_preserves_histograms(matrix, packed):
         pm2.unpersist()
 
 
+@pytest.mark.parametrize("criterion", ["mrmr", "cmim"])
+def test_sparse_fit_identical_packed_vs_sql(matrix, criterion):
+    from flink_infotheoretic_feature_selection_spark.operators.sparse import matrix_to_sparse_long
+    from flink_infotheoretic_feature_selection_spark.selector import SparseInfoThSelector
+
+    feats = [c for c in matrix.columns if c != "label"][:8]
+    base, nz, labels = matrix_to_sparse_long(matrix, feats)
+    try:
+        a = SparseInfoThSelector(
+            n_features=8, n_to_select=4, criterion=criterion, loop_engine="sql"
+        ).fit(nz, labels)
+        p = SparseInfoThSelector(
+            n_features=8, n_to_select=4, criterion=criterion, loop_engine="packed"
+        ).fit(nz, labels)
+        assert p.selection_path == a.selection_path
+        assert p.relevances == a.relevances
+    finally:
+        base.unpersist()
+
+
+def test_sparse_packed_distributed_merge_regime(matrix, monkeypatch):
+    from flink_infotheoretic_feature_selection_spark.operators.sparse import matrix_to_sparse_long
+    from flink_infotheoretic_feature_selection_spark.selector import SparseInfoThSelector
+
+    feats = [c for c in matrix.columns if c != "label"][:8]
+    base, nz, labels = matrix_to_sparse_long(matrix, feats)
+    try:
+        want = SparseInfoThSelector(
+            n_features=8, n_to_select=4, loop_engine="sql"
+        ).fit(nz, labels)
+        # force every per-iteration merge through combineByKey
+        monkeypatch.setattr(histogram, "BLOB_DRIVER_MERGE_MAX_BYTES", 0)
+        got = SparseInfoThSelector(
+            n_features=8, n_to_select=4, loop_engine="packed"
+        ).fit(nz, labels)
+        assert got.selection_path == want.selection_path
+        assert got.relevances == want.relevances
+    finally:
+        base.unpersist()
+
+
+def test_sparse_packed_rejects_negative_indices(spark):
+    from flink_infotheoretic_feature_selection_spark.selector import SparseInfoThSelector
+
+    nz = spark.createDataFrame([(0, 1, -2)], "row_id long, feat int, x int")
+    labels = spark.createDataFrame([(0, 1)], "row_id long, y int")
+    with pytest.raises(Exception, match=">= 0|negative"):
+        SparseInfoThSelector(n_features=2, n_to_select=1, loop_engine="packed").fit(
+            nz, labels
+        )
+
+
 def test_pack_keeps_layout_when_target_none(matrix):
     feats = [c for c in matrix.columns if c != "label"]
     pm = PackedMatrix.pack(matrix, feats + ["label"], n_partitions=None)
