@@ -181,21 +181,14 @@ class PackedMatrix:
         storage_level: StorageLevel = StorageLevel.MEMORY_AND_DISK,
     ) -> "PackedMatrix":
         """Re-layout the blocks to ``n_partitions`` without touching the
-        source: each block splits into ≤``rows_per_partition``-row chunks
-        at the NumPy level, chunks shuffle (pickled, no Arrow), each new
-        partition concatenates what it received.  Exactness is untouched
-        — histogram merges are partition-agnostic integer sums.  The old
-        RDD is unpersisted; a new materialized PackedMatrix returns."""
+        source.  Consolidating (fewer partitions) is a shuffle-free
+        ``coalesce`` + per-partition concat; splitting (more partitions,
+        the parallelism-starved case) chunks each block into
+        ≤``rows_per_partition``-row pieces at the NumPy level and
+        shuffles the pickled chunks.  Exactness is untouched — histogram
+        merges are partition-agnostic integer sums.  The old RDD is
+        unpersisted; a new materialized PackedMatrix returns."""
         cols = self.cols
-
-        def split(blk):
-            nrows = len(blk[cols[0]])
-            step = max(1, rows_per_partition)
-            if nrows <= step:
-                yield blk
-                return
-            for lo in range(0, nrows, step):
-                yield {c: blk[c][lo : lo + step] for c in cols}
 
         def concat(chunks):
             got = list(chunks)
@@ -205,12 +198,24 @@ class PackedMatrix:
                     for c in cols
                 }
 
-        rdd = (
-            self.rdd.flatMap(split)
-            .repartition(n_partitions)
-            .mapPartitions(concat)
-            .persist(storage_level)
-        )
+        if n_partitions < self.n_partitions:
+            rdd = self.rdd.coalesce(n_partitions).mapPartitions(concat).persist(storage_level)
+        else:
+            def split(blk):
+                nrows = len(blk[cols[0]])
+                step = max(1, rows_per_partition)
+                if nrows <= step:
+                    yield blk
+                    return
+                for lo in range(0, nrows, step):
+                    yield {c: blk[c][lo : lo + step] for c in cols}
+
+            rdd = (
+                self.rdd.flatMap(split)
+                .repartition(n_partitions)
+                .mapPartitions(concat)
+                .persist(storage_level)
+            )
         rdd.count()
         self.unpersist()
         return PackedMatrix(rdd, cols, rdd.getNumPartitions())

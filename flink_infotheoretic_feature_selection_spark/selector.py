@@ -96,6 +96,9 @@ class InfoThSelectorModel:
     selected_cols: list[str]
     selection_path: list[tuple[str, float]]  # (col, score at selection time)
     relevances: dict[str, float]
+    # wall-clock breakdown of the fit phases (pack/stats/relevance/loop,
+    # iteration count) — diagnostics only; not persisted by save()
+    fit_timings: dict | None = None
 
     def transform(self, df: DataFrame) -> DataFrame:
         """Project to (selected features, label) — narrow Catalyst select,
@@ -217,11 +220,18 @@ class InfoThSelector:
             matrix.unpersist()
 
     def _fit_packed(self, df: DataFrame, feats: list[str], label: str) -> InfoThSelectorModel:
+        import time
+
         from flink_infotheoretic_feature_selection_spark.operators.packed import PackedMatrix
 
+        timings: dict = {}
+        t0 = time.perf_counter()
         packed = PackedMatrix.pack(df, feats + [label])
+        timings["pack_sec"] = round(time.perf_counter() - t0, 3)
         try:
+            t0 = time.perf_counter()
             dims, n = packed.dims_and_count()
+            timings["stats_sec"] = round(time.perf_counter() - t0, 3)
             if self.validate:
                 offenders = packed.validate_byte_range(feats)
                 if offenders:
@@ -232,10 +242,23 @@ class InfoThSelector:
                     1,
                     min(-(-n // self.LOOP_ROWS_PER_PARTITION), sc.defaultParallelism),
                 )
-                if not (target <= packed.n_partitions <= 2 * target):
+                cur = packed.n_partitions
+                # Re-layout only for GROSS mismatch: parallelism-starved
+                # (cur < half the target — e.g. one giant unsplit file)
+                # pays a one-time chunk shuffle; over-split (cur > 4× —
+                # e.g. a 100 TB scan's thousands of input splits) is a
+                # shuffle-free coalesce.  Near-target layouts (e.g. 26
+                # scan partitions for a 32-target) are NOT worth the
+                # re-layout cost — the blocks are the cache, and a
+                # reshuffle of the whole matrix buys <20% wave packing.
+                if cur < -(-target // 2) or cur > 4 * target:
+                    t0 = time.perf_counter()
                     packed = packed.rebalance(target, self.LOOP_ROWS_PER_PARTITION)
+                    timings["rebalance_sec"] = round(time.perf_counter() - t0, 3)
+            timings["loop_partitions"] = packed.n_partitions
             return self._fit_stages(
-                df, feats, label, dims, n, dims[label], packed=packed
+                df, feats, label, dims, n, dims[label], packed=packed,
+                timings=timings,
             )
         finally:
             packed.unpersist()
@@ -362,8 +385,13 @@ class InfoThSelector:
         n: int,
         y_dim: int,
         packed=None,
+        timings: dict | None = None,
     ) -> InfoThSelectorModel:
+        import time as _time
+
+        timings = {} if timings is None else timings
         # Stage 2 — relevances: one histogram pass over all features.
+        _t0 = _time.perf_counter()
         if packed is not None:
             relevances = packed.relevances(
                 feats, label, dims, n, emit_f32=self.emit_f32
@@ -373,12 +401,14 @@ class InfoThSelector:
                 hist2d(matrix, feats, label, dims, y_dim), feats, dims, y_dim
             )
             relevances = {c: mutual_info(h2[c], n, emit_f32=self.emit_f32) for c in feats}
+        timings["relevance_sec"] = round(_time.perf_counter() - _t0, 3)
 
         state: dict[str, Criterion] = {
             c: criterion_factory(self.criterion, self.beta).init(relevances[c]) for c in feats
         }
 
         path: list[tuple[str, float]] = []
+        _t0 = _time.perf_counter()
         if self.criterion.lower() == "mim":
             # MIM fast path: pure top-k by relevance, InfoSelector.scala:313-315.
             order = sorted(
@@ -437,6 +467,8 @@ class InfoThSelector:
                 for c in remaining:
                     state[c].update(*scores[c])
 
+        timings["loop_sec"] = round(_time.perf_counter() - _t0, 3)
+        timings["iterations"] = max(len(path) - 1, 0)
         selected = sorted((c for c, _ in path), key=feats.index)
         return InfoThSelectorModel(
             feature_cols=feats,
@@ -444,6 +476,7 @@ class InfoThSelector:
             selected_cols=selected,
             selection_path=path,
             relevances=relevances,
+            fit_timings=timings,
         )
 
 

@@ -92,8 +92,15 @@ def main() -> None:
             {
                 "sf1_rows": n_rows,
                 "mrmr_k10_sec": round(wall, 2),
-                "per_iter_sec": round(wall / 10, 2),
-                "loop_partitions": target,
+                # honest split: setup (pack/stats) vs the loop — wall/k
+                # overstated per-iteration cost by folding setup into it
+                "fit_timings": model.fit_timings,
+                "per_iter_sec": round(
+                    model.fit_timings["loop_sec"]
+                    / max(model.fit_timings["iterations"], 1),
+                    2,
+                ),
+                "loop_partitions": model.fit_timings.get("loop_partitions", target),
                 "iter1_blob_mb": round(blob_bytes / (1 << 20), 1),
                 "blob_bound_mb": BLOB_DRIVER_MERGE_MAX_BYTES >> 20,
                 "merge_path": path,
