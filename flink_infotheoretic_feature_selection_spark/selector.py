@@ -502,9 +502,17 @@ class SparseInfoThSelector:
       The pack pays a one-time Python/Arrow transit of the cells
       (~6.8 s at sf0.1's 4.6M nonzeros) that 0.30 s/iteration (vs the
       SQL route's ~0.9 s) amortizes from k ≈ 6 selected features up
-      (measured sf0.1: k=8 fit 9.0 s packed vs 10.9 s sql; k=3 the SQL
-      route stays ahead) — unlike the DENSE packed engine, whose pack
-      REPLACES same-cost Catalyst setup and wins at every k.
+      AT THAT DATA SIZE (measured sf0.1: k=8 fit 9.0 s packed vs
+      10.9 s sql; k=3 the SQL route stays ahead).  The crossover does
+      NOT extend with data volume: at 10× (sf1-shape, 16 features /
+      ~90M cells, k=10) the cell transit outgrows the per-iteration
+      savings — 107.7 s packed vs 86.1 s sql, identical selection —
+      because the SQL route's join machinery is JVM-side and
+      data-parallel while the pack is a fixed per-byte Python toll.
+      Unlike the DENSE packed engine, whose pack REPLACES same-cost
+      Catalyst setup and wins at every k and scale, the sparse packed
+      engine is a small-data / many-iteration option; the sql default
+      is the scale path.
     """
 
     def __init__(
