@@ -71,14 +71,21 @@ def main() -> None:
             tier = 0
         elif st["last_green"] is None and not st["rows_only"]:
             tier = 1  # never verified (and verifiable)
-        elif st["last_green"] is not None and latest - st["last_green"] >= 2:
-            tier = 2  # stale
+        elif st["last_green"] is not None and latest - st["last_green"] >= 1:
+            # Last green row is 1+ rounds old (it sat in block B for the
+            # latest sweep).  If it misses the NEXT sweep too it becomes
+            # 2-rounds stale — exactly what the contract test
+            # (tests/test_registry_contract.py) alarms on — so it MUST
+            # re-enter block A now.  The r7 planner mis-tiered this case
+            # as "rotate out" (the else arm below) because it only
+            # caught >= 2, i.e. gates already past the deadline.
+            tier = 2  # would be 2-rounds stale after next sweep
         elif st["streak_at_latest"] == 1:
             tier = 3  # green exactly once in a row
         elif st["rows_only"]:
             tier = 5
         else:
-            tier = 4  # 2+ consecutive greens: rotate out
+            tier = 4  # green in the latest 2+ sweeps: safe to rotate out
         stream = name.startswith("stream_")
         return (tier, stream, names.index(name))
 
