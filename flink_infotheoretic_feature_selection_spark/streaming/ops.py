@@ -197,6 +197,16 @@ def sessionize_stream(
     overlapping [ts, ts+gap) ranges JVM-side and evicts closed sessions
     past the watermark — state is O(open sessions), not O(events).
 
+    Watermark choice matters in EVERY output mode: unlike plain
+    time-window aggregation, session_window late-filters and evicts by
+    the watermark even under ``complete`` output (measured: a 0-second
+    watermark over a multi-micro-batch drain with cross-batch disorder
+    split/dropped a third of the sessions; the single-batch drain of the
+    same files matched batch exactly —
+    tests/test_random_streaming_sweep.py).  Keep the default 0 s only
+    for ordered feeds or single-drain backfills; size it to the expected
+    disorder horizon otherwise.
+
     Emitted ``session_end_us`` is ``last_event + gap`` (the window end);
     the batch twin (``operators/sessions.py::sessionize``) emits the last
     event itself — callers reconcile by subtracting ``gap``.  The merge
