@@ -266,6 +266,98 @@ WORDS = [
 ]
 
 
+@pytest.mark.parametrize("seed", [19, 43])
+def test_stream_neardup_candidates_equals_brute_force(spark, tmp_path, seed):
+    """Banding-mined streaming candidates == brute-force Hamming scan.
+
+    Pigeonhole makes the equality exact for ANY input: hamming <= 3 over
+    8 signature chunks leaves >= 5 chunks identical, so every true pair
+    survives the chunk equi-join; the verify filter then drops every
+    false candidate.  The brute-force twin never sees the banding code.
+    """
+    from flink_infotheoretic_feature_selection_spark.operators.dedup import (
+        with_simhash64,
+    )
+    from flink_infotheoretic_feature_selection_spark.streaming import (
+        stream_neardup_candidates,
+    )
+
+    rng = random.Random(seed)
+    corpus_rows, stream_rows = [], []
+    for i in range(60):
+        roll = rng.random()
+        if roll < 0.06:
+            t = None
+        elif roll < 0.1:
+            t = ""
+        else:
+            t = " ".join(rng.choices(WORDS, k=rng.randint(1, 40)))
+        (stream_rows if i % 3 == 0 else corpus_rows).append((i, t))
+    # seed guaranteed hits (exact copy -> hamming 0) and likely hits
+    # (one word swapped in a long doc)
+    long_corpus = [r for r in corpus_rows if r[1] and len(r[1].split()) >= 20]
+    for j, (cid, ct) in enumerate(long_corpus[:6]):
+        sid, _ = stream_rows[j]
+        if j % 2 == 0:
+            stream_rows[j] = (sid, ct)
+        else:
+            w = ct.split()
+            w[rng.randrange(len(w))] = rng.choice(WORDS)
+            stream_rows[j] = (sid, " ".join(w))
+
+    files = []
+    for k in range(3):
+        chunk = stream_rows[k::3]
+        files.append(
+            {
+                "doc_id": pa.array([r[0] for r in chunk], pa.int64()),
+                "text": pa.array([r[1] for r in chunk], pa.string()),
+            }
+        )
+    d = tmp_path / f"nd{seed}"
+    _write_files(d, files)
+
+    corpus_df = spark.createDataFrame(corpus_rows, "doc_id long, text string")
+    corpus_sig = (
+        with_simhash64(corpus_df)
+        .select("doc_id", "simhash64")
+        .localCheckpoint(eager=True)
+    )
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d))
+    )
+    got = _drain(
+        stream_neardup_candidates(stream, corpus_sig),
+        f"rsw_nd_{seed}",
+        "append",
+    )
+
+    batch_sigs = with_simhash64(spark.read.parquet(str(d))).select(
+        "doc_id", "simhash64"
+    )
+    expect = (
+        batch_sigs.alias("a")
+        .crossJoin(
+            corpus_sig.select(
+                F.col("doc_id").alias("dup_of"),
+                F.col("simhash64").alias("sig_t"),
+            ).alias("b")
+        )
+        .withColumn(
+            "hamming",
+            F.bit_count(F.col("simhash64").bitwiseXOR(F.col("sig_t"))).cast(
+                "int"
+            ),
+        )
+        .where((F.col("hamming") <= 3) & (F.col("dup_of") != F.col("doc_id")))
+        .select("doc_id", "dup_of", "hamming")
+    )
+    assert _rows(got) == _rows(expect)
+    assert got.count() >= 3  # the seeded exact copies must have matched
+
+
 @pytest.mark.parametrize("seed", [17, 41])
 def test_stream_decontaminate_equals_batch_flags(spark, tmp_path, seed):
     from flink_infotheoretic_feature_selection_spark.operators.dedup import (
