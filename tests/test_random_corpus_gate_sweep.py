@@ -196,18 +196,19 @@ def test_simhash64_family_cross_engine_via_md5_twin(spark, tmp_path, seed):
     assert not failures, f"seed {seed}:\n" + "\n".join(failures)
 
 
-def test_media_gates_on_ascii_corpus_with_nulls(spark, tmp_path):
+@pytest.mark.parametrize("seed", [97, 131])
+def test_media_gates_on_ascii_corpus_with_nulls(spark, tmp_path, seed):
     # The media oracles' chars-as-bytes trick needs pure ASCII, so the
     # media gates get their own random corpus: ASCII words plus the
     # NULL/empty/whitespace docs that used to CRASH the Arrow kernels
     # (bytes(None) on the NULL media blob attach_media now coalesces
     # away — and _to_bytes guards arbitrary user binary columns too).
-    rng = random.Random(97)
+    rng = random.Random(seed)
     texts = [None, "", " ", "\t\t"] + [
         " ".join(rng.choice(WORDS[:17]) for _ in range(rng.randint(1, 40)))
         for _ in range(36)
     ]
-    d = tmp_path / "media_ascii"
+    d = tmp_path / f"media_ascii{seed}"
     d.mkdir()
     pq.write_table(
         pa.table(

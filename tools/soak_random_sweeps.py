@@ -56,6 +56,7 @@ def main() -> int:
         jobs.append(("embeddings", s, lambda d, s=s: embeds.test_embeddings_gates_cross_engine_on_random_vectors(spark, d, s)))
         jobs.append(("keel", s, lambda d, s=s: keel.test_keel_reader_cross_engine_on_random_files(spark, d, s)))
         jobs.append(("matrix", s, lambda d, s=s: matrix.test_core_gates_cross_engine_on_random_matrix(spark, d, s, 120)))
+        jobs.append(("media", s, lambda d, s=s: corpus.test_media_gates_on_ascii_corpus_with_nulls(spark, d, s)))
     for s in thin:
         jobs.append(("stream_window", s, lambda d, s=s: streaming.test_windowed_agg_complete_mode_equals_batch_on_disorder(spark, d, s)))
         jobs.append(("stream_dedup", s, lambda d, s=s: streaming.test_streaming_dedup_catches_cross_batch_duplicates(spark, d, s)))
