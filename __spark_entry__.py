@@ -1223,47 +1223,72 @@ def rotation_history(root: str | None = None) -> dict[int, dict]:
     return rounds
 
 
-def rotation_order(names: list[str], rounds: dict[int, dict]) -> list[str]:
-    """Order the registry so the driver's next sweep (the first
-    ``GATE_CAP`` entries) keeps every gate green within a 2-round period.
+# Gates whose implementation or gate body changed THIS round: promoted
+# into block A even if freshly green, so the change itself earns a driver
+# row (the history can't see code edits).  Reset when the next round's
+# CORRECTNESS file lands — a stale entry only costs one block-A slot.
+#   r7: stream_dedup became a real multi-batch drain (maxFilesPerTrigger=1
+#   over 3 file copies, >=3 non-empty micro-batches asserted in the gate).
+ROTATION_PROMOTE = frozenset({"stream_dedup"})
 
-    Tiers (ties broken: non-streams first — streams are the most
-    wall-clock-expensive — then the hand-maintained base order):
+
+def rotation_tier(
+    name: str,
+    names: list[str],
+    rounds: dict[int, dict],
+    promote: frozenset[str] = ROTATION_PROMOTE,
+) -> int:
+    """Rotation tier of one gate given the CORRECTNESS history.
+
       0. the 18 SURVEY-§2 core gates, always first, in CORE order;
       1. never had a green driver row (a gate parked past the cap
          silently never gets one — the r5 verdict's standing debt);
       2. last green row is 1+ rounds old (it sat in block B for the
          latest sweep; missing the NEXT sweep too would break the
          2-round re-verification contract);
-      3. green exactly once in a row (earning its 2nd consecutive row);
-      4. green in the latest 2+ sweeps — safe to rotate out.
-    With no history at all, everything is tier 1 → base order.
+      3. in ROTATION_PROMOTE — code changed this round;
+      4. green exactly once in a row (earning its 2nd consecutive row);
+      5. green in the latest 2+ sweeps — safe to rotate out.
+    With no history at all, everything non-core is tier 1.
     """
+    if name in CORE_GATES:
+        return 0
     latest = max(rounds) if rounds else None
-    last_green: dict[str, int] = {}
+    last_green = None
     for rn in sorted(rounds):
-        for n, row in rounds[rn].items():
-            if isinstance(row, dict) and row.get("hash_match"):
-                last_green[n] = rn
+        row = rounds[rn].get(name)
+        if isinstance(row, dict) and row.get("hash_match"):
+            last_green = rn
+    if last_green is None:
+        return 1
+    if latest - last_green >= 1:
+        return 2
+    if name in promote:
+        return 3
+    streak, rn = 0, latest
+    while rn in rounds and rounds[rn].get(name, {}).get("hash_match"):
+        streak += 1
+        rn -= 1
+    return 4 if streak == 1 else 5
 
-    def streak(name: str) -> int:
-        k, rn = 0, latest
-        while rn in rounds and rounds[rn].get(name, {}).get("hash_match"):
-            k += 1
-            rn -= 1
-        return k
+
+def rotation_order(
+    names: list[str],
+    rounds: dict[int, dict],
+    promote: frozenset[str] = ROTATION_PROMOTE,
+) -> list[str]:
+    """Order the registry so the driver's next sweep (the first
+    ``GATE_CAP`` entries) keeps every gate green within a 2-round period.
+
+    Sorted by :func:`rotation_tier`; ties broken non-streams first
+    (streams are the most wall-clock-expensive) then the hand-maintained
+    base order.  Core gates keep CORE order.
+    """
 
     def key(name: str):
-        if name in CORE_GATES:
-            return (0, CORE_GATES.index(name))
-        if name not in last_green:
-            tier = 1
-        elif latest - last_green[name] >= 1:
-            tier = 2
-        elif streak(name) == 1:
-            tier = 3
-        else:
-            tier = 4
+        tier = rotation_tier(name, names, rounds, promote)
+        if tier == 0:
+            return (0, False, CORE_GATES.index(name))
         return (tier, name.startswith("stream_"), names.index(name))
 
     return sorted(names, key=key)

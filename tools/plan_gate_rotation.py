@@ -42,13 +42,7 @@ def main() -> None:
         return k
 
     def tier(name: str) -> int:
-        if name in entry_mod.CORE_GATES:
-            return 0
-        if name not in last_green:
-            return 1
-        if latest - last_green[name] >= 1:
-            return 2
-        return 3 if streak(name) == 1 else 4
+        return entry_mod.rotation_tier(name, names, rounds)
 
     print(
         f"latest round with rows: r{latest}; registry: {len(names)} entries "
