@@ -69,6 +69,11 @@ SWEEP_GATES = [
     "cross_source_overlap",
     "substring_dup_spans",
     "scrub_dup_spans",
+    # the composed pipelines are plain dual-dialect SQL over documents —
+    # sweeping them re-verifies the COMPOSITION (stage interactions like
+    # the split/mixture independent hash streams), not just the stages
+    "pipeline_clean_pack",
+    "pipeline_curate_split",
 ]
 
 WORDS = [
