@@ -160,3 +160,9 @@ def test_rotation_with_no_history_keeps_base_order():
     assert entry_mod.rotation_order(names, {}) == [
         "features_dense", "b", "a", "stream_z",
     ]
+
+
+def test_rotation_promote_names_exist_in_the_registry():
+    # a typo in ROTATION_PROMOTE would silently promote nothing
+    unknown = entry_mod.ROTATION_PROMOTE - set(entry_mod.queries())
+    assert not unknown, f"ROTATION_PROMOTE names not in queries(): {unknown}"
