@@ -47,12 +47,10 @@ __all__ = [
 ]
 
 
-def _pipeline_sql(duck: bool) -> str:
-    rh = (
-        rolling_hash_expr_duckdb("lower(trim(text))")
-        if duck
-        else rolling_hash_expr_spark("lower(trim(text))")
-    )
+def _clean_sql(duck: bool) -> str:
+    """Stage 1: quality/language/repetition filters + exact dedup →
+    ``(doc_id, text, n_tokens)``.  A standalone statement so the Spark
+    side can MATERIALIZE it at the stage boundary."""
     return f"""
     WITH enriched AS (
       SELECT {_stats_select(duck)},
@@ -61,36 +59,66 @@ def _pipeline_sql(duck: bool) -> str:
              {dup_frac_expr(duck)} AS dup_frac,
              min(doc_id) OVER (PARTITION BY md5(text)) AS keep_id
       FROM documents
-    ),
-    clean AS (
-      SELECT doc_id, text, n_tokens
-      FROM enriched
-      WHERE doc_id = keep_id
-        AND quality_score >= {CORPUS_CLEAN_MIN_QUALITY}
-        AND lang_pred = '{CORPUS_CLEAN_LANG}'
-        AND dup_frac <= {REPETITION_MAX_DUP_FRAC}
-        AND NOT ({DECONTAMINATE_EVAL_PRED})
-    ),
+    )
+    SELECT doc_id, text, n_tokens
+    FROM enriched
+    WHERE doc_id = keep_id
+      AND quality_score >= {CORPUS_CLEAN_MIN_QUALITY}
+      AND lang_pred = '{CORPUS_CLEAN_LANG}'
+      AND dup_frac <= {REPETITION_MAX_DUP_FRAC}
+      AND NOT ({DECONTAMINATE_EVAL_PRED})
+    """
+
+
+def _tail_ctes(duck: bool, clean_table: str) -> str:
+    """Stages 2+3 (decontaminate → pack) as a CTE list + final SELECT,
+    reading the clean set from ``clean_table``."""
+    rh = (
+        rolling_hash_expr_duckdb("lower(trim(text))")
+        if duck
+        else rolling_hash_expr_spark("lower(trim(text))")
+    )
+    return f"""
     eval_docs AS (SELECT doc_id, text FROM documents WHERE {DECONTAMINATE_EVAL_PRED}),
     {_shingles_cte(duck, table="eval_docs", prefix="ev_")},
     eval_sh AS (SELECT DISTINCT shingle FROM ev_sh),
-    {_shingles_cte(duck, table="clean", prefix="cl_")},
+    {_shingles_cte(duck, table=clean_table, prefix="cl_")},
     contaminated AS (
       SELECT DISTINCT cl_sh.doc_id FROM cl_sh JOIN eval_sh USING (shingle)
     ),
     kept AS (
       SELECT doc_id, n_tokens, {rh} % {PACK_SHARDS} AS shard
-      FROM clean
+      FROM {clean_table}
       WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
     ),
     {pack_tail_sql("kept", with_tok_before=False)}
     """
 
 
+def _pipeline_sql(duck: bool) -> str:
+    return f"WITH clean AS ({_clean_sql(duck)}),\n{_tail_ctes(duck, 'clean')}"
+
+
 def pipeline_clean_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """clean → decontaminate → pack over the documents table."""
+    """clean → decontaminate → pack over the documents table.
+
+    The Spark side MATERIALIZES the clean set at the stage boundary
+    (``localCheckpoint`` — the in-session analogue of the parquet persist
+    a 100 TB deployment would use between stages): Catalyst inlines CTEs,
+    so the downstream shingle branch + rolling-hash branch + anti-join
+    re-derive the whole stats/window stage per reference — measured 4.4×
+    on a stats-heavy corpus (5.2 s inline vs 1.2 s materialized on the
+    extreme-length corpus of tests/test_random_corpus_gate_sweep.py; a
+    wash at sf0.01 where the stats are cheap).  The same corpus also
+    exposed the far larger quadratic in the gram builders themselves
+    (62.8 s before the zip_with rewrite at text._grams_expr /
+    dedup.shingle_grams_expr — see those docstrings).  The DuckDB oracle
+    stays one statement (single-evaluation semantics are the oracle's
+    problem, not the contract's)."""
     spark.read.parquet(f"{sf_dir}/documents.parquet").createOrReplaceTempView("documents")
-    return spark.sql(_pipeline_sql(duck=False))
+    clean = spark.sql(_clean_sql(duck=False)).localCheckpoint(eager=True)
+    clean.createOrReplaceTempView("__pipeline_clean_mat")
+    return spark.sql(f"WITH {_tail_ctes(False, '__pipeline_clean_mat')}")
 
 
 def pipeline_oracle() -> str:

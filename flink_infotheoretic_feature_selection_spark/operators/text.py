@@ -569,16 +569,30 @@ REPETITION_MAX_DUP_FRAC = 0.2
 def _grams_expr(duck: bool, src: str, n: int) -> str:
     """Word n-gram list over the token-array expression ``src`` — the ONE
     fragment shared by the repetition operator and the composed pipeline,
-    so their n-gram semantics cannot drift apart."""
+    so their n-gram semantics cannot drift apart.
+
+    Spark dialect: ``n`` shifted O(len) slices zipped together, NOT a
+    slice per gram position — ``transform(sequence(...), i ->
+    slice(src, i, n))`` is O(len²) on non-codegen paths (interpreted
+    ``slice`` walks the array from the start every call), and predicate
+    pushdown puts filters like ``dup_frac <= x`` on exactly that path
+    (measured quadratic: 13.6 s for one 8k-token doc; see
+    dedup.shingle_grams_expr for the twin note).  Callers still guard
+    ``size(src) >= n`` — for shorter docs the slice length goes
+    non-positive, exactly as the old form's descending sequence did."""
     if duck:
         return (
             f"list_transform(range(1, len({src}) - {n - 2}), "
             f"i -> array_to_string({src}[i : i + {n - 1}], ' '))"
         )
-    return (
-        f"transform(sequence(1, size({src}) - {n - 1}), "
-        f"i -> concat_ws(' ', slice({src}, i, {n})))"
-    )
+    m = f"(size({src}) - {n - 1})"
+    grams = f"slice({src}, 1, {m})"
+    for k in range(1, n):
+        grams = (
+            f"zip_with({grams}, slice({src}, {k + 1}, {m}), "
+            f"(x, y) -> concat(x, ' ', y))"
+        )
+    return grams
 
 
 def _dialect_tokens(duck: bool) -> tuple[str, str, str]:

@@ -254,3 +254,81 @@ def test_media_gates_on_ascii_corpus_with_nulls(spark, tmp_path, seed):
         )
         assert got == exp, (name, got[:4], exp[:4])
     duck.close()
+
+
+def test_documents_gates_on_extreme_length_corpus(spark, tmp_path):
+    # Length-pathology axis the random generator never reaches (its docs
+    # cap at ~30 words): a ~10k-token doc (rolling-hash windows, chunk
+    # boundaries, shingle explosion, token-position arithmetic), a doc of
+    # ONE enormous unbroken token (no shingle possible, n_chars >> token
+    # count), a doc that is one word repeated (every shingle identical —
+    # degenerate MinHash/SimHash signatures), an exact duplicate of the
+    # giant doc (near-dup mining at scale-shaped sizes), and the usual
+    # NULL/empty/tiny docs.  Same bit-exact cross-engine contract.
+    # ~3k tokens keeps the DuckDB oracles (recursive-CTE closure /
+    # window-heavy forms, quadratic in shingles-per-doc) inside the test
+    # budget; the SPARK-side length pathology this test exists for showed
+    # well below 3k (the quadratic interpreted-slice gram build fixed at
+    # text._grams_expr / dedup.shingle_grams_expr read 2-4 s PER DOC here
+    # before the zip_with rewrite, milliseconds after)
+    rng = random.Random(7)
+    giant = " ".join(rng.choice(WORDS[:17]) for _ in range(3_000))
+    texts = [
+        None,
+        "",
+        " ",
+        "one",
+        giant,
+        giant,  # exact duplicate of the giant doc
+        "x" * 20_000,  # one unbroken 20k-char token
+        " ".join(["dup"] * 1_500),  # single word repeated
+        " ".join(rng.choice(WORDS) for _ in range(25)),
+        giant[: len(giant) // 2],  # half-prefix (substring-span bait)
+    ]
+    n = len(texts)
+    d = tmp_path / "extreme"
+    d.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(n), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+                "lang": pa.array(["en"] * n, pa.string()),
+                "source": pa.array([f"src{i % 3}" for i in range(n)], pa.string()),
+                "n_chars": pa.array(
+                    [len(t) if t is not None else 0 for t in texts], pa.int64()
+                ),
+            }
+        ),
+        f"{d}/documents.parquet",
+    )
+    duck = duckdb.connect()
+    duck.execute(f"CREATE VIEW documents AS SELECT * FROM '{d}/documents.parquet'")
+    queries, oracles = entry_mod.queries(), entry_mod.oracle_sql()
+    failures = []
+    nullsafe = lambda t: tuple((v is None, v) for v in t)  # noqa: E731
+    for name in SWEEP_GATES:
+        sdf = queries[name](spark, str(d))
+        got = sorted(
+            (
+                tuple(round(v, 9) if isinstance(v, float) else v for v in r)
+                for r in sdf.select(*sorted(sdf.columns)).collect()
+            ),
+            key=nullsafe,
+        )
+        cols = ", ".join(f'"{c}"' for c in sorted(sdf.columns))
+        exp = sorted(
+            (
+                tuple(round(v, 9) if isinstance(v, float) else v for v in r)
+                for r in duck.execute(
+                    f"SELECT {cols} FROM ({oracles[name]})"
+                ).fetchall()
+            ),
+            key=nullsafe,
+        )
+        if got != exp:
+            only_s = [r for r in got if r not in exp][:3]
+            only_d = [r for r in exp if r not in got][:3]
+            failures.append(f"{name}: spark_only={only_s} duck_only={only_d}")
+    duck.close()
+    assert not failures, "\n".join(failures)
