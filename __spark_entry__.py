@@ -1217,9 +1217,17 @@ def rotation_history(root: str | None = None) -> dict[int, dict]:
     rounds: dict[int, dict] = {}
     for path in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
         m = re.search(r"r(\d+)", os.path.basename(path))
-        if m:
+        if not m:
+            continue
+        # a truncated/corrupt history file must degrade the ORDERING, not
+        # crash queries() itself (the driver gate imports through here)
+        try:
             with open(path) as f:
-                rounds[int(m.group(1))] = json.load(f)
+                data = json.load(f)
+        except (OSError, ValueError):
+            continue
+        if isinstance(data, dict):
+            rounds[int(m.group(1))] = data
     return rounds
 
 
@@ -1265,8 +1273,13 @@ def rotation_tier(
         return 2
     if name in promote:
         return 3
+
+    def green(rn: int) -> bool:
+        row = rounds[rn].get(name)
+        return isinstance(row, dict) and bool(row.get("hash_match"))
+
     streak, rn = 0, latest
-    while rn in rounds and rounds[rn].get(name, {}).get("hash_match"):
+    while rn in rounds and green(rn):
         streak += 1
         rn -= 1
     return 4 if streak == 1 else 5

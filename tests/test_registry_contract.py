@@ -166,3 +166,23 @@ def test_rotation_promote_names_exist_in_the_registry():
     # a typo in ROTATION_PROMOTE would silently promote nothing
     unknown = entry_mod.ROTATION_PROMOTE - set(entry_mod.queries())
     assert not unknown, f"ROTATION_PROMOTE names not in queries(): {unknown}"
+
+
+def test_rotation_survives_malformed_history(tmp_path):
+    # a corrupt CORRECTNESS file or non-dict rows must degrade the
+    # ordering, never crash queries() (the driver gate imports through it)
+    (tmp_path / "CORRECTNESS_r1.json").write_text("{not json")
+    (tmp_path / "CORRECTNESS_r2.json").write_text('["a", "list"]')
+    (tmp_path / "CORRECTNESS_r3.json").write_text(
+        '{"g0": {"hash_match": true}, "g1": "oops", "g2": null}'
+    )
+    rounds = entry_mod.rotation_history(str(tmp_path))
+    assert list(rounds) == [3]
+    old_core = entry_mod.CORE_GATES[:]
+    entry_mod.CORE_GATES[:] = []
+    try:
+        order = entry_mod.rotation_order(["g0", "g1", "g2"], rounds)
+    finally:
+        entry_mod.CORE_GATES[:] = old_core
+    # g1/g2 have no VALID green row -> never-verified tier, ahead of g0
+    assert order == ["g1", "g2", "g0"]
