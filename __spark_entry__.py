@@ -1231,13 +1231,216 @@ def rotation_history(root: str | None = None) -> dict[int, dict]:
     return rounds
 
 
-# Gates whose implementation or gate body changed THIS round: promoted
-# into block A even if freshly green, so the change itself earns a driver
-# row (the history can't see code edits).  Reset when the next round's
-# CORRECTNESS file lands — a stale entry only costs one block-A slot.
-#   r7: stream_dedup became a real multi-batch drain (maxFilesPerTrigger=1
-#   over 3 file copies, >=3 non-empty micro-batches asserted in the gate).
-ROTATION_PROMOTE = frozenset({"stream_dedup"})
+# Gates whose GATE BODY (the _q_* wrapper / oracle SQL in THIS file)
+# changed this round: promoted into block A even if freshly green, so the
+# change itself earns a driver row.  Only gate-body edits need listing by
+# hand — churn in the package's .py files is detected automatically by
+# :func:`rotation_promote` (git diff since the last round-boundary commit
+# mapped through each gate's import closure; the r7 verdict's ask — the
+# hand-set under-promoted when a shared module rewrite touched ~17 gates).
+# Reset at each round start (r8: r7's stream_dedup entry reset).
+ROTATION_PROMOTE = frozenset()
+
+_PKG_NAME = "flink_infotheoretic_feature_selection_spark"
+
+
+def _resolve_module_files(dotted: str, root: str) -> set[str]:
+    """Dotted package reference → repo-relative .py files, stripping
+    trailing attribute components until something resolves."""
+    import os
+
+    parts = dotted.split(".")
+    out: set[str] = set()
+    while parts:
+        rel = "/".join(parts) + ".py"
+        ini = "/".join(parts) + "/__init__.py"
+        if os.path.exists(os.path.join(root, rel)):
+            out.add(rel)
+            break
+        if os.path.exists(os.path.join(root, ini)):
+            out.add(ini)
+            break
+        parts.pop()
+    return out
+
+
+def _file_import_refs(path: str, root: str) -> set[str]:
+    """Repo-relative package files a .py file imports (AST, both
+    ``import pkg.m`` and ``from pkg.m import n`` — for the latter each
+    ``pkg.m.n`` is also tried, so ``from pkg.operators import dedup``
+    resolves to dedup.py, not just operators/__init__.py)."""
+    import ast
+    import os
+
+    try:
+        with open(os.path.join(root, path)) as f:
+            tree = ast.parse(f.read())
+    except (OSError, SyntaxError):
+        return set()
+    refs: set[str] = set()
+    for node in ast.walk(tree):
+        if isinstance(node, ast.Import):
+            for a in node.names:
+                if a.name.startswith(_PKG_NAME):
+                    refs |= _resolve_module_files(a.name, root)
+        elif isinstance(node, ast.ImportFrom) and node.module and node.module.startswith(_PKG_NAME):
+            refs |= _resolve_module_files(node.module, root)
+            for a in node.names:
+                refs |= _resolve_module_files(f"{node.module}.{a.name}", root)
+    return refs
+
+
+def _package_import_closure(root: str) -> dict[str, set[str]]:
+    """file → {itself + every package file transitively imported}."""
+    import glob
+    import os
+
+    files = [
+        os.path.relpath(p, root).replace(os.sep, "/")
+        for p in glob.glob(os.path.join(root, _PKG_NAME, "**", "*.py"), recursive=True)
+    ]
+    direct = {f: _file_import_refs(f, root) & set(files) for f in files}
+    closure: dict[str, set[str]] = {}
+
+    def reach(f: str, seen: set[str]) -> set[str]:
+        if f in closure:
+            return closure[f]
+        seen.add(f)
+        out = {f}
+        for dep in direct.get(f, ()):
+            if dep not in seen:
+                out |= reach(dep, seen)
+            else:
+                out.add(dep)
+        closure[f] = out
+        return out
+
+    for f in files:
+        reach(f, set())
+    return closure
+
+
+def _gate_direct_files(fn, entry_alias_files: dict[str, set[str]], root: str) -> set[str]:
+    """Package files a gate callable directly depends on: its defining
+    module when it lives in the package, else (an entry-file ``_q_*``
+    wrapper) the union of (a) package imports inside its body and (b) the
+    entry-file import aliases its body references.  Unresolvable shapes
+    fall back to ALL aliased files — over-promotion is the safe error."""
+    import ast
+    import inspect
+    import os
+
+    try:
+        src_file = os.path.relpath(inspect.getfile(fn), root).replace(os.sep, "/")
+    except (TypeError, OSError):
+        return set().union(*entry_alias_files.values(), set())
+    if src_file.startswith(_PKG_NAME + "/"):
+        return {src_file}
+    try:
+        tree = ast.parse(inspect.getsource(fn).lstrip())
+    except (OSError, SyntaxError, TypeError):
+        return set().union(*entry_alias_files.values(), set())
+    out: set[str] = set()
+    for node in ast.walk(tree):
+        if isinstance(node, ast.Import):
+            for a in node.names:
+                if a.name.startswith(_PKG_NAME):
+                    out |= _resolve_module_files(a.name, root)
+        elif isinstance(node, ast.ImportFrom) and node.module and node.module.startswith(_PKG_NAME):
+            out |= _resolve_module_files(node.module, root)
+            for a in node.names:
+                out |= _resolve_module_files(f"{node.module}.{a.name}", root)
+        elif isinstance(node, ast.Name) and node.id in entry_alias_files:
+            out |= entry_alias_files[node.id]
+    return out
+
+
+def _entry_alias_files(root: str) -> dict[str, set[str]]:
+    """Top-level ``from pkg... import name [as alias]`` bindings of the
+    entry file → the package files each bound name comes from."""
+    import ast
+    import os
+
+    path = os.path.join(root, os.path.basename(__file__))
+    try:
+        with open(path) as f:
+            tree = ast.parse(f.read())
+    except (OSError, SyntaxError):
+        return {}
+    aliases: dict[str, set[str]] = {}
+    for node in tree.body:
+        if isinstance(node, ast.ImportFrom) and node.module and node.module.startswith(_PKG_NAME):
+            for a in node.names:
+                files = _resolve_module_files(f"{node.module}.{a.name}", root) or _resolve_module_files(node.module, root)
+                aliases[a.asname or a.name] = files
+        elif isinstance(node, ast.Import):
+            for a in node.names:
+                if a.name.startswith(_PKG_NAME):
+                    aliases[a.asname or a.name] = _resolve_module_files(a.name, root)
+    return aliases
+
+
+def changed_files_since_last_round(root: str) -> set[str] | None:
+    """Repo-relative files changed since the last round-boundary commit
+    (the commit that last touched a CORRECTNESS_r*.json), committed AND
+    uncommitted, plus untracked.  None when git can't answer — callers
+    must then fall back to the manual promote set, not guess."""
+    import subprocess
+
+    def run(*args: str) -> str:
+        return subprocess.run(
+            ["git", *args], cwd=root, capture_output=True, text=True, timeout=30, check=True
+        ).stdout
+
+    try:
+        base = run("log", "-1", "--format=%H", "--", "CORRECTNESS_r*.json").strip()
+        if not base:
+            return None
+        changed = set(run("diff", "--name-only", base).splitlines())
+        changed |= set(run("ls-files", "--others", "--exclude-standard").splitlines())
+        return {c for c in changed if c}
+    except Exception:
+        return None
+
+
+_ROTATION_PROMOTE_CACHE: frozenset[str] | None = None
+
+
+def rotation_promote(gates: dict | None = None, root: str | None = None) -> frozenset[str]:
+    """The promote set for this round: the hand-maintained
+    :data:`ROTATION_PROMOTE` (gate-body edits in this file) ∪ every gate
+    whose import closure intersects the files changed since the last
+    round-boundary commit.  Degrades to the manual set alone whenever
+    git or source introspection can't answer — the ordering must never
+    crash the driver gate."""
+    global _ROTATION_PROMOTE_CACHE
+    import os
+
+    if gates is None and _ROTATION_PROMOTE_CACHE is not None:
+        return _ROTATION_PROMOTE_CACHE
+    cache_default = gates is None
+    try:
+        root = root or os.path.dirname(os.path.abspath(__file__))
+        changed = changed_files_since_last_round(root)
+        if not changed:
+            result = ROTATION_PROMOTE
+        else:
+            if gates is None:
+                gates = _base_queries()
+            closure = _package_import_closure(root)
+            aliases = _entry_alias_files(root)
+            churned = set()
+            for name, fn in gates.items():
+                direct = _gate_direct_files(fn, aliases, root)
+                reach = set().union(*(closure.get(f, {f}) for f in direct), direct)
+                if reach & changed:
+                    churned.add(name)
+            result = ROTATION_PROMOTE | frozenset(churned)
+    except Exception:
+        result = ROTATION_PROMOTE
+    if cache_default:
+        _ROTATION_PROMOTE_CACHE = result
+    return result
 
 
 def rotation_tier(
@@ -1307,7 +1510,7 @@ def rotation_order(
     return sorted(names, key=key)
 
 
-def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ---- GATE ROTATION CONTRACT (self-ordering since round 7) -----------
     # The driver gate processes exactly the FIRST 50 entries of this dict
     # (entry-count cap — see GATE_CAP).  Until r7 the ordering was
@@ -1418,7 +1621,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_window_agg": _q_stream_window_agg,
         "stream_sessionize": _q_stream_sessionize,
     }
-    order = rotation_order(list(base), rotation_history())
+    return base
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    base = _base_queries()
+    # promote = manual gate-body edits ∪ git-churn-mapped gates (r8):
+    # a shared-module rewrite now lands its dependents in block A
+    # automatically instead of relying on the hand-set
+    order = rotation_order(list(base), rotation_history(), rotation_promote())
     return {n: base[n] for n in order}
 
 

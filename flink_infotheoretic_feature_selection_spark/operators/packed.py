@@ -138,16 +138,24 @@ class PackedMatrix:
             )
         ).collect()
         n = sum(s[1] for s in stats)
-        maxes = [
-            max((s[0][i] for s in stats), default=float("nan"))
-            for i in range(len(cols))
+        # A NaN partial from a NON-empty block means the column holds
+        # NULLs there (Arrow promotes nullable ints to float, NaN-filled;
+        # np.max propagates the NaN) — a contract violation that must
+        # error deterministically.  Folding with Python max() would be
+        # order-dependent (max(1.0, nan) = 1.0 but max(nan, 1.0) = nan),
+        # silently bincounting NaN-cast garbage when another partition's
+        # real max happened to fold last.
+        null_cols = [
+            c
+            for i, c in enumerate(cols)
+            if any(math.isnan(s[0][i]) for s in stats if s[1] > 0)
         ]
-        missing = [c for i, c in enumerate(cols) if math.isnan(maxes[i])]
-        if n == 0 or missing:
+        if n == 0 or null_cols:
             raise ValueError(
-                "cannot derive dims: input is empty or columns are all-NULL: "
-                f"{missing or cols}"
+                "cannot derive dims: input is empty or columns are all-NULL "
+                f"or NULL-bearing: {null_cols or cols}"
             )
+        maxes = [max(s[0][i] for s in stats) for i in range(len(cols))]
         return {c: min(int(maxes[i]) + 1, cap) for i, c in enumerate(cols)}, n
 
     def validate_byte_range(self, cols: list[str]) -> list[str]:
@@ -232,9 +240,20 @@ class PackedMatrix:
     ) -> dict[str, float]:
         """MI(x; y) for every feature in one pass — the packed twin of
         ``hist2d`` + ``collect_hist2d`` + ``mutual_info`` (stage 2 of the
-        fit; ``InfoTheory.scala:413-432``).  2-D tables are tiny
-        (Σxd × y_dim ints), always driver-merged."""
+        fit; ``InfoTheory.scala:413-432``).
+
+        Per-feature 2-D tables are small (``xd × y_dim`` ints), but the
+        collected volume is ``n_partitions × Σxd × y_dim`` — unbounded in
+        partition count — so the same two-regime merge as
+        :meth:`hist3d_mi_cmi` applies: driver merge under
+        ``BLOB_DRIVER_MERGE_MAX_BYTES``, else int32 partials through a
+        ``combineByKey`` int64 merge with executor-side MI (the driver
+        then collects ``n_features`` scalars).  Exact in both regimes —
+        integer sums merge identically in any order."""
         from flink_infotheoretic_feature_selection_spark.functions.infotheory import mutual_info
+        from flink_infotheoretic_feature_selection_spark.operators.histogram import (
+            BLOB_DRIVER_MERGE_MAX_BYTES,
+        )
 
         feats = list(feature_cols)
         y_dim = dims[y_col]
@@ -250,14 +269,43 @@ class PackedMatrix:
                     for fi, c in enumerate(feats)
                 ]
 
-        totals = [np.zeros(d * y_dim, dtype=np.int64) for d in xd]
-        for part in self.rdd.mapPartitions(partials).collect():
-            for fi, acc in enumerate(part):
-                totals[fi] += acc
-        return {
-            c: mutual_info(totals[fi].reshape(xd[fi], y_dim), n, emit_f32=emit_f32)
-            for fi, c in enumerate(feats)
-        }
+        blob_bytes = self.n_partitions * sum(xd) * y_dim * 4
+        if blob_bytes <= BLOB_DRIVER_MERGE_MAX_BYTES:
+            totals = [np.zeros(d * y_dim, dtype=np.int64) for d in xd]
+            for part in self.rdd.mapPartitions(partials).collect():
+                for fi, acc in enumerate(part):
+                    totals[fi] += acc
+            return {
+                c: mutual_info(totals[fi].reshape(xd[fi], y_dim), n, emit_f32=emit_f32)
+                for fi, c in enumerate(feats)
+            }
+
+        def kv_partials(blocks):
+            for part in partials(blocks):
+                for fi, acc in enumerate(part):
+                    yield fi, acc.astype(np.int32)
+
+        merged = (
+            self.rdd.mapPartitions(kv_partials)
+            .combineByKey(
+                lambda v: v.astype(np.int64),
+                lambda a, v: a + v,
+                lambda a, b: a + b,
+                numPartitions=min(len(feats), self.n_partitions),
+            )
+            .map(
+                lambda kv: (
+                    kv[0],
+                    mutual_info(kv[1].reshape(xd[kv[0]], y_dim), n, emit_f32=emit_f32),
+                )
+            )
+            .collect()
+        )
+        scores = {feats[fi]: mi for fi, mi in merged}
+        # empty matrix → no blocks → zero histograms, like collect_hist2d
+        for c in feats:
+            scores.setdefault(c, 0.0)
+        return scores
 
     def hist3d_mi_cmi(
         self,
@@ -360,10 +408,15 @@ class PackedSparse:
     scores are bit-identical (pinned by tests/test_packed.py).
     """
 
-    def __init__(self, rdd, n_features: int, n_partitions: int) -> None:
+    def __init__(self, rdd, n_features: int, n_partitions: int, total_local_rows: int = -1) -> None:
         self.rdd = rdd
         self.n_features = int(n_features)
         self.n_partitions = n_partitions
+        #: Σ per-partition distinct row_id counts (set by :meth:`pack`).
+        #: Equals the GLOBAL distinct row count iff every row's cells are
+        #: co-located in one partition — the property every histogram
+        #: method here silently depends on.
+        self.total_local_rows = total_local_rows
 
     @classmethod
     def pack(
@@ -371,7 +424,24 @@ class PackedSparse:
         nzy: DataFrame,
         n_features: int,
         storage_level: StorageLevel = StorageLevel.MEMORY_AND_DISK,
+        expected_distinct_rows: int | None = None,
     ) -> "PackedSparse":
+        """Pack co-located ``(row_id, feat, x, y)`` cells into CSC blocks.
+
+        ``expected_distinct_rows`` — the caller's independently-computed
+        global ``count(DISTINCT row_id)`` — arms the co-location check:
+        each block's distinct-row count rides the pack scan for free, and
+        their sum exceeds the global count exactly when some row's cells
+        were split across partitions (each split row is then counted
+        once per partition holding it).  A split would NOT fail loudly —
+        the per-iteration z-attach in :meth:`hist3d_nonzero` would
+        scatter z=0 for the cells living away from the selected feature's
+        cell and silently corrupt every score — so a mismatch raises.
+        AQE's skew-join split (``spark.sql.adaptive.skewJoin.enabled``,
+        on by default) is the known way a hash-partitioned join output
+        loses this property; ``SparseInfoThSelector`` disables it for the
+        pack job AND passes this check.
+        """
         nf = int(n_features)
 
         def pack_batches(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
@@ -418,8 +488,20 @@ class PackedSparse:
             .persist(storage_level)
         )
         n_parts = rdd.getNumPartitions()
-        rdd.count()
-        return cls(rdd, nf, n_parts)
+        # materialize; the sum of per-partition distinct row counts rides
+        # the same job (replaces the former bare count())
+        total_local = int(rdd.map(lambda blk: blk["nrows"]).sum())
+        if expected_distinct_rows is not None and total_local != expected_distinct_rows:
+            rdd.unpersist()
+            raise ValueError(
+                "PackedSparse co-location violated: sum of per-partition "
+                f"distinct row counts {total_local} != global distinct row "
+                f"count {expected_distinct_rows}. Some row's cells are split "
+                "across partitions (e.g. AQE skew-join split of the zipper "
+                "join output); repartition the input by row_id or disable "
+                "spark.sql.adaptive.skewJoin.enabled for the pack job."
+            )
+        return cls(rdd, nf, n_parts, total_local)
 
     def unpersist(self) -> None:
         self.rdd.unpersist()
@@ -442,6 +524,24 @@ class PackedSparse:
         def partials(blocks):
             for blk in blocks:
                 ptr, x, y = blk["ptr"], blk["x"], blk["y"]
+                # Guard BEFORE sizing any bincount: the caller's dim>256
+                # contract check runs on the returned dims, but a single
+                # corrupt cell (x = 1e9, representable in the int32
+                # block) would have this partition allocate
+                # ~x·y_dim·8 bytes FIRST and OOM the executor where the
+                # SQL route's groupBy aggregated safely and the driver
+                # raised cleanly.  max(x) per feature is scalar work;
+                # raise the same contract error here instead.
+                fmax = {
+                    f: int(x[ptr[f] : ptr[f + 1]].max())
+                    for f in range(nf)
+                    if ptr[f + 1] > ptr[f]
+                }
+                over = {f: mx + 1 for f, mx in fmax.items() if mx >= 256}
+                if over:
+                    raise ValueError(
+                        f"sparse feature values exceed the byte range (dim>256): {over}"
+                    )
                 # upcast before the code product: blocks store int32
                 yield [
                     np.bincount(

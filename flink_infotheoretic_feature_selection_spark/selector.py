@@ -154,7 +154,11 @@ class InfoThSelector:
     cross-engine rationale).  ``None`` → full-precision argmax: two
     scores differing by any amount order by score, equal scores still
     break deterministically by index — for callers whose sub-1e-5 gaps
-    are real signal rather than summation noise.
+    are real signal rather than summation noise.  ``tie_precision=None``
+    is the reference-faithful mode: the Flink job argmaxes raw float
+    scores with no quantization (``InfoSelector.scala:452``), so library
+    users wanting byte-parity with the reference's selection order on
+    near-tied scores must pass ``None``.
 
     ``loop_engine`` — substrate for stage 2 + the greedy loop, identical
     output (pinned by tests/test_packed.py):
@@ -230,12 +234,15 @@ class InfoThSelector:
         timings["pack_sec"] = round(time.perf_counter() - t0, 3)
         try:
             t0 = time.perf_counter()
-            dims, n = packed.dims_and_count()
-            timings["stats_sec"] = round(time.perf_counter() - t0, 3)
             if self.validate:
+                # BEFORE dims derivation: NULL-bearing columns would
+                # otherwise hit dims_and_count's blunter NaN-contract
+                # error instead of the actionable byte-range message
                 offenders = packed.validate_byte_range(feats)
                 if offenders:
                     raise ValueError(self._byte_range_message(offenders))
+            dims, n = packed.dims_and_count()
+            timings["stats_sec"] = round(time.perf_counter() - t0, 3)
             if n >= 2 * self.LOOP_ROWS_PER_PARTITION:
                 sc = packed.rdd.context
                 target = max(
@@ -565,14 +572,36 @@ class SparseInfoThSelector:
             "row_id", "feat", "x", "y"
         )
         if self.loop_engine == "packed":
-            # The pack IS the cache: the zipper join's SMJ exchange hash
-            # partitions its output by row_id (co-locating every cell of
-            # a row — what makes the per-iteration z-attach partition-
-            # local), and PackedSparse scans that output exactly once.
-            # No DataFrame persist, no per-iteration joins.
+            # The zipper join's SMJ exchange hash partitions its output by
+            # row_id (co-locating every cell of a row — what makes the
+            # per-iteration z-attach partition-local), and PackedSparse
+            # scans that output exactly once.  Two guards protect the
+            # co-location property the packed histograms silently depend
+            # on: (1) AQE's skew-join split — the one optimizer rewrite
+            # that re-scatters a hash-partitioned join output by mapper
+            # ranges — is disabled for the materializing jobs; (2) the
+            # pack verifies Σ per-partition distinct rows == global
+            # distinct rows and raises instead of silently mis-scoring.
+            # The transient persist means the join runs once for both the
+            # distinct count and the pack; it is dropped immediately
+            # after (the pack is the loop's cache).
             from flink_infotheoretic_feature_selection_spark.operators.packed import PackedSparse
 
-            packed = PackedSparse.pack(nzy_joined, self.n_features)
+            spark = nonzeros.sparkSession
+            skew_key = "spark.sql.adaptive.skewJoin.enabled"
+            skew_prev = spark.conf.get(skew_key, "true")
+            cached = nzy_joined.persist(StorageLevel.MEMORY_AND_DISK)
+            try:
+                spark.conf.set(skew_key, "false")
+                distinct_rows = cached.agg(
+                    F.countDistinct("row_id").alias("d")
+                ).collect()[0]["d"]
+                packed = PackedSparse.pack(
+                    cached, self.n_features, expected_distinct_rows=int(distinct_rows)
+                )
+            finally:
+                spark.conf.set(skew_key, skew_prev)
+                cached.unpersist()
             nzy = None
         else:
             nzy = (

@@ -191,3 +191,80 @@ def test_pack_keeps_layout_when_target_none(matrix):
         assert list(blocks[0].keys()) == feats + ["label"]
     finally:
         pm.unpersist()
+
+
+def test_relevances_bit_equal_distributed_regime(matrix, packed, monkeypatch):
+    # r8 advisor fix: relevances used to collect un-merged per-partition
+    # partials unconditionally (n_partitions × Σxd × y_dim driver bytes,
+    # unbounded in partition count); it now shares hist3d_mi_cmi's
+    # two-regime merge. Forcing the combineByKey regime must change
+    # NOTHING about the floats.
+    feats = [c for c in matrix.columns if c != "label"]
+    dims, n = _dims_n(matrix)
+    want = packed.relevances(feats, "label", dims, n, emit_f32=True)
+    monkeypatch.setattr(histogram, "BLOB_DRIVER_MERGE_MAX_BYTES", 0)
+    got = packed.relevances(feats, "label", dims, n, emit_f32=True)
+    assert got == want
+
+
+def test_dims_and_count_raises_on_partial_nulls(spark):
+    # A column NULL in only SOME partitions arrives as float-with-NaN via
+    # Arrow; folding partials with Python max() was order-dependent
+    # (max(1.0, nan)=1.0 but max(nan, 1.0)=nan). Any NaN partial is a
+    # contract violation and must error deterministically.
+    clean = [(i % 3, 1) for i in range(8)]
+    dirty = [(None, 1)] + [(i % 3, 1) for i in range(7)]
+    df = (
+        spark.createDataFrame(clean, "f0 int, label int")
+        .repartition(1)
+        .unionAll(spark.createDataFrame(dirty, "f0 int, label int").repartition(1))
+    )
+    pm = PackedMatrix.pack(df, ["f0", "label"])
+    try:
+        with pytest.raises(ValueError, match="NULL"):
+            pm.dims_and_count()
+    finally:
+        pm.unpersist()
+
+
+def test_sparse_packed_oversized_dim_errors_before_alloc(spark):
+    # r8 advisor fix: a corrupt cell (x=1e6, int32-representable) used to
+    # size the executor-side bincount BEFORE the caller's dim>256 check —
+    # ~x·y_dim·8 bytes per partition. The guard now raises the same
+    # contract error from the scalar per-feature max, allocating nothing.
+    from flink_infotheoretic_feature_selection_spark.selector import SparseInfoThSelector
+
+    labels = spark.createDataFrame([(r, r % 2) for r in range(4)], "row_id long, y int")
+    huge = spark.createDataFrame(
+        [(0, 0, 1_000_000), (1, 1, 2), (2, 0, 1)], "row_id long, feat int, x int"
+    )
+    with pytest.raises(Exception, match="dim>256"):
+        SparseInfoThSelector(n_features=2, n_to_select=1, loop_engine="packed").fit(
+            huge, labels
+        )
+
+
+def test_sparse_pack_colocation_check(spark, matrix):
+    # The packed histograms silently depend on every row's cells landing
+    # in ONE partition. pack(expected_distinct_rows=...) must catch a
+    # split layout (here: partitioned by feat, so each row spans
+    # partitions) and pass a co-located one.
+    from flink_infotheoretic_feature_selection_spark.operators.packed import PackedSparse
+    from flink_infotheoretic_feature_selection_spark.operators.sparse import matrix_to_sparse_long
+
+    feats = [c for c in matrix.columns if c != "label"][:4]
+    base, nz, labels = matrix_to_sparse_long(matrix, feats)
+    try:
+        nzy = nz.join(labels, "row_id").select("row_id", "feat", "x", "y")
+        n_distinct = nzy.select("row_id").distinct().count()
+
+        split = nzy.repartition(4, "feat")
+        with pytest.raises(ValueError, match="co-location"):
+            PackedSparse.pack(split, 4, expected_distinct_rows=n_distinct)
+
+        ok = nzy.repartition(4, "row_id")
+        ps = PackedSparse.pack(ok, 4, expected_distinct_rows=n_distinct)
+        assert ps.total_local_rows == n_distinct
+        ps.unpersist()
+    finally:
+        base.unpersist()

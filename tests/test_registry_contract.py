@@ -186,3 +186,67 @@ def test_rotation_survives_malformed_history(tmp_path):
         entry_mod.CORE_GATES[:] = old_core
     # g1/g2 have no VALID green row -> never-verified tier, ahead of g0
     assert order == ["g1", "g2", "g0"]
+
+
+# ---- churn-driven promotion (r8: the r7 verdict's ask #3) ----------------
+
+
+def test_code_touched_gate_lands_in_block_a_even_when_freshly_green():
+    # Synthetic: a gate green in the latest 2+ sweeps (tier 5, normally
+    # rotated out) must land inside the cap when its code changed.
+    names = list(entry_mod._base_queries())
+    target = "epoch_shuffle"
+    rounds = {
+        1: {n: {"hash_match": True} for n in names},
+        2: {n: {"hash_match": True} for n in names},
+    }
+    cold = entry_mod.rotation_order(names, rounds, promote=frozenset())
+    hot = entry_mod.rotation_order(names, rounds, promote=frozenset({target}))
+    assert target in hot[:CAP]
+    # and the promotion is what moved it, not base-order luck
+    assert hot.index(target) <= cold.index(target)
+    tiers = [entry_mod.rotation_tier(n, names, rounds, frozenset({target})) for n in hot[:CAP]]
+    assert entry_mod.rotation_tier(target, names, rounds, frozenset({target})) == 3
+    # nothing staler (tier 1/2) was displaced to make room
+    assert all(t <= 3 for t in tiers[: tiers.index(3) + 1])
+
+
+def test_rotation_promote_derives_from_file_churn(monkeypatch):
+    # A change in a shared package module must promote every gate whose
+    # import closure reaches it — the exact under-promotion the r7 gram
+    # rewrite exposed (17 dependent gates, only 1 hand-promoted).
+    sel = "flink_infotheoretic_feature_selection_spark/operators/dedup.py"
+    monkeypatch.setattr(
+        entry_mod, "changed_files_since_last_round", lambda root: {sel}
+    )
+    got = entry_mod.rotation_promote(entry_mod._base_queries(), root=ROOT)
+    for expected in ("dedup_exact", "minhash_lsh_pairs", "simhash64_mining", "decontaminate"):
+        assert expected in got, f"{expected} depends on dedup.py but was not promoted"
+    # a gate with no dedup dependency must NOT be promoted
+    assert "equal_freq_bucket" not in got
+
+
+def test_rotation_promote_degrades_to_manual_set_on_git_failure(monkeypatch):
+    monkeypatch.setattr(
+        entry_mod, "changed_files_since_last_round", lambda root: None
+    )
+    got = entry_mod.rotation_promote(entry_mod._base_queries(), root=ROOT)
+    assert got == entry_mod.ROTATION_PROMOTE
+
+
+def test_gate_source_mapping_sees_both_registry_shapes():
+    # direct module functions map to their defining file; entry-file
+    # _q_* wrappers map through aliases/inner imports
+    aliases = entry_mod._entry_alias_files(ROOT)
+    base = entry_mod._base_queries()
+    direct = entry_mod._gate_direct_files(base["dedup_exact"], aliases, ROOT)
+    assert "flink_infotheoretic_feature_selection_spark/operators/dedup.py" in direct
+    keel = entry_mod._gate_direct_files(base["keel_read"], aliases, ROOT)
+    assert any(f.endswith("sources/keel.py") for f in keel), keel
+
+
+def test_changed_files_since_last_round_answers_in_this_repo():
+    changed = entry_mod.changed_files_since_last_round(ROOT)
+    # this repo has round-boundary commits; git must answer (the set may
+    # be empty right after a round lands, but must not be None)
+    assert changed is not None
