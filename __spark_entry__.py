@@ -1010,6 +1010,140 @@ def _keel_read_oracle() -> str:
 
 
 # ---------------------------------------------------------------------------
+# libsvm_read gate (S3) — r8: the last §2 operator without a driver row.
+# A real user loads LibSVM on day one (InfoSelectorTest.scala:113,
+# ErrorTest.scala:49); the staged a1a-style fixture drives Spark's native
+# libsvm datasource + the vectors_to_wide bridge end-to-end, oracled by a
+# DuckDB token-split re-parse.  sf-independent like keel_read: a file-
+# format parse does not scale with sf.
+# ---------------------------------------------------------------------------
+_LIBSVM_GATE_NF = 12
+_LIBSVM_GATE_CONTENT = """+1 3:1 6:1 11:1
+-1 1:2 2:1 12:3
++1 4:1 5:2 6:1 10:1
+-1 7:1
++1
+-1 1:1 3:2 8:1 9:1 11:2
++1 2:3 12:1
+-1 5:1 6:1 7:2 8:1
++1 1:1 10:2
+-1 2:1 4:3 9:2
+"""
+
+
+def _staged_libsvm_path() -> str:
+    def stage(d: str) -> None:
+        with open(f"{d}/gate.libsvm", "w") as fh:
+            fh.write(_LIBSVM_GATE_CONTENT)
+
+    return _staged_dir(("libsvm_gate",), stage) + "/gate.libsvm"
+
+
+def _q_libsvm_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_infotheoretic_feature_selection_spark.sources.libsvm import (
+        read_libsvm,
+        vectors_to_wide,
+    )
+
+    raw = read_libsvm(spark, _staged_libsvm_path(), num_features=_LIBSVM_GATE_NF)
+    return vectors_to_wide(raw, num_features=_LIBSVM_GATE_NF)
+
+
+def _libsvm_read_oracle() -> str:
+    path = _staged_libsvm_path()
+    # `idx:value` pairs after the label token, 1-based file indices
+    pairs = (
+        "list_transform(list_filter(tokens[2:], t -> trim(t) <> ''),"
+        " t -> {'k': CAST(string_split(t, ':')[1] AS INT),"
+        "       'v': CAST(string_split(t, ':')[2] AS DOUBLE)})"
+    )
+    cols = ", ".join(
+        f"CAST(coalesce(list_transform(list_filter(pairs, e -> e.k = {i + 1}),"
+        f" e -> e.v)[1], 0) AS TINYINT) AS f{i}"
+        for i in range(_LIBSVM_GATE_NF)
+    )
+    # normalize_label maps raw labels to 0..C-1 by ascending value; the
+    # fixture's label set is {-1, +1} -> {0, 1}
+    return f"""
+    WITH llines AS (
+      SELECT value AS line
+      FROM read_csv('{path}', columns={{'value': 'VARCHAR'}}, header=false,
+                    delim=chr(1), quote='')
+      WHERE trim(value) <> ''),
+    ltok AS (
+      SELECT list_filter(string_split_regex(trim(line), '\\s+'), t -> t <> '') AS tokens
+      FROM llines),
+    lparsed AS (
+      SELECT CAST(tokens[1] AS DOUBLE) AS rawlabel, {pairs} AS pairs FROM ltok)
+    SELECT {cols},
+           CAST(CASE WHEN rawlabel < 0 THEN 0 ELSE 1 END AS TINYINT) AS label
+    FROM lparsed
+    """
+
+
+# ---------------------------------------------------------------------------
+# scrub_pii gate — r8: the one extension op that was unit-only (the
+# testdata corpus has no PII, so a corpus oracle would zero-hit-check
+# nothing).  The staged parquet fixture carries every pattern class plus
+# the overlap case (an email and a digit run INSIDE a url — counted by
+# their own censuses, consumed by the email→url→longnum replacement
+# order), NULL and empty text.  Oracle builds from the SAME
+# _PII_PATTERNS list, so pattern drift breaks the gate loudly.
+# ---------------------------------------------------------------------------
+_PII_GATE_DOCS = [
+    (1, "contact john.doe@example.com for details"),
+    (2, "see https://example.com/a?id=1234567&mail=x@y.io now"),
+    (3, "card 4111111111111111 leaked and 999999 too"),
+    (4, "room 12345 is fine, 99999 as well"),
+    (5, None),
+    (6, ""),
+    (7, "a@b.co and c@d.org wrote http://t.co/xyz"),
+    (8, "plain text with no pii at all"),
+]
+
+
+def _staged_pii_path() -> str:
+    def stage(d: str) -> None:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array([i for i, _ in _PII_GATE_DOCS], pa.int64()),
+                    "text": pa.array([t for _, t in _PII_GATE_DOCS], pa.string()),
+                }
+            ),
+            f"{d}/pii_docs.parquet",
+        )
+
+    return _staged_dir(("pii_gate",), stage) + "/pii_docs.parquet"
+
+
+def _q_scrub_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.scrub_pii(spark.read.parquet(_staged_pii_path()))
+
+
+def _scrub_pii_oracle() -> str:
+    from flink_infotheoretic_feature_selection_spark.operators.text import _PII_PATTERNS
+
+    path = _staged_pii_path()
+    scrub = "coalesce(text, '')"
+    counts = []
+    for name, pat, repl in _PII_PATTERNS:
+        # DuckDB SQL strings are escape-free: the pattern embeds verbatim
+        counts.append(
+            f"CAST(len(regexp_extract_all(coalesce(text, ''), '{pat}')) AS INT)"
+            f" AS n_{name}"
+        )
+        scrub = f"regexp_replace({scrub}, '{pat}', '{repl}', 'g')"
+    return (
+        f"SELECT doc_id, {scrub} AS text, {', '.join(counts)} "
+        f"FROM read_parquet('{path}')"
+    )
+
+
+# ---------------------------------------------------------------------------
 # Round-6 gate consolidations (registry 81 -> 76 so the 50-row driver cap
 # re-verifies every gate within 2 rounds).  Pattern per _q_media_pixels /
 # _q_asof_join_both: variants that share an upstream CTE union into ONE
@@ -1589,6 +1723,10 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # through the kind column.
         "keel_read": _q_keel_read,
         "simhash64_mining": _q_simhash64_mining,
+        # r8: the last two unit-only operators earn value-level rows via
+        # staged fixtures (registry 74 -> 76, within the 2-round period)
+        "libsvm_read": _q_libsvm_read,
+        "scrub_pii": _q_scrub_pii,
         # dedup / similarity / text / streaming extensions:
         "simhash64_incremental": _q_simhash64_incremental,
         "cross_source_overlap": profile_ops.cross_source_overlap,
@@ -1721,6 +1859,8 @@ def oracle_sql() -> dict[str, str]:
         "simhash_pairs": _simhash_all_oracle(),
         "keel_read": _keel_read_oracle(),
         "simhash64_mining": _simhash64_mining_oracle(),
+        "libsvm_read": _libsvm_read_oracle(),
+        "scrub_pii": _scrub_pii_oracle(),
         "simhash64_incremental": dedup.simhash64_incremental_oracle(),
         "source_token_cap": text.source_token_cap_oracle(),
         "epoch_shuffle": text.epoch_shuffle_oracle(),
