@@ -102,12 +102,34 @@ def main() -> None:
 
     spark = get_spark("scale_proof_wide", cpus=os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
+    # Split the session's ONE-TIME Python-runner spin-up (daemon fork +
+    # worker imports, ~2.5 s, schema-independent) out of the pack cost:
+    # before r8 the first case's pack_sec absorbed it, reading as a
+    # wide-schema penalty it isn't (measured: the width-dependent share
+    # of the 631-col first pack is ~1 s plan + ~1.1 s per-pass transit).
+    import pyarrow as pa
+    import time as _t
+
+    def _noop(batches):
+        yield from batches
+
+    t0 = _t.perf_counter()
+    spark.range(3).mapInArrow(_noop, "id long").collect()
+    runner_init = round(_t.perf_counter() - t0, 2)
+
     results = []
     for n_rows, n_feats in ((8192, 631), (100_000, 100)):
         path = build_matrix(out, n_rows, n_feats, seed=n_feats)
-        results.append(run_case(spark, path, n_feats, n_rows, k=10))
+        cold = run_case(spark, path, n_feats, n_rows, k=10)
+        warm = run_case(spark, path, n_feats, n_rows, k=10)
+        assert warm["selection_head"] == cold["selection_head"]
+        cold["pack_sec_warm_plan"] = warm["fit_timings"]["pack_sec"]
+        results.append(cold)
         print(json.dumps(results[-1]), flush=True)
-    print(json.dumps({"wide_matrix_proof": results}), flush=True)
+    print(
+        json.dumps({"arrow_runner_init_sec": runner_init, "wide_matrix_proof": results}),
+        flush=True,
+    )
 
 
 if __name__ == "__main__":
