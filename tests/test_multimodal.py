@@ -146,3 +146,128 @@ def test_extract_features_non_divisor_dim_conserves_mass(spark):
     assert len(feats) == 10
     assert abs(sum(feats) - 1.0) < 1e-6
     assert feats[9] > 0  # the >=250 bytes landed in the top bucket
+
+
+# ---- real-codec injection proof (r8) --------------------------------------
+# The pluggable decoder was only ever exercised by deterministic
+# stand-ins; these prove the contract against a REAL container format.
+# PNG bytes are built in-test (signature + IHDR + zlib IDAT + IEND), so
+# the stdlib-zlib test runs everywhere; the PIL test additionally proves
+# a third-party codec slots in unchanged where PIL is installed.
+
+
+def _png_bytes(gray: "np.ndarray") -> bytes:
+    """Minimal valid 8-bit grayscale PNG for an h×w uint8 array."""
+    import struct
+    import zlib
+
+    h, w = gray.shape
+
+    def chunk(tag: bytes, payload: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(payload))
+            + tag
+            + payload
+            + struct.pack(">I", zlib.crc32(tag + payload) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)  # bitdepth 8, gray
+    raw = b"".join(b"\x00" + gray[y].tobytes() for y in range(h))  # filter 0
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _make_png_decoder():
+    """Factory so the decoder pickles BY VALUE (a nested closure) —
+    module-level test functions pickle by reference, and executors
+    can't import the tests package."""
+
+    def _png_decode_stdlib(buf: bytes, height: int, width: int):
+        # Real-format decoder using only stdlib zlib: parses PNG chunks,
+        # inflates IDAT, strips per-row filter bytes (filter 0 only).
+        import struct
+        import zlib
+
+        import numpy as _np
+
+        assert buf[:8] == b"\x89PNG\r\n\x1a\n", "not a PNG"
+        pos, idat = 8, b""
+        w = h = None
+        while pos < len(buf):
+            (ln,) = struct.unpack(">I", buf[pos : pos + 4])
+            tag = buf[pos + 4 : pos + 8]
+            payload = buf[pos + 8 : pos + 8 + ln]
+            if tag == b"IHDR":
+                w, h = struct.unpack(">II", payload[:8])
+            elif tag == b"IDAT":
+                idat += payload
+            pos += 12 + ln
+        assert (w, h) == (width, height)
+        raw = zlib.decompress(idat)
+        rows = []
+        for y in range(height):
+            line = raw[y * (width + 1) : (y + 1) * (width + 1)]
+            assert line[0] == 0, "only filter 0 expected"
+            rows.append(_np.frombuffer(line[1:], dtype=_np.uint8))
+        return _np.stack(rows).astype(_np.float32) / 255.0
+
+    return _png_decode_stdlib
+
+
+def _png_media_df(spark, grids):
+    rows = [(int(i), _png_bytes(g)) for i, g in enumerate(grids)]
+    return spark.createDataFrame(rows, "doc_id long, media binary")
+
+
+def test_decode_media_with_real_png_codec_stdlib(spark):
+    rng = np.random.default_rng(42)
+    grids = [rng.integers(0, 256, size=(8, 8), dtype=np.uint8) for _ in range(5)]
+    media = _png_media_df(spark, grids)
+    out = mm.decode_media(media, height=8, width=8, decoder=_make_png_decoder())
+    got = {r["doc_id"]: np.array(r["pixels"], dtype=np.float32) for r in out.collect()}
+    for i, g in enumerate(grids):
+        want = (g.astype(np.float32) / 255.0).reshape(-1)
+        assert np.array_equal(got[i], want), f"doc {i} pixel mismatch"
+
+
+def test_resize_media_over_real_png_decode(spark):
+    # the full pipeline slot: real-format decode -> average-pool resize,
+    # verified against the numpy pooling of the known source image
+    rng = np.random.default_rng(7)
+    grids = [rng.integers(0, 256, size=(8, 8), dtype=np.uint8) for _ in range(3)]
+    media = _png_media_df(spark, grids)
+    decoded = mm.decode_media(media, height=8, width=8, decoder=_make_png_decoder())
+    out = mm.resize_media(decoded, out_h=4, out_w=4)
+    got = {(r["doc_id"], r["oy"], r["ox"]): r["val"] for r in out.collect()}
+    for i, g in enumerate(grids):
+        f = (g.astype(np.float32) / 255.0).astype(np.float64)
+        pooled = f.reshape(4, 2, 4, 2).mean(axis=(1, 3))
+        for oy in range(4):
+            for ox in range(4):
+                assert got[(i, oy, ox)] == round(float(pooled[oy, ox]), 5)
+
+
+def test_decode_media_with_pil_codec(spark):
+    # optional-dependency twin: a third-party codec must slot into the
+    # same injection point unchanged.  Skips where PIL isn't installed
+    # (this container); green in any CI that has it.
+    PIL_Image = pytest.importorskip("PIL.Image")
+    import io
+
+    def pil_decoder(buf: bytes, height: int, width: int) -> np.ndarray:
+        img = PIL_Image.open(io.BytesIO(buf)).convert("L")
+        assert img.size == (width, height)
+        return np.asarray(img, dtype=np.float32) / 255.0
+
+    rng = np.random.default_rng(11)
+    grids = [rng.integers(0, 256, size=(8, 8), dtype=np.uint8) for _ in range(3)]
+    media = _png_media_df(spark, grids)
+    out = mm.decode_media(media, height=8, width=8, decoder=pil_decoder)
+    got = {r["doc_id"]: np.array(r["pixels"], dtype=np.float32) for r in out.collect()}
+    for i, g in enumerate(grids):
+        want = (g.astype(np.float32) / 255.0).reshape(-1)
+        assert np.array_equal(got[i], want)
