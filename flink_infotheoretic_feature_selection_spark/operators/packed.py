@@ -147,31 +147,49 @@ class PackedMatrix:
         import math
 
         cols = self.cols
-        stats = self.rdd.map(
-            lambda blk: (
-                [float(blk[c].max()) if blk[c].size else float("nan") for c in cols],
-                len(blk[cols[0]]),
-            )
-        ).collect()
-        n = sum(s[1] for s in stats)
-        # A NaN partial from a NON-empty block means the column holds
-        # NULLs there (Arrow promotes nullable ints to float, NaN-filled;
-        # np.max propagates the NaN) — a contract violation that must
-        # error deterministically.  Folding with Python max() would be
-        # order-dependent (max(1.0, nan) = 1.0 but max(nan, 1.0) = nan),
-        # silently bincounting NaN-cast garbage when another partition's
-        # real max happened to fold last.
-        null_cols = [
-            c
-            for i, c in enumerate(cols)
-            if any(math.isnan(s[0][i]) for s in stats if s[1] > 0)
-        ]
-        if n == 0 or null_cols:
+
+        # Executor-side tree fold, not collect(): per-partition stat rows
+        # are n_cols floats each, so a plain collect is
+        # n_partitions × n_cols × 8 B on the driver — ~500 MB at a
+        # 100 TB-shape 100k partitions × 632 columns.  treeReduce folds
+        # them to ONE row; elementwise max and integer count sums are
+        # associative/commutative, so the fold order cannot change the
+        # result.  A NaN partial from a NON-empty block means the column
+        # holds NULLs there (Arrow promotes nullable ints to float,
+        # NaN-filled; np.max propagates it) — tracked as an explicit
+        # boolean mask, NEVER folded through max() (max(1.0, nan)=1.0
+        # but max(nan, 1.0)=nan: order-dependent, the r8 advisor find).
+        def stat(blk):
+            maxes = np.full(len(cols), -np.inf)
+            nan_mask = np.zeros(len(cols), dtype=bool)
+            for i, c in enumerate(cols):
+                a = blk[c]
+                if a.size:
+                    m = float(a.max())
+                    if math.isnan(m):
+                        nan_mask[i] = True
+                    else:
+                        maxes[i] = m
+            return maxes, nan_mask, len(blk[cols[0]])
+
+        def merge(a, b):
+            return np.maximum(a[0], b[0]), a[1] | b[1], a[2] + b[2]
+
+        try:
+            maxes, nan_mask, n = self.rdd.map(stat).treeReduce(merge)
+        except ValueError:
+            # empty input packs to an RDD with no blocks; reduce of an
+            # empty RDD raises — re-raise as the dims contract error
+            raise ValueError(
+                "cannot derive dims: input is empty or columns are all-NULL "
+                f"or NULL-bearing: {cols}"
+            ) from None
+        null_cols = [c for i, c in enumerate(cols) if nan_mask[i]]
+        if n == 0 or null_cols or not np.isfinite(maxes).all():
             raise ValueError(
                 "cannot derive dims: input is empty or columns are all-NULL "
                 f"or NULL-bearing: {null_cols or cols}"
             )
-        maxes = [max(s[0][i] for s in stats) for i in range(len(cols))]
         return {c: min(int(maxes[i]) + 1, cap) for i, c in enumerate(cols)}, n
 
     def validate_byte_range(self, cols: list[str]) -> list[str]:
@@ -532,9 +550,27 @@ class PackedSparse:
         Dims ride the histogram for free: each partition bincounts codes
         ``x·y_dim + y`` with NO minlength, so the bincount LENGTH is
         ``local_max_code + 1`` and ``ceil(len / y_dim)`` is the local
-        ``max(x)+1``; the driver pads partials to the global length
-        before the exact integer merge.  The caller credits the x=0 row
-        from ``N_y`` exactly like the SQL route's ``collect2d``."""
+        ``max(x)+1``; padding partials to the running max length before
+        the exact integer merge preserves both the counts and the
+        length-encoded dims.  The caller credits the x=0 row from
+        ``N_y`` exactly like the SQL route's ``collect2d``.
+
+        Two-regime merge (r8): collected partial volume is
+        ``n_partitions × Σ local_lens × 8 B`` — unbounded in partition
+        count, the same driver-OOM class the advisor flagged on
+        ``PackedMatrix.relevances``.  The WORST-CASE volume
+        ``n_partitions × nf × 256 × y_dim × 4`` (cells are byte-ranged:
+        the executor-side guard in the partial pass raises past 256)
+        gates the route: under ``BLOB_DRIVER_MERGE_MAX_BYTES`` the
+        driver merges as before; above it int32 partials flow through a
+        per-feature ``combineByKey`` pad-to-max int64 merge and the
+        driver collects ``nf`` merged tables (dims-bounded).  Integer
+        sums and length-max are order-free, so both regimes are
+        bit-identical (pinned by tests/test_packed.py)."""
+        from flink_infotheoretic_feature_selection_spark.operators.histogram import (
+            BLOB_DRIVER_MERGE_MAX_BYTES,
+        )
+
         nf = self.n_features
 
         def partials(blocks):
@@ -567,16 +603,56 @@ class PackedSparse:
                     for f in range(nf)
                 ]
 
-        parts = self.rdd.mapPartitions(partials).collect()
+        worst_case_bytes = self.n_partitions * nf * 256 * y_dim * 4
+        if worst_case_bytes <= BLOB_DRIVER_MERGE_MAX_BYTES:
+            parts = self.rdd.mapPartitions(partials).collect()
+            dims = {
+                f: max(-(-max((len(p[f]) for p in parts), default=0) // y_dim), 1)
+                for f in range(nf)
+            }
+            totals = [np.zeros(dims[f] * y_dim, dtype=np.int64) for f in range(nf)]
+            for part in parts:
+                for f, acc in enumerate(part):
+                    totals[f][: len(acc)] += acc
+            return dims, {f: totals[f].reshape(dims[f], y_dim) for f in range(nf)}
+
+        # 100 TB regime: int32 partials, executor-side pad-to-max int64
+        # merge per feature, nf dims-bounded tables to the driver
+        def kv_partials(blocks):
+            for part in partials(blocks):
+                for f, acc in enumerate(part):
+                    yield f, acc.astype(np.int32)
+
+        def pad_merge(a, v):
+            # grow the int64 accumulator to the longer partial, then add;
+            # the merged LENGTH doubles as the feature's max code + 1
+            if len(v) > len(a):
+                a = np.pad(a, (0, len(v) - len(a)))
+            a = a.astype(np.int64, copy=False)
+            a[: len(v)] += v
+            return a
+
+        merged = dict(
+            self.rdd.mapPartitions(kv_partials)
+            .combineByKey(
+                lambda v: v.astype(np.int64),
+                pad_merge,
+                pad_merge,
+                numPartitions=min(nf, self.n_partitions) or 1,
+            )
+            .collect()
+        )
         dims = {
-            f: max(-(-max((len(p[f]) for p in parts), default=0) // y_dim), 1)
-            for f in range(nf)
+            f: max(-(-len(merged.get(f, ())) // y_dim), 1) for f in range(nf)
         }
-        totals = [np.zeros(dims[f] * y_dim, dtype=np.int64) for f in range(nf)]
-        for part in parts:
-            for f, acc in enumerate(part):
-                totals[f][: len(acc)] += acc
-        return dims, {f: totals[f].reshape(dims[f], y_dim) for f in range(nf)}
+        out = {}
+        for f in range(nf):
+            tbl = np.zeros(dims[f] * y_dim, dtype=np.int64)
+            got = merged.get(f)
+            if got is not None:
+                tbl[: len(got)] = got
+            out[f] = tbl.reshape(dims[f], y_dim)
+        return dims, out
 
     def hist3d_nonzero(
         self,

@@ -268,3 +268,28 @@ def test_sparse_pack_colocation_check(spark, matrix):
         ps.unpersist()
     finally:
         base.unpersist()
+
+
+def test_sparse_dims_and_hist2d_bit_equal_both_regimes(matrix, monkeypatch):
+    # r8: the init histogram pass gained the same two-regime merge as the
+    # loop (collected partials were unbounded in partition count).
+    # Forcing the combineByKey pad-to-max route must change nothing.
+    from flink_infotheoretic_feature_selection_spark.operators.packed import PackedSparse
+    from flink_infotheoretic_feature_selection_spark.operators.sparse import matrix_to_sparse_long
+
+    feats = [c for c in matrix.columns if c != "label"][:6]
+    base, nz, labels = matrix_to_sparse_long(matrix, feats)
+    try:
+        nzy = nz.join(labels, "row_id").select("row_id", "feat", "x", "y")
+        ps = PackedSparse.pack(nzy.repartition(4, "row_id"), 6)
+        y_dim = int(labels.agg({"y": "max"}).collect()[0][0]) + 1
+        dims_a, h2_a = ps.dims_and_hist2d(y_dim)
+        monkeypatch.setattr(histogram, "BLOB_DRIVER_MERGE_MAX_BYTES", 0)
+        dims_b, h2_b = ps.dims_and_hist2d(y_dim)
+        assert dims_a == dims_b
+        assert set(h2_a) == set(h2_b)
+        for f in h2_a:
+            assert (h2_a[f] == h2_b[f]).all(), f
+        ps.unpersist()
+    finally:
+        base.unpersist()
