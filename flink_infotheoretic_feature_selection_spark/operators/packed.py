@@ -213,7 +213,11 @@ class PackedMatrix:
                     bad.append(c)
             return bad
 
-        seen = set().union(*self.rdd.map(check).collect(), set())
+        # executor-side set-union fold: one small set reaches the driver
+        # regardless of partition count (same discipline as
+        # dims_and_count's treeReduce); empty input → nothing to flag
+        rdd = self.rdd.map(lambda blk: set(check(blk)))
+        seen = rdd.treeReduce(lambda a, b: a | b) if not rdd.isEmpty() else set()
         return [c for c in cols if c in seen]
 
     def rebalance(
