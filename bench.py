@@ -294,6 +294,40 @@ def main() -> None:
     t, _ = timed(lambda: pipeline_ops.pipeline_curate_split(spark, SF_DIR).count())
     results["b15c_curate_split"] = round(t, 3)
 
+    # B16 — the REFERENCE'S OWN default workload shape: 631 attributes ×
+    # 8,192 rows (InfoSelectorTest.scala:102-105, ECBDL14 subsample),
+    # mRMR k=10 on the packed substrate.  sf-independent by design (a
+    # fixed-shape fit does not scale with sf) — the deterministic
+    # synthetic matrix builds once per host into /tmp and is reused.
+    import importlib.util as _ilu
+    import pathlib as _pl
+
+    _spw = _ilu.spec_from_file_location(
+        "scale_proof_wide", _pl.Path(__file__).parent / "tools" / "scale_proof_wide.py"
+    )
+    _wide_mod = _ilu.module_from_spec(_spw)
+    _spw.loader.exec_module(_wide_mod)
+    wide_path = _wide_mod.build_matrix("/tmp/bench_wide", 8192, 631, seed=631)
+    wide_feats = [f"f{j}" for j in range(631)]
+    wide_df = spark.read.parquet(wide_path)
+
+    wide_models = []
+
+    def b16():
+        m = InfoThSelector(
+            n_to_select=10, criterion="mrmr", feature_cols=wide_feats, emit_f32=False
+        ).fit(wide_df)
+        wide_models.append(m)
+        return m
+
+    t, _ = timed(b16)
+    results["b16_wide_mrmr_k10"] = round(t, 3)
+    last = wide_models[-1]
+    results["b16_wide_pack_per_iter"] = round(last.fit_timings["pack_sec"], 3)
+    results["b16_wide_loop_per_iter"] = round(
+        last.fit_timings["loop_sec"] / max(last.fit_timings["iterations"], 1), 3
+    )
+    assert len({tuple(c for c, _ in m.selection_path) for m in wide_models}) == 1
 
     total = round(sum(v for k, v in results.items() if not k.endswith(("per_iter", "per_sec"))), 3)
     print(
