@@ -1434,23 +1434,20 @@ def _package_import_closure(root: str) -> dict[str, set[str]]:
         for p in glob.glob(os.path.join(root, _PKG_NAME, "**", "*.py"), recursive=True)
     ]
     direct = {f: _file_import_refs(f, root) & set(files) for f in files}
-    closure: dict[str, set[str]] = {}
-
-    def reach(f: str, seen: set[str]) -> set[str]:
-        if f in closure:
-            return closure[f]
-        seen.add(f)
-        out = {f}
-        for dep in direct.get(f, ()):
-            if dep not in seen:
-                out |= reach(dep, seen)
-            else:
-                out.add(dep)
-        closure[f] = out
-        return out
-
-    for f in files:
-        reach(f, set())
+    # fixpoint iteration, not recursive memoization: with an import
+    # CYCLE, a recursive walk caches the mid-cycle node's incomplete set
+    # (its back-edge truncates before the rest of the cycle's deps) and
+    # silently under-promotes — the exact failure this feature exists to
+    # prevent.  ~40 files make the quadratic fixpoint free.
+    closure: dict[str, set[str]] = {f: {f} | direct[f] for f in files}
+    changed = True
+    while changed:
+        changed = False
+        for f in files:
+            new = set().union(closure[f], *(closure[d] for d in closure[f]))
+            if new != closure[f]:
+                closure[f] = new
+                changed = True
     return closure
 
 
@@ -1556,6 +1553,12 @@ def rotation_promote(gates: dict | None = None, root: str | None = None) -> froz
     try:
         root = root or os.path.dirname(os.path.abspath(__file__))
         changed = changed_files_since_last_round(root)
+        if changed is None:
+            # git couldn't answer (e.g. subprocess timeout under load) —
+            # degrade for THIS call only, never cache the degraded set:
+            # pinning it would silently disable churn promotion for the
+            # whole process lifetime
+            return ROTATION_PROMOTE
         if not changed:
             result = ROTATION_PROMOTE
         else:
@@ -1571,7 +1574,8 @@ def rotation_promote(gates: dict | None = None, root: str | None = None) -> froz
                     churned.add(name)
             result = ROTATION_PROMOTE | frozenset(churned)
     except Exception:
-        result = ROTATION_PROMOTE
+        # same rule: a transient failure must not poison the cache
+        return ROTATION_PROMOTE
     if cache_default:
         _ROTATION_PROMOTE_CACHE = result
     return result

@@ -307,7 +307,9 @@ def main() -> None:
     )
     _wide_mod = _ilu.module_from_spec(_spw)
     _spw.loader.exec_module(_wide_mod)
-    wide_path = _wide_mod.build_matrix("/tmp/bench_wide", 8192, 631, seed=631)
+    wide_path = "/tmp/bench_wide/matrix_631x8192.parquet"
+    if not os.path.exists(wide_path):  # deterministic (seeded): safe to reuse
+        wide_path = _wide_mod.build_matrix("/tmp/bench_wide", 8192, 631, seed=631)
     wide_feats = [f"f{j}" for j in range(631)]
     wide_df = spark.read.parquet(wide_path)
 

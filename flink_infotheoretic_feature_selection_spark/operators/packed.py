@@ -107,7 +107,16 @@ class PackedMatrix:
         stays — that's what pushes column pruning into the scan.
         """
         cols = list(cols)
-        src = matrix if set(cols) == set(matrix.columns) else matrix.select(*cols)
+        # fast path requires UNIQUE input columns: _block_of resolves by
+        # name, and a duplicate name (e.g. from a join) would silently
+        # read the last occurrence for both logical columns — the select
+        # keeps Catalyst's loud AMBIGUOUS_REFERENCE error for that case
+        mcols = matrix.columns
+        src = (
+            matrix
+            if set(cols) == set(mcols) and len(set(mcols)) == len(mcols)
+            else matrix.select(*cols)
+        )
         if n_partitions is not None and src.rdd.getNumPartitions() != n_partitions:
             src = src.repartition(n_partitions)
 
@@ -215,9 +224,11 @@ class PackedMatrix:
 
         # executor-side set-union fold: one small set reaches the driver
         # regardless of partition count (same discipline as
-        # dims_and_count's treeReduce); empty input → nothing to flag
-        rdd = self.rdd.map(lambda blk: set(check(blk)))
-        seen = rdd.treeReduce(lambda a, b: a | b) if not rdd.isEmpty() else set()
+        # dims_and_count's treeReduce); treeAggregate's zero value covers
+        # the empty-RDD case in the SAME single job
+        seen = self.rdd.treeAggregate(
+            set(), lambda a, blk: a | set(check(blk)), lambda a, b: a | b
+        )
         return [c for c in cols if c in seen]
 
     def rebalance(
@@ -298,12 +309,16 @@ class PackedMatrix:
         xd = [dims[c] for c in feats]
 
         def partials(blocks):
+            # int32 partial emit (a partition holds < 2^31 rows, so no
+            # count overflows): the collected volume then matches the
+            # blob_bytes × 4 B formula — raw int64 bincounts would put
+            # 2× the documented bound on the driver
             for blk in blocks:
                 y = blk[y_col].astype(np.int64)
                 yield [
                     np.bincount(
                         blk[c].astype(np.int64) * y_dim + y, minlength=xd[fi] * y_dim
-                    )
+                    ).astype(np.int32)
                     for fi, c in enumerate(feats)
                 ]
 
@@ -321,7 +336,7 @@ class PackedMatrix:
         def kv_partials(blocks):
             for part in partials(blocks):
                 for fi, acc in enumerate(part):
-                    yield fi, acc.astype(np.int32)
+                    yield fi, acc
 
         merged = (
             self.rdd.mapPartitions(kv_partials)
@@ -368,12 +383,16 @@ class PackedMatrix:
         xd = [dims[c] for c in feats]
 
         def partials(blocks):
+            # int32 partial emit (partition rows < 2^31): keeps the
+            # collected/shuffled volume equal to the blob_bytes × 4 B
+            # formula in BOTH regimes (r8 review find: raw int64
+            # bincounts put 2× the documented bound on the driver)
             for blk in blocks:
                 yz_code = blk[y_col].astype(np.int64) * z_dim + blk[z_col].astype(np.int64)
                 yield [
                     np.bincount(
                         blk[c].astype(np.int64) * yz + yz_code, minlength=xd[fi] * yz
-                    )
+                    ).astype(np.int32)
                     for fi, c in enumerate(feats)
                 ]
 
@@ -396,7 +415,7 @@ class PackedMatrix:
             def kv_partials(blocks):
                 for part in partials(blocks):
                     for fi, acc in enumerate(part):
-                        yield fi, acc.astype(np.int32)
+                        yield fi, acc
 
             merged = (
                 self.rdd.mapPartitions(kv_partials)
@@ -598,12 +617,14 @@ class PackedSparse:
                     raise ValueError(
                         f"sparse feature values exceed the byte range (dim>256): {over}"
                     )
-                # upcast before the code product: blocks store int32
+                # upcast before the code product (blocks store int32);
+                # emit int32 partials so the collected volume matches the
+                # 4 B/count bound formula (partition rows < 2^31)
                 yield [
                     np.bincount(
                         x[ptr[f] : ptr[f + 1]].astype(np.int64) * y_dim
                         + y[ptr[f] : ptr[f + 1]]
-                    )
+                    ).astype(np.int32)
                     for f in range(nf)
                 ]
 
@@ -625,7 +646,7 @@ class PackedSparse:
         def kv_partials(blocks):
             for part in partials(blocks):
                 for f, acc in enumerate(part):
-                    yield f, acc.astype(np.int32)
+                    yield f, acc
 
         def pad_merge(a, v):
             # grow the int64 accumulator to the longer partial, then add;
@@ -690,9 +711,10 @@ class PackedSparse:
             z_row[row[sl]] = x[sl]
             for f in rem:
                 fsl = slice(ptr[f], ptr[f + 1])
-                # int64 upcast first: blocks store int32 cells
+                # int64 upcast first: blocks store int32 cells; int32
+                # partial emit keeps the volume at the 4 B/count formula
                 code = x[fsl].astype(np.int64) * szy + z_row[row[fsl]] * y_dim + y[fsl]
-                yield f, np.bincount(code, minlength=dims[f] * szy)
+                yield f, np.bincount(code, minlength=dims[f] * szy).astype(np.int32)
 
         blob_bytes = self.n_partitions * sum(dims[f] for f in rem) * szy * 4
         if blob_bytes <= BLOB_DRIVER_MERGE_MAX_BYTES:
@@ -708,8 +730,7 @@ class PackedSparse:
         else:
             def kv_partials(blocks):
                 for blk in blocks:
-                    for f, acc in block_tables(blk):
-                        yield f, acc.astype(np.int32)
+                    yield from block_tables(blk)
 
             merged = (
                 self.rdd.mapPartitions(kv_partials)

@@ -293,3 +293,16 @@ def test_sparse_dims_and_hist2d_bit_equal_both_regimes(matrix, monkeypatch):
         ps.unpersist()
     finally:
         base.unpersist()
+
+
+def test_pack_rejects_duplicate_column_names(spark):
+    # the wide-schema fast path must NOT engage on duplicate names —
+    # name-keyed block resolution would silently read the last
+    # occurrence for both; Catalyst's ambiguity error must surface
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(1, 2, 0)], "f0 int, f1 int, label int").select(
+        F.col("f0").alias("a"), F.col("f1").alias("a"), "label"
+    )
+    with pytest.raises(Exception, match="AMBIGUOUS|ambiguous"):
+        PackedMatrix.pack(df, ["a", "label"])

@@ -250,3 +250,42 @@ def test_changed_files_since_last_round_answers_in_this_repo():
     # this repo has round-boundary commits; git must answer (the set may
     # be empty right after a round lands, but must not be None)
     assert changed is not None
+
+
+def test_import_closure_complete_under_cycles(tmp_path):
+    # r8 review find: recursive memoization cached a mid-cycle node's
+    # incomplete closure (A<->B with A->C lost C from closure[B]); the
+    # fixpoint form must be complete on cyclic graphs.
+    pkg = tmp_path / "flink_infotheoretic_feature_selection_spark"
+    pkg.mkdir()
+    (pkg / "a.py").write_text(
+        "import flink_infotheoretic_feature_selection_spark.b\n"
+        "import flink_infotheoretic_feature_selection_spark.c\n"
+    )
+    (pkg / "b.py").write_text("import flink_infotheoretic_feature_selection_spark.a\n")
+    (pkg / "c.py").write_text("x = 1\n")
+    closure = entry_mod._package_import_closure(str(tmp_path))
+    pfx = "flink_infotheoretic_feature_selection_spark/"
+    assert closure[pfx + "b.py"] == {pfx + "a.py", pfx + "b.py", pfx + "c.py"}
+    assert closure[pfx + "a.py"] == {pfx + "a.py", pfx + "b.py", pfx + "c.py"}
+    assert closure[pfx + "c.py"] == {pfx + "c.py"}
+
+
+def test_rotation_promote_does_not_cache_degraded_result(monkeypatch):
+    # a transient git failure must degrade THIS call only — caching the
+    # empty set would silently disable churn promotion process-wide
+    monkeypatch.setattr(entry_mod, "_ROTATION_PROMOTE_CACHE", None)
+    calls = {"n": 0}
+
+    def flaky(root):
+        calls["n"] += 1
+        return None if calls["n"] == 1 else {
+            "flink_infotheoretic_feature_selection_spark/operators/dedup.py"
+        }
+
+    monkeypatch.setattr(entry_mod, "changed_files_since_last_round", flaky)
+    first = entry_mod.rotation_promote(root=ROOT)
+    assert first == entry_mod.ROTATION_PROMOTE
+    assert entry_mod._ROTATION_PROMOTE_CACHE is None  # not poisoned
+    second = entry_mod.rotation_promote(root=ROOT)
+    assert "dedup_exact" in second  # recovered on the next call

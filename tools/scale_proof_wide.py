@@ -107,7 +107,6 @@ def main() -> None:
     # before r8 the first case's pack_sec absorbed it, reading as a
     # wide-schema penalty it isn't (measured: the width-dependent share
     # of the 631-col first pack is ~1 s plan + ~1.1 s per-pass transit).
-    import pyarrow as pa
     import time as _t
 
     def _noop(batches):
