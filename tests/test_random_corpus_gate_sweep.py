@@ -332,3 +332,77 @@ def test_documents_gates_on_extreme_length_corpus(spark, tmp_path):
             failures.append(f"{name}: spark_only={only_s} duck_only={only_d}")
     duck.close()
     assert not failures, "\n".join(failures)
+
+
+def test_documents_gates_on_duplication_clique_corpus(spark, tmp_path):
+    # Duplication/skew axis (r8) — the random generator and the length
+    # sweep never produce a LARGE near-dup clique, which is exactly what
+    # web-scale corpora contain (boilerplate pages duplicated across
+    # thousands of URLs).  120 byte-identical copies of one doc (a
+    # 120-clique: 7,140 pairs through every pair miner, one hot LSH/
+    # SimHash bucket, a 120-member connected component for keep-best),
+    # two near-identical families (one-word edits — SimHash Hamming
+    # neighbors), one doc whose text is another's prefix (substring-span
+    # bait), a hot SOURCE (skewed group key for rollup/cap/mixture), and
+    # the usual NULL/empty/tiny docs.  Same bit-exact cross-engine
+    # contract as the random sweep: caps and union-find must change
+    # NOTHING about values, only bound the work.
+    rng = random.Random(11)
+    boiler = " ".join(rng.choice(WORDS) for _ in range(40))
+    near_a = boiler.replace(WORDS[0], "edited", 1)
+    family_b = " ".join(rng.choice(WORDS) for _ in range(35))
+    texts = [boiler] * 120
+    texts += [near_a] * 3
+    texts += [family_b, family_b + " tail", "prefix " + family_b]
+    texts += [boiler[: len(boiler) // 2], None, "", "one",
+              " ".join(rng.choice(WORDS) for _ in range(25))]
+    n = len(texts)
+    d = tmp_path / "clique"
+    d.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(n), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+                "lang": pa.array(["en"] * n, pa.string()),
+                # hot source: 80% of docs share src0 (skewed group key)
+                "source": pa.array(
+                    [f"src{0 if i % 5 else i % 3}" for i in range(n)], pa.string()
+                ),
+                "n_chars": pa.array(
+                    [len(t) if t is not None else 0 for t in texts], pa.int64()
+                ),
+            }
+        ),
+        f"{d}/documents.parquet",
+    )
+    duck = duckdb.connect()
+    duck.execute(f"CREATE VIEW documents AS SELECT * FROM '{d}/documents.parquet'")
+    queries, oracles = entry_mod.queries(), entry_mod.oracle_sql()
+    failures = []
+    nullsafe = lambda t: tuple((v is None, v) for v in t)  # noqa: E731
+    for name in SWEEP_GATES:
+        sdf = queries[name](spark, str(d))
+        got = sorted(
+            (
+                tuple(round(v, 9) if isinstance(v, float) else v for v in r)
+                for r in sdf.select(*sorted(sdf.columns)).collect()
+            ),
+            key=nullsafe,
+        )
+        cols = ", ".join(f'"{c}"' for c in sorted(sdf.columns))
+        exp = sorted(
+            (
+                tuple(round(v, 9) if isinstance(v, float) else v for v in r)
+                for r in duck.execute(
+                    f"SELECT {cols} FROM ({oracles[name]})"
+                ).fetchall()
+            ),
+            key=nullsafe,
+        )
+        if got != exp:
+            only_s = [r for r in got if r not in exp][:3]
+            only_d = [r for r in exp if r not in got][:3]
+            failures.append(f"{name}: spark_only={only_s} duck_only={only_d}")
+    duck.close()
+    assert not failures, "\n".join(failures)
