@@ -115,3 +115,69 @@ def test_events_gates_cross_engine_on_random_events(spark, tmp_path, seed):
             failures.append(f"{name}: spark_only={only_s} duck_only={only_d}")
     duck.close()
     assert not failures, f"seed {seed}:\n" + "\n".join(failures)
+
+
+def test_events_gates_on_hot_key_corpus(spark, tmp_path):
+    # Skew axis (r8): one user owns ~90% of all events — the hot-key
+    # profile real clickstreams have and the random generator (6 users,
+    # mild 40% skew) never reaches.  Exercises: sessionize's per-user
+    # window over one giant key, funnel ordering inside a 450-event
+    # user, key_skew_profile's top-key stats, hypertable rollup with one
+    # dominant group, and as-of/range joins where one side's key
+    # distribution is degenerate.  Values must stay bit-exact — skew may
+    # move work, never results.
+    rng = random.Random(23)
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    for i in range(500):
+        user = 0 if i % 10 else rng.randint(1, 4)  # user 0 holds ~90%
+        # dense same-user ts collisions + session gaps
+        if rng.random() < 0.2 and rows:
+            ts = rows[-1][1]
+        else:
+            ts = base + dt.timedelta(seconds=rng.randint(0, 72 * 3600))
+        rows.append(
+            (i, ts, user, rng.choice(TYPES), rng.randint(0, 99999) / 100.0,
+             rng.choice(PROPS))
+        )
+    tbl = {
+        "event_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+        "user_id": pa.array([r[2] for r in rows], pa.int64()),
+        "event_type": pa.array([r[3] for r in rows], pa.string()),
+        "value": pa.array([r[4] for r in rows], pa.float64()),
+        "props": pa.array([r[5] for r in rows], pa.string()),
+    }
+    d = tmp_path / "hotkey"
+    d.mkdir()
+    pq.write_table(pa.table(tbl), f"{d}/events.parquet")
+    duck = duckdb.connect()
+    duck.execute(f"CREATE VIEW events AS SELECT * FROM '{d}/events.parquet'")
+    queries, oracles = entry_mod.queries(), entry_mod.oracle_sql()
+    failures = []
+    nullsafe = lambda t: tuple((v is None, v) for v in t)  # noqa: E731
+    for name in EVENT_GATES:
+        sdf = queries[name](spark, str(d))
+        got = sorted(
+            (
+                tuple(round(v, 9) if isinstance(v, float) else v for v in r)
+                for r in sdf.select(*sorted(sdf.columns)).collect()
+            ),
+            key=nullsafe,
+        )
+        cols = ", ".join(f'"{c}"' for c in sorted(sdf.columns))
+        exp = sorted(
+            (
+                tuple(round(v, 9) if isinstance(v, float) else v for v in r)
+                for r in duck.execute(
+                    f"SELECT {cols} FROM ({oracles[name]})"
+                ).fetchall()
+            ),
+            key=nullsafe,
+        )
+        if got != exp:
+            only_s = [r for r in got if r not in exp][:3]
+            only_d = [r for r in exp if r not in got][:3]
+            failures.append(f"{name}: spark_only={only_s} duck_only={only_d}")
+    duck.close()
+    assert not failures, "\n".join(failures)
