@@ -157,3 +157,57 @@ def test_live_kmeans_fit_beats_sign_grid_on_random_vectors(spark, tmp_path, seed
     )
     assert km >= grid, (seed, km, grid)
     assert km >= 0.25, (seed, km, grid)
+
+
+def test_embeddings_gates_on_identical_vector_clique(spark, tmp_path):
+    # Degenerate-geometry axis (r8): 100 byte-identical vectors (one hot
+    # IVF/LSH bucket, cosine ties everywhere — rank tiebreaks must be
+    # deterministic on BOTH engines), plus its antipode family and a few
+    # normal vectors.  The random generator produces ~10% dups, never a
+    # dominant clique.
+    rng = random.Random(31)
+    v = [round(rng.gauss(0, 1), 4) for _ in range(DIM)]
+    vecs = [list(v) for _ in range(100)]
+    vecs += [[-x for x in v]] * 5
+    vecs += [[round(rng.gauss(0, 1), 4) for _ in range(DIM)] for _ in range(15)]
+    n = len(vecs)
+    tbl = {
+        "vec_id": pa.array(range(n), pa.int64()),
+        "embedding": pa.array(
+            [[float(x) for x in w] for w in vecs], pa.list_(pa.float32())
+        ),
+        "label": pa.array([rng.randrange(4) for _ in range(n)], pa.int32()),
+    }
+    d = tmp_path / "vclique"
+    d.mkdir()
+    pq.write_table(pa.table(tbl), f"{d}/embeddings.parquet")
+    duck = duckdb.connect()
+    duck.execute(f"CREATE VIEW embeddings AS SELECT * FROM '{d}/embeddings.parquet'")
+    queries, oracles = entry_mod.queries(), entry_mod.oracle_sql()
+    failures = []
+    nullsafe = lambda t: tuple((v is None, v) for v in t)  # noqa: E731
+    for name in EMB_GATES:
+        sdf = queries[name](spark, str(d))
+        got = sorted(
+            (
+                tuple(round(v_, 9) if isinstance(v_, float) else v_ for v_ in r)
+                for r in sdf.select(*sorted(sdf.columns)).collect()
+            ),
+            key=nullsafe,
+        )
+        cols = ", ".join(f'"{c}"' for c in sorted(sdf.columns))
+        exp = sorted(
+            (
+                tuple(round(v_, 9) if isinstance(v_, float) else v_ for v_ in r)
+                for r in duck.execute(
+                    f"SELECT {cols} FROM ({oracles[name]})"
+                ).fetchall()
+            ),
+            key=nullsafe,
+        )
+        if got != exp:
+            only_s = [r for r in got if r not in exp][:3]
+            only_d = [r for r in exp if r not in got][:3]
+            failures.append(f"{name}: spark_only={only_s} duck_only={only_d}")
+    duck.close()
+    assert not failures, "\n".join(failures)
