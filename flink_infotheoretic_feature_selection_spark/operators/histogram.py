@@ -80,7 +80,18 @@ def feature_dims_and_count(
         raise ValueError(
             f"cannot derive dims: input is empty or columns are all-NULL: {missing}"
         )
-    return {c: min(int(row[c]), cap) for c in cols}, int(row["__n"])
+    # RAISE on over-cap instead of silently clamping (r8 review find):
+    # clamped dims made the Arrow bincount routes ALIAS out-of-range
+    # values into neighboring cells (x·y_dim+y arithmetic with y ≥ y_dim
+    # lands inside the array) — silently corrupted counts, where this
+    # error names the offending columns.  Values are bytes by contract
+    # (the reference casts to byte, InfoTheory.scala:480).
+    over = {c: int(row[c]) for c in cols if int(row[c]) > cap}
+    if over:
+        raise ValueError(
+            f"feature values exceed the byte range (dim>{cap}): {over}"
+        )
+    return {c: int(row[c]) for c in cols}, int(row["__n"])
 
 
 def _col_i64(batch: pa.RecordBatch, name: str) -> np.ndarray:
@@ -201,6 +212,21 @@ def hist3d_arrow(
     return partial.groupBy("feat", "x", "y", "z").agg(F.sum("cnt").alias("cnt"))
 
 
+def int32_exact(a: np.ndarray) -> np.ndarray:
+    """int32 partial emit with the size invariant ENFORCED (r8 review
+    find): the 'partition holds < 2^31 rows' claim is not true by
+    construction once ``defaultParallelism`` caps the partition target —
+    a hot cell past 2^31 counts would wrap NEGATIVE and the int64 merge
+    would sum the corruption silently (MI masks p>0, so no error ever
+    surfaces).  Scalar ``max`` per emitted table; raise names the fix."""
+    if a.size and int(a.max()) > np.iinfo(np.int32).max:
+        raise ValueError(
+            "partition histogram cell exceeds int32 — too many rows per "
+            "partition for exact int32 partials; increase the partition count"
+        )
+    return a.astype(np.int32)
+
+
 # Driver-side blob merge is used only below this total-volume bound
 # (exactly computable up front: partitions × Σxd × y_dim × z_dim × 4 B).
 # Same idea as a broadcast-join threshold: the driver shortcut saves one
@@ -276,7 +302,7 @@ def hist3d_mi_cmi(
                 [
                     pa.array(np.arange(len(feats), dtype=np.int32)),
                     pa.array(
-                        [a.astype(np.int32).tobytes() for a in acc],
+                        [int32_exact(a).tobytes() for a in acc],
                         type=pa.binary(),
                     ),
                 ],

@@ -46,6 +46,8 @@ from typing import Iterator
 
 import numpy as np
 import pyarrow as pa
+
+from flink_infotheoretic_feature_selection_spark.operators.histogram import int32_exact
 from pyspark.sql import DataFrame
 from pyspark.storagelevel import StorageLevel
 
@@ -143,10 +145,12 @@ class PackedMatrix:
     # -- stats / layout ------------------------------------------------------
 
     def dims_and_count(self, cap: int = 256) -> tuple[dict[str, int], int]:
-        """Per-column ``min(max+1, cap)`` + row count from the blocks —
-        the packed twin of ``histogram.feature_dims_and_count`` (same
-        errors on empty / all-NULL input, same cap semantics,
-        ``InfoTheory.scala:413-419``).
+        """Per-column ``max+1`` + row count from the blocks — the packed
+        twin of ``histogram.feature_dims_and_count`` (same errors on
+        empty / all-NULL input and on over-``cap`` values — values are
+        bytes by contract, ``InfoTheory.scala:413-419``; a raise beats
+        the old silent clamp, which let out-of-range values alias into
+        neighboring histogram cells).
 
         On wide schemas this replaces a Catalyst aggregate whose plan
         cost grows badly with column count (measured on 632 columns ×
@@ -199,7 +203,15 @@ class PackedMatrix:
                 "cannot derive dims: input is empty or columns are all-NULL "
                 f"or NULL-bearing: {null_cols or cols}"
             )
-        return {c: min(int(maxes[i]) + 1, cap) for i, c in enumerate(cols)}, n
+        dims = {c: int(maxes[i]) + 1 for i, c in enumerate(cols)}
+        over = {c: d for c, d in dims.items() if d > cap}
+        if over:
+            # raise, don't clamp: clamped dims would let out-of-range
+            # values ALIAS into neighboring histogram cells downstream
+            raise ValueError(
+                f"feature values exceed the byte range (dim>{cap}): {over}"
+            )
+        return dims, n
 
     def validate_byte_range(self, cols: list[str]) -> list[str]:
         """Columns violating the non-null-integer-in-[0,255] contract —
@@ -316,9 +328,12 @@ class PackedMatrix:
             for blk in blocks:
                 y = blk[y_col].astype(np.int64)
                 yield [
-                    np.bincount(
-                        blk[c].astype(np.int64) * y_dim + y, minlength=xd[fi] * y_dim
-                    ).astype(np.int32)
+                    int32_exact(
+                        np.bincount(
+                            blk[c].astype(np.int64) * y_dim + y,
+                            minlength=xd[fi] * y_dim,
+                        )
+                    )
                     for fi, c in enumerate(feats)
                 ]
 
@@ -390,9 +405,12 @@ class PackedMatrix:
             for blk in blocks:
                 yz_code = blk[y_col].astype(np.int64) * z_dim + blk[z_col].astype(np.int64)
                 yield [
-                    np.bincount(
-                        blk[c].astype(np.int64) * yz + yz_code, minlength=xd[fi] * yz
-                    ).astype(np.int32)
+                    int32_exact(
+                        np.bincount(
+                            blk[c].astype(np.int64) * yz + yz_code,
+                            minlength=xd[fi] * yz,
+                        )
+                    )
                     for fi, c in enumerate(feats)
                 ]
 
@@ -621,10 +639,12 @@ class PackedSparse:
                 # emit int32 partials so the collected volume matches the
                 # 4 B/count bound formula (partition rows < 2^31)
                 yield [
-                    np.bincount(
-                        x[ptr[f] : ptr[f + 1]].astype(np.int64) * y_dim
-                        + y[ptr[f] : ptr[f + 1]]
-                    ).astype(np.int32)
+                    int32_exact(
+                        np.bincount(
+                            x[ptr[f] : ptr[f + 1]].astype(np.int64) * y_dim
+                            + y[ptr[f] : ptr[f + 1]]
+                        )
+                    )
                     for f in range(nf)
                 ]
 
@@ -714,7 +734,7 @@ class PackedSparse:
                 # int64 upcast first: blocks store int32 cells; int32
                 # partial emit keeps the volume at the 4 B/count formula
                 code = x[fsl].astype(np.int64) * szy + z_row[row[fsl]] * y_dim + y[fsl]
-                yield f, np.bincount(code, minlength=dims[f] * szy).astype(np.int32)
+                yield f, int32_exact(np.bincount(code, minlength=dims[f] * szy))
 
         blob_bytes = self.n_partitions * sum(dims[f] for f in rem) * szy * 4
         if blob_bytes <= BLOB_DRIVER_MERGE_MAX_BYTES:

@@ -102,9 +102,20 @@ class InfoThSelectorModel:
 
     def transform(self, df: DataFrame) -> DataFrame:
         """Project to (selected features, label) — narrow Catalyst select,
-        the reference's transform (``InfoSelector.scala:229-263``)."""
-        keep = [c for c in self.selected_cols if c in df.columns]
-        cols = keep + ([self.label_col] if self.label_col in df.columns else [])
+        the reference's transform (``InfoSelector.scala:229-263``).
+
+        Missing selected columns RAISE (r8): silently dropping them
+        would hand downstream training the wrong feature set on a schema
+        mismatch.  A missing label stays optional — transform of
+        unlabeled serving data is the normal case."""
+        missing = [c for c in self.selected_cols if c not in df.columns]
+        if missing:
+            raise ValueError(
+                f"input is missing selected feature columns: {missing}"
+            )
+        cols = list(self.selected_cols) + (
+            [self.label_col] if self.label_col in df.columns else []
+        )
         return df.select(*cols)
 
     def save(self, path: str) -> None:
@@ -215,7 +226,10 @@ class InfoThSelector:
             # blocks; see operators/packed.py).
             return self._fit_packed(df, feats, label)
         if self.validate:
-            self._validate_byte_range(df, feats)
+            # label rides the same histogram index arithmetic as the
+            # features — validate it too (r8: a NULL/fractional label
+            # used to pass validation and die later in index code)
+            self._validate_byte_range(df, feats + [label])
 
         matrix = df.select(*feats, label).persist(StorageLevel.MEMORY_AND_DISK)
         try:
@@ -238,7 +252,7 @@ class InfoThSelector:
                 # BEFORE dims derivation: NULL-bearing columns would
                 # otherwise hit dims_and_count's blunter NaN-contract
                 # error instead of the actionable byte-range message
-                offenders = packed.validate_byte_range(feats)
+                offenders = packed.validate_byte_range(feats + [label])
                 if offenders:
                     raise ValueError(self._byte_range_message(offenders))
             dims, n = packed.dims_and_count()
@@ -354,7 +368,10 @@ class InfoThSelector:
             1, min(-(-n // self.LOOP_ROWS_PER_PARTITION), sc.defaultParallelism)
         )
         cur = matrix.rdd.getNumPartitions()
-        return None if target <= cur <= 2 * target else target
+        # same gross-mismatch band as the packed engine: starved (< half
+        # the target) pays the re-layout, over-split (> 4x) coalesces
+        # shuffle-free in _fit_cached, near-target layouts are kept
+        return None if -(-target // 2) <= cur <= 4 * target else target
 
     def _fit_cached(self, matrix: DataFrame, feats: list[str], label: str) -> InfoThSelectorModel:
         from flink_infotheoretic_feature_selection_spark.session import conf_clamp
@@ -373,10 +390,13 @@ class InfoThSelector:
             try:
                 if target is not None:
                     # input-file-derived partitioning is parallelism-starved
-                    # (or over-split): re-layout ONCE, reuse k times
-                    repart = matrix.repartition(target).persist(
-                        StorageLevel.MEMORY_AND_DISK
-                    )
+                    # (or over-split): re-layout ONCE, reuse k times.
+                    # Over-split consolidation is a shuffle-free coalesce
+                    # (the packed engine's band, r8) — only the starved
+                    # case pays a full repartition shuffle.
+                    cur = matrix.rdd.getNumPartitions()
+                    relayout = matrix.coalesce(target) if cur > target else matrix.repartition(target)
+                    repart = relayout.persist(StorageLevel.MEMORY_AND_DISK)
                     matrix = repart
                 return self._fit_stages(matrix, feats, label, dims, n, y_dim)
             finally:
@@ -475,7 +495,11 @@ class InfoThSelector:
                     state[c].update(*scores[c])
 
         timings["loop_sec"] = round(_time.perf_counter() - _t0, 3)
-        timings["iterations"] = max(len(path) - 1, 0)
+        # MIM never runs a redundancy pass — reporting k-1 would hand
+        # per-iteration diagnostics a nonsense denominator (r8 review)
+        timings["iterations"] = (
+            0 if self.criterion.lower() == "mim" else max(len(path) - 1, 0)
+        )
         selected = sorted((c for c, _ in path), key=feats.index)
         return InfoThSelectorModel(
             feature_cols=feats,
@@ -610,14 +634,25 @@ class SparseInfoThSelector:
             )
         try:
             nf = self.n_features
-            y_hist = {
-                int(r["y"]): int(r["cnt"])
-                for r in labels.groupBy("y").agg(F.count("*").alias("cnt")).collect()
-            }
+            y_hist = {}
+            for r in labels.groupBy("y").agg(F.count("*").alias("cnt")).collect():
+                if r["y"] is None:
+                    raise ValueError("labels contain NULL y values")
+                y_hist[int(r["y"])] = int(r["cnt"])
+            if not y_hist:
+                raise ValueError(
+                    "labels is empty — cannot derive class priors"
+                )
             n = sum(y_hist.values())
             y_dim = max(y_hist) + 1
             if min(y_hist) < 0:
                 raise ValueError("labels must be >= 0 in the sparse path")
+            if y_dim > 256:
+                # same byte contract as the features: one corrupt label
+                # would size n_y and EVERY per-feature histogram by it
+                raise ValueError(
+                    f"label values exceed the byte range (dim>256): {y_dim}"
+                )
             n_y = np.zeros(y_dim, dtype=np.int64)
             for y_, c_ in y_hist.items():
                 n_y[y_] = c_
@@ -655,6 +690,14 @@ class SparseInfoThSelector:
                 # credited zeros: count(x=0, y) = N_y − Σ_{x≠0} count(x, y)
                 for i in range(nf):
                     out[i][0] = n_y - out[i][1:].sum(axis=0)
+                    if (out[i][0] < 0).any():
+                        # duplicate (row_id, feat) cells over-count the
+                        # nonzeros past the label totals; mutual_info's
+                        # p>0 mask would silently skip the negative cell
+                        raise ValueError(
+                            "nonzero counts exceed label totals for "
+                            f"feature {i}: duplicate (row_id, feat) cells"
+                        )
                 return out
 
             if packed is not None:
@@ -662,6 +705,11 @@ class SparseInfoThSelector:
                 # credited zeros: count(x=0, y) = N_y − Σ_{x≠0} count(x, y)
                 for i in range(nf):
                     h2[i][0] = n_y - h2[i][1:].sum(axis=0)
+                    if (h2[i][0] < 0).any():
+                        raise ValueError(
+                            "nonzero counts exceed label totals for "
+                            f"feature {i}: duplicate (row_id, feat) cells"
+                        )
             else:
                 h2 = collect2d(
                     nzy.groupBy("feat", "x", "y").agg(F.count("*").alias("cnt"))

@@ -224,3 +224,109 @@ def test_empty_input_raises_clear_error(spark):
     empty = spark.createDataFrame([], "f0 int, label int")
     with pytest.raises(ValueError, match="empty or columns are all-NULL"):
         feature_dims_and_count(empty, ["f0"])
+
+
+# ---- r8 review hardening ---------------------------------------------------
+
+
+def test_feature_dims_raises_instead_of_clamping(spark):
+    # silent clamping let out-of-range values ALIAS into neighboring
+    # histogram cells in the Arrow bincount routes — over-cap must error
+    import pytest
+    from flink_infotheoretic_feature_selection_spark.operators.histogram import (
+        feature_dims_and_count,
+    )
+
+    df = spark.createDataFrame([(300, 0), (1, 1)], "f0 int, label int")
+    with pytest.raises(ValueError, match="byte range"):
+        feature_dims_and_count(df, ["f0", "label"])
+
+
+def test_int32_exact_guards_partial_overflow():
+    import numpy as np
+    import pytest
+    from flink_infotheoretic_feature_selection_spark.operators.histogram import int32_exact
+
+    ok = np.array([0, 2**31 - 1], dtype=np.int64)
+    assert int32_exact(ok).dtype == np.int32
+    with pytest.raises(ValueError, match="int32"):
+        int32_exact(np.array([2**31], dtype=np.int64))
+
+
+def test_transform_raises_on_missing_selected_column(spark):
+    import pytest
+    from flink_infotheoretic_feature_selection_spark.selector import InfoThSelectorModel
+
+    m = InfoThSelectorModel(
+        feature_cols=["f0", "f1"], label_col="label",
+        selected_cols=["f0", "f1"], selection_path=[], relevances={},
+    )
+    df = spark.createDataFrame([(1, 0)], "f0 int, label int")  # f1 missing
+    with pytest.raises(ValueError, match="f1"):
+        m.transform(df)
+    # missing LABEL stays fine (serving data is unlabeled)
+    unlabeled = spark.createDataFrame([(1, 2)], "f0 int, f1 int")
+    assert m.transform(unlabeled).columns == ["f0", "f1"]
+
+
+def test_validate_rejects_null_label(spark):
+    import pytest
+    from flink_infotheoretic_feature_selection_spark.selector import InfoThSelector
+
+    df = spark.createDataFrame(
+        [(1, 0, 0), (2, 1, None), (2, 0, 1)], "f0 int, f1 int, label int"
+    )
+    for engine in ("packed", "arrow"):
+        with pytest.raises(ValueError, match="non-null integers"):
+            InfoThSelector(
+                n_to_select=1, feature_cols=["f0", "f1"], validate=True,
+                loop_engine=engine,
+            ).fit(df)
+
+
+def test_sparse_fit_clear_errors_on_bad_labels(spark):
+    import pytest
+    from flink_infotheoretic_feature_selection_spark.selector import SparseInfoThSelector
+
+    nz = spark.createDataFrame([(0, 0, 1), (1, 1, 2)], "row_id long, feat int, x int")
+    empty = spark.createDataFrame([], "row_id long, y int")
+    with pytest.raises(ValueError, match="empty"):
+        SparseInfoThSelector(n_features=2, n_to_select=1).fit(nz, empty)
+
+    nully = spark.createDataFrame([(0, None), (1, 1)], "row_id long, y int")
+    with pytest.raises(ValueError, match="NULL"):
+        SparseInfoThSelector(n_features=2, n_to_select=1).fit(nz, nully)
+
+    bigy = spark.createDataFrame([(0, 1), (1, 50_000_000)], "row_id long, y int")
+    with pytest.raises(ValueError, match="byte range"):
+        SparseInfoThSelector(n_features=2, n_to_select=1).fit(nz, bigy)
+
+
+def test_sparse_fit_rejects_duplicate_cells(spark):
+    # duplicate (row_id, feat) cells over-count nonzeros past the label
+    # totals; the credited-zeros row would go NEGATIVE and mutual_info's
+    # p>0 mask would silently skip it — must be a loud error
+    import pytest
+    from flink_infotheoretic_feature_selection_spark.selector import SparseInfoThSelector
+
+    labels = spark.createDataFrame([(r, r % 2) for r in range(3)], "row_id long, y int")
+    # row 0 duplicated 3x: its (x=2, y=0) cell counts 3 > n_y[0]=2, so
+    # the credited x=0 row goes negative (2 copies would tie at zero and
+    # slip through — the guard fires when counts EXCEED the class total)
+    dup = spark.createDataFrame(
+        [(0, 0, 2)] * 3 + [(1, 1, 1)], "row_id long, feat int, x int"
+    )
+    for engine in ("sql", "packed"):
+        with pytest.raises(ValueError, match="duplicate"):
+            SparseInfoThSelector(
+                n_features=2, n_to_select=1, loop_engine=engine
+            ).fit(dup, labels)
+
+
+def test_mim_reports_zero_iterations(spark):
+    from flink_infotheoretic_feature_selection_spark.datasets import features_dense
+    from flink_infotheoretic_feature_selection_spark.selector import InfoThSelector
+
+    df = features_dense(spark, "/root/testdata/sf0.001")
+    m = InfoThSelector(n_to_select=4, criterion="mim").fit(df)
+    assert m.fit_timings["iterations"] == 0
