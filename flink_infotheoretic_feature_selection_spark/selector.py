@@ -459,6 +459,9 @@ class InfoThSelector:
                     ),
                 )
                 path.append((best, state[best].score))
+                # parity artifact, not control flow: mirrors the
+                # reference's setValid(false) (InfoCriterion.scala) —
+                # exclusion here is driven by `remaining`
                 state[best].valid = False
                 remaining.remove(best)
                 if len(path) >= self.n_to_select or not remaining:
