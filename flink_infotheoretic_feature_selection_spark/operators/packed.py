@@ -47,7 +47,7 @@ from typing import Iterator
 import numpy as np
 import pyarrow as pa
 
-from flink_infotheoretic_feature_selection_spark.operators.histogram import int32_exact
+from flink_infotheoretic_feature_selection_spark.operators.histogram import check_int32_rows
 from pyspark.sql import DataFrame
 from pyspark.storagelevel import StorageLevel
 
@@ -321,19 +321,19 @@ class PackedMatrix:
         xd = [dims[c] for c in feats]
 
         def partials(blocks):
-            # int32 partial emit (a partition holds < 2^31 rows, so no
-            # count overflows): the collected volume then matches the
+            # int32 partial emit: the collected volume then matches the
             # blob_bytes × 4 B formula — raw int64 bincounts would put
-            # 2× the documented bound on the driver
+            # 2× the documented bound on the driver.  Overflow safety is
+            # proven once per block from its ROW COUNT (cells <= rows),
+            # not by scanning each emitted table (r9: check_int32_rows)
             for blk in blocks:
                 y = blk[y_col].astype(np.int64)
+                check_int32_rows(len(y))
                 yield [
-                    int32_exact(
-                        np.bincount(
-                            blk[c].astype(np.int64) * y_dim + y,
-                            minlength=xd[fi] * y_dim,
-                        )
-                    )
+                    np.bincount(
+                        blk[c].astype(np.int64) * y_dim + y,
+                        minlength=xd[fi] * y_dim,
+                    ).astype(np.int32)
                     for fi, c in enumerate(feats)
                 ]
 
@@ -398,19 +398,19 @@ class PackedMatrix:
         xd = [dims[c] for c in feats]
 
         def partials(blocks):
-            # int32 partial emit (partition rows < 2^31): keeps the
-            # collected/shuffled volume equal to the blob_bytes × 4 B
-            # formula in BOTH regimes (r8 review find: raw int64
-            # bincounts put 2× the documented bound on the driver)
+            # int32 partial emit: keeps the collected/shuffled volume
+            # equal to the blob_bytes × 4 B formula in BOTH regimes (r8
+            # review find: raw int64 bincounts put 2× the documented
+            # bound on the driver).  Overflow proof is one row-count
+            # compare per block, not a per-table scan (r9 fix)
             for blk in blocks:
                 yz_code = blk[y_col].astype(np.int64) * z_dim + blk[z_col].astype(np.int64)
+                check_int32_rows(len(yz_code))
                 yield [
-                    int32_exact(
-                        np.bincount(
-                            blk[c].astype(np.int64) * yz + yz_code,
-                            minlength=xd[fi] * yz,
-                        )
-                    )
+                    np.bincount(
+                        blk[c].astype(np.int64) * yz + yz_code,
+                        minlength=xd[fi] * yz,
+                    ).astype(np.int32)
                     for fi, c in enumerate(feats)
                 ]
 
@@ -637,14 +637,15 @@ class PackedSparse:
                     )
                 # upcast before the code product (blocks store int32);
                 # emit int32 partials so the collected volume matches the
-                # 4 B/count bound formula (partition rows < 2^31)
+                # 4 B/count bound formula.  Cells count nonzero entries,
+                # bounded by the block's total nnz — one compare proves
+                # int32 safety for every feature table (r9 fix)
+                check_int32_rows(len(x))
                 yield [
-                    int32_exact(
-                        np.bincount(
-                            x[ptr[f] : ptr[f + 1]].astype(np.int64) * y_dim
-                            + y[ptr[f] : ptr[f + 1]]
-                        )
-                    )
+                    np.bincount(
+                        x[ptr[f] : ptr[f + 1]].astype(np.int64) * y_dim
+                        + y[ptr[f] : ptr[f + 1]]
+                    ).astype(np.int32)
                     for f in range(nf)
                 ]
 
@@ -729,12 +730,15 @@ class PackedSparse:
             z_row = np.zeros(blk["nrows"], dtype=np.int64)
             sl = slice(ptr[best], ptr[best + 1])
             z_row[row[sl]] = x[sl]
+            # cells count nonzero entries <= block nnz: one compare
+            # proves int32 safety for every emitted table (r9 fix)
+            check_int32_rows(len(x))
             for f in rem:
                 fsl = slice(ptr[f], ptr[f + 1])
                 # int64 upcast first: blocks store int32 cells; int32
                 # partial emit keeps the volume at the 4 B/count formula
                 code = x[fsl].astype(np.int64) * szy + z_row[row[fsl]] * y_dim + y[fsl]
-                yield f, int32_exact(np.bincount(code, minlength=dims[f] * szy))
+                yield f, np.bincount(code, minlength=dims[f] * szy).astype(np.int32)
 
         blob_bytes = self.n_partitions * sum(dims[f] for f in rem) * szy * 4
         if blob_bytes <= BLOB_DRIVER_MERGE_MAX_BYTES:

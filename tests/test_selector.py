@@ -253,6 +253,21 @@ def test_int32_exact_guards_partial_overflow():
         int32_exact(np.array([2**31], dtype=np.int64))
 
 
+def test_check_int32_rows_proof():
+    # r9: the hot-path guard is an O(1) row-count proof — a bincount
+    # cell can never exceed the number of rows counted, so n_rows at
+    # the int32 boundary passes and one past it raises
+    import pytest
+    from flink_infotheoretic_feature_selection_spark.operators.histogram import (
+        check_int32_rows,
+    )
+
+    check_int32_rows(0)
+    check_int32_rows(2**31 - 1)
+    with pytest.raises(ValueError, match="int32"):
+        check_int32_rows(2**31)
+
+
 def test_transform_raises_on_missing_selected_column(spark):
     import pytest
     from flink_infotheoretic_feature_selection_spark.selector import InfoThSelectorModel
