@@ -1483,6 +1483,12 @@ def _gate_direct_files(fn, entry_alias_files: dict[str, set[str]], root: str) ->
                 out |= _resolve_module_files(f"{node.module}.{a.name}", root)
         elif isinstance(node, ast.Name) and node.id in entry_alias_files:
             out |= entry_alias_files[node.id]
+    if not out:
+        # r9 (advisor): a wrapper that delegates to another ENTRY-FILE
+        # helper (whose body holds the package imports) parses fine but
+        # yields no refs — returning {} would silently exclude it from
+        # churn promotion forever.  Empty == unresolvable: over-promote.
+        return set().union(*entry_alias_files.values(), set())
     return out
 
 
@@ -1534,7 +1540,7 @@ def changed_files_since_last_round(root: str) -> set[str] | None:
         return None
 
 
-_ROTATION_PROMOTE_CACHE: frozenset[str] | None = None
+_ROTATION_PROMOTE_CACHE: tuple[frozenset[str], frozenset[str]] | None = None
 
 
 def rotation_promote(gates: dict | None = None, root: str | None = None) -> frozenset[str]:
@@ -1547,8 +1553,6 @@ def rotation_promote(gates: dict | None = None, root: str | None = None) -> froz
     global _ROTATION_PROMOTE_CACHE
     import os
 
-    if gates is None and _ROTATION_PROMOTE_CACHE is not None:
-        return _ROTATION_PROMOTE_CACHE
     cache_default = gates is None
     try:
         root = root or os.path.dirname(os.path.abspath(__file__))
@@ -1559,6 +1563,15 @@ def rotation_promote(gates: dict | None = None, root: str | None = None) -> froz
             # pinning it would silently disable churn promotion for the
             # whole process lifetime
             return ROTATION_PROMOTE
+        # r9 (advisor): the cache is keyed on the changed-file set, not
+        # process lifetime — package files edited later in a long-lived
+        # driver session change `changed` and force a recompute instead
+        # of silently reusing the first call's promote set
+        changed_key = frozenset(changed)
+        if cache_default and _ROTATION_PROMOTE_CACHE is not None:
+            key, cached = _ROTATION_PROMOTE_CACHE
+            if key == changed_key:
+                return cached
         if not changed:
             result = ROTATION_PROMOTE
         else:
@@ -1577,7 +1590,7 @@ def rotation_promote(gates: dict | None = None, root: str | None = None) -> froz
         # same rule: a transient failure must not poison the cache
         return ROTATION_PROMOTE
     if cache_default:
-        _ROTATION_PROMOTE_CACHE = result
+        _ROTATION_PROMOTE_CACHE = (changed_key, result)
     return result
 
 

@@ -307,7 +307,10 @@ def main() -> None:
     )
     _wide_mod = _ilu.module_from_spec(_spw)
     _spw.loader.exec_module(_wide_mod)
-    wide_path = "/tmp/bench_wide/matrix_631x8192.parquet"
+    # seed+generation token in the name invalidates stale caches when
+    # build_matrix changes; build_matrix itself writes atomically, so an
+    # existing file at this path is complete (r9, advisor find)
+    wide_path = _wide_mod.matrix_path("/tmp/bench_wide", 8192, 631, seed=631)
     if not os.path.exists(wide_path):  # deterministic (seeded): safe to reuse
         wide_path = _wide_mod.build_matrix("/tmp/bench_wide", 8192, 631, seed=631)
     wide_feats = [f"f{j}" for j in range(631)]

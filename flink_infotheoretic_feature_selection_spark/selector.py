@@ -51,6 +51,7 @@ Differences from the reference, deliberate and documented:
 from __future__ import annotations
 
 import math
+import threading
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame
@@ -67,6 +68,10 @@ from flink_infotheoretic_feature_selection_spark.operators.histogram import (
 )
 
 __all__ = ["InfoThSelector", "InfoThSelectorModel", "SparseInfoThSelector"]
+
+# Serializes the sparse pack's session-global skew-join override so two
+# concurrent fits cannot interleave set/restore (see SparseInfoThSelector.fit).
+_SKEW_CONF_LOCK = threading.Lock()
 
 
 def _tie_key(score: float, precision: int | None):
@@ -616,19 +621,29 @@ class SparseInfoThSelector:
 
             spark = nonzeros.sparkSession
             skew_key = "spark.sql.adaptive.skewJoin.enabled"
-            skew_prev = spark.conf.get(skew_key, "true")
             cached = nzy_joined.persist(StorageLevel.MEMORY_AND_DISK)
-            try:
-                spark.conf.set(skew_key, "false")
-                distinct_rows = cached.agg(
-                    F.countDistinct("row_id").alias("d")
-                ).collect()[0]["d"]
-                packed = PackedSparse.pack(
-                    cached, self.n_features, expected_distinct_rows=int(distinct_rows)
-                )
-            finally:
-                spark.conf.set(skew_key, skew_prev)
-                cached.unpersist()
+            # _SKEW_CONF_LOCK serializes the set/restore window: two
+            # concurrent fits interleaving set/restore could otherwise
+            # leave the session conf wrong after both finish (r9,
+            # advisor find).  The override is still SESSION-global while
+            # held — unrelated queries running on the same session
+            # during the pack lose skew-join mitigation for that window
+            # (availability only; the pack's co-location check catches
+            # any correctness fallout).  Spark offers no per-job conf
+            # scope for AQE rewrites, so this is the best available.
+            with _SKEW_CONF_LOCK:
+                skew_prev = spark.conf.get(skew_key, "true")
+                try:
+                    spark.conf.set(skew_key, "false")
+                    distinct_rows = cached.agg(
+                        F.countDistinct("row_id").alias("d")
+                    ).collect()[0]["d"]
+                    packed = PackedSparse.pack(
+                        cached, self.n_features, expected_distinct_rows=int(distinct_rows)
+                    )
+                finally:
+                    spark.conf.set(skew_key, skew_prev)
+                    cached.unpersist()
             nzy = None
         else:
             nzy = (

@@ -105,7 +105,10 @@ def test_registry_size_keeps_rotation_period_under_two_rounds():
     # round by construction (the two tests above) — that only holds while
     # the registry stays within 2*CAP entries.
     n = len(entry_mod.queries())
-    assert n <= 2 * CAP, f"registry has {n} entries; 2-round rotation needs <= {2 * CAP}"
+    assert n <= 2 * CAP, (
+        f"registry has {n} entries; 2-round rotation needs <= {2 * CAP} — "
+        "consolidate gates before adding (keel_read precedent, r6/r7)"
+    )
 
 
 def _green(names):
@@ -289,3 +292,39 @@ def test_rotation_promote_does_not_cache_degraded_result(monkeypatch):
     assert entry_mod._ROTATION_PROMOTE_CACHE is None  # not poisoned
     second = entry_mod.rotation_promote(root=ROOT)
     assert "dedup_exact" in second  # recovered on the next call
+
+
+def test_rotation_promote_cache_invalidates_on_new_churn(monkeypatch):
+    # r9 (advisor): the cache is keyed on the changed-file set — a file
+    # edited AFTER the first default-args call must still promote its
+    # dependents in the same process (the old process-lifetime cache
+    # silently froze the first answer)
+    monkeypatch.setattr(entry_mod, "_ROTATION_PROMOTE_CACHE", None)
+    state = {"changed": set()}
+    monkeypatch.setattr(
+        entry_mod, "changed_files_since_last_round", lambda root: state["changed"]
+    )
+    first = entry_mod.rotation_promote(root=ROOT)
+    assert first == entry_mod.ROTATION_PROMOTE
+    # now a package file changes mid-session
+    state["changed"] = {"flink_infotheoretic_feature_selection_spark/operators/dedup.py"}
+    second = entry_mod.rotation_promote(root=ROOT)
+    assert "dedup_exact" in second
+    # and the recomputed answer is itself cached under the new key
+    third = entry_mod.rotation_promote(root=ROOT)
+    assert third == second
+
+
+def test_gate_wrapper_with_no_parsed_deps_over_promotes():
+    # r9 (advisor): an entry-file wrapper whose body shows no package
+    # imports/aliases (it delegates to another entry-file helper) must
+    # map to ALL aliased files — over-promotion is the safe error —
+    # rather than silently dropping out of churn promotion
+    aliases = entry_mod._entry_alias_files(ROOT)
+
+    def _q_delegating(spark, sf_dir):
+        return _some_entry_helper(spark, sf_dir)  # noqa: F821
+
+    got = entry_mod._gate_direct_files(_q_delegating, aliases, ROOT)
+    assert got == set().union(*aliases.values(), set())
+    assert got  # the fallback set is non-empty in this repo

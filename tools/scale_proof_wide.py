@@ -28,6 +28,16 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+# Generation token baked into cached-matrix filenames: bump whenever
+# build_matrix's output changes so stale /tmp caches from older code
+# can never be silently benched (r9, advisor find on bench.py's reuse).
+MATRIX_GEN = 1
+
+
+def matrix_path(out: str, n_rows: int, n_feats: int, seed: int) -> str:
+    return f"{out}/matrix_{n_feats}x{n_rows}_s{seed}_g{MATRIX_GEN}.parquet"
+
+
 def build_matrix(out: str, n_rows: int, n_feats: int, seed: int) -> str:
     import numpy as np
     import pyarrow as pa
@@ -45,9 +55,13 @@ def build_matrix(out: str, n_rows: int, n_feats: int, seed: int) -> str:
         else:
             cols[f"f{j}"] = rng.integers(0, dim, size=n_rows).astype(np.int32)
     cols["label"] = y.astype(np.int32)
-    path = f"{out}/matrix_{n_feats}x{n_rows}.parquet"
+    path = matrix_path(out, n_rows, n_feats, seed)
     os.makedirs(out, exist_ok=True)
-    pq.write_table(pa.table(cols), path)
+    # write-then-rename: an interrupted run must never leave a truncated
+    # file at the cached path (readers reuse whatever exists there)
+    tmp = f"{path}.tmp-{os.getpid()}"
+    pq.write_table(pa.table(cols), tmp)
+    os.replace(tmp, path)
     return path
 
 
