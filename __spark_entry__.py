@@ -838,7 +838,9 @@ def _q_simhash64_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_b").alias("b"),
         F.col("hamming").cast("bigint").alias("v"),
     )
-    comps = dedup.simhash64_components(spark, sf_dir).select(
+    # vectorized=False: gate stays on the expression route (r9 default
+    # flip precedent — see _q_minhash_all)
+    comps = dedup.simhash64_components(spark, sf_dir, vectorized=False).select(
         F.lit("comp").alias("kind"),
         F.col("doc_id").alias("a"),
         F.lit(None).cast("bigint").alias("b"),
@@ -1144,6 +1146,163 @@ def _scrub_pii_oracle() -> str:
 
 
 # ---------------------------------------------------------------------------
+# selected_wide_mrmr gate — r9 (verdict ask #3): the WIDE-matrix selection
+# path (pack column-count fast path + driver-merge regime, the shape b16
+# benches) was pinned only by cross-rep equality and packed-vs-arrow
+# parity units, never by value.  This staged 631-attribute fixture (the
+# reference's own default attribute count, InfoSelectorTest.scala:102-105)
+# drives it end-to-end against a DuckDB oracle.  sf-independent: the wide
+# path's distinguishing behavior is column-count-driven, not row-driven.
+# ---------------------------------------------------------------------------
+_WIDE_GATE_NF = 631
+_WIDE_GATE_ROWS = 2048
+_WIDE_GATE_K = 5
+_WIDE_GATE_SEED = 20631
+
+
+def _staged_wide_matrix_path() -> str:
+    # Same generator family as tools/scale_proof_wide.build_matrix (mixed
+    # dims 2..8, every 4th feature leaks the label with index-dependent
+    # noise so the greedy path is non-degenerate), plus an explicit `rid`
+    # so the oracle can join long-format rows without a synthetic key.
+    def stage(d: str) -> None:
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        rng = np.random.default_rng(_WIDE_GATE_SEED)
+        n, nf = _WIDE_GATE_ROWS, _WIDE_GATE_NF
+        y = rng.integers(0, 2, size=n)
+        cols: dict = {"rid": pa.array(np.arange(n, dtype=np.int64))}
+        for j in range(nf):
+            dim = 2 + j % 7
+            if j % 4 == 0:
+                noise = rng.integers(0, dim, size=n)
+                flip = rng.random(n) < (0.2 + 0.6 * (j % 8) / 8)
+                vals = np.where(flip, noise, y % dim)
+            else:
+                vals = rng.integers(0, dim, size=n)
+            cols[f"f{j}"] = pa.array(vals.astype(np.int32))
+        cols["label"] = pa.array(y.astype(np.int32))
+        pq.write_table(pa.table(cols), f"{d}/wide_gate.parquet")
+
+    return _staged_dir(("wide_gate", _WIDE_GATE_SEED), stage) + "/wide_gate.parquet"
+
+
+def _q_neardup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # vectorized=False pins the gate to the expression route (the
+    # oracle-checked source of truth) after the r9 library-default flip
+    # to the Arrow kernels; bit-equality parity units bridge the two.
+    return dedup.neardup_groups(spark, sf_dir, vectorized=False)
+
+
+def _q_selected_wide_mrmr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # I1 (wide) — mRMR over 631 features; emit_f32=False so scores stay
+    # float64 end-to-end (same contract as the other selected_* gates).
+    df = spark.read.parquet(_staged_wide_matrix_path())
+    feats = [f"f{j}" for j in range(_WIDE_GATE_NF)]
+    model = InfoThSelector(
+        n_to_select=_WIDE_GATE_K,
+        criterion="mrmr",
+        feature_cols=feats,
+        emit_f32=False,
+    ).fit(df)
+    rows = [
+        (step, int(c[1:]), _q5(s))
+        for step, (c, s) in enumerate(model.selection_path)
+    ]
+    return spark.createDataFrame(rows, "step int, feat int, score double")
+
+
+def _wide_selection_oracle_sql() -> str:
+    """DuckDB oracle for the wide mRMR greedy loop.
+
+    ``selection_oracle_sql`` unrolls O(nf²) pairwise GROUP-BY CTEs — fine
+    at 32 features, unparseable at 631.  This oracle exploits mRMR's
+    update structure instead (``InfoThCriterion.scala:143-164``): step t
+    only needs MI(c ; s_{t-1}) against the SINGLE feature selected at the
+    previous step, folded into a running redundancy sum — the exact
+    accumulation order of the engine's criterion state.  The fixture's
+    explicit ``rid`` makes each stage ONE long-format self-join keyed on
+    the just-selected feature: O(k · nf · rows) total work.
+    """
+    path = _staged_wide_matrix_path()
+    nf, k = _WIDE_GATE_NF, _WIDE_GATE_K
+    fcols = ", ".join(f"f{j}" for j in range(nf))
+    head = f"""
+    WITH fm AS MATERIALIZED (SELECT * FROM read_parquet('{path}')),
+    tot AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM fm),
+    lng AS MATERIALIZED (
+      SELECT rid, CAST(substr(name, 2) AS INT) AS feat, CAST(value AS INT) AS x
+      FROM (UNPIVOT fm ON {fcols} INTO NAME name VALUE value)),
+    mx AS MATERIALIZED (
+      SELECT feat, x, CAST(count(*) AS DOUBLE) AS cx FROM lng GROUP BY feat, x),
+    my AS (SELECT CAST(label AS INT) AS y, CAST(count(*) AS DOUBLE) AS cy
+           FROM fm GROUP BY 1),
+    lab AS MATERIALIZED (SELECT rid, CAST(label AS INT) AS y FROM fm),
+    jl AS MATERIALIZED (
+      SELECT l.feat, l.x, b.y, count(*) AS c FROM lng l JOIN lab b USING (rid)
+      GROUP BY 1, 2, 3),
+    relv AS MATERIALIZED (
+      SELECT jl.feat AS feat,
+             sum((CAST(c AS DOUBLE)/n) * log2(CAST(c AS DOUBLE)*n/(cx*cy))) AS rel
+      FROM jl JOIN tot ON true
+      JOIN mx ON mx.feat = jl.feat AND mx.x = jl.x
+      JOIN my ON my.y = jl.y
+      GROUP BY jl.feat),
+    s1 AS (SELECT feat, rel AS score FROM relv
+          ORDER BY CAST(floor(rel * 100000.0 + 0.5) AS BIGINT) DESC, feat LIMIT 1),
+    sel1 AS (SELECT 0 AS step, feat, score FROM s1),
+    acc1 AS (SELECT feat, 0.0 AS acc FROM relv)"""
+    stages = []
+    for t in range(2, k + 1):
+        prev = t - 1
+        # bsel{t}: the selected feature's 2048 long rows, REDUCED FIRST
+        # (a scalar subquery in the rid-join predicate is not pushed
+        # below the join by DuckDB — the unfiltered self-join is
+        # rows × nf² ≈ 800M intermediates; this shape measured <1 s)
+        stages.append(f"""
+    bsel{t} AS MATERIALIZED (
+      SELECT l.rid, l.x FROM lng l JOIN s{prev} s ON l.feat = s.feat),
+    mbsel{t} AS MATERIALIZED (
+      SELECT m.x, m.cx FROM mx m JOIN s{prev} s ON m.feat = s.feat),
+    mi{t} AS MATERIALIZED (
+      SELECT j.feat AS feat,
+             sum((CAST(j.c AS DOUBLE)/n)
+                 * log2(CAST(j.c AS DOUBLE)*n/(ma.cx*mb.cx))) AS mi
+      FROM (
+        SELECT a.feat, a.x AS xa, b.x AS xb, count(*) AS c
+        FROM lng a JOIN bsel{t} b ON a.rid = b.rid
+        GROUP BY 1, 2, 3) j
+      JOIN tot ON true
+      JOIN mx ma ON ma.feat = j.feat AND ma.x = j.xa
+      JOIN mbsel{t} mb ON mb.x = j.xb
+      GROUP BY j.feat),
+    acc{t} AS MATERIALIZED (
+      SELECT p.feat, p.acc + coalesce(m.mi, 0.0) AS acc
+      FROM acc{prev} p LEFT JOIN mi{t} m ON m.feat = p.feat),
+    c{t} AS (
+      SELECT r.feat, r.rel - a.acc / {t - 1}.0 AS score
+      FROM relv r JOIN acc{t} a ON a.feat = r.feat
+      WHERE r.feat NOT IN (SELECT feat FROM sel{prev})),
+    s{t} AS MATERIALIZED (
+      SELECT feat, score FROM c{t}
+      ORDER BY CAST(floor(score * 100000.0 + 0.5) AS BIGINT) DESC, feat LIMIT 1),
+    sel{t} AS MATERIALIZED (
+      SELECT * FROM sel{prev} UNION ALL SELECT {t - 1}, feat, score FROM s{t})""")
+    return (
+        head
+        + ","
+        + ",".join(stages)
+        + f"""
+    SELECT CAST(step AS INT) AS step, CAST(feat AS INT) AS feat,
+           {_q5_sql("score")} AS score
+    FROM sel{k}
+    """
+    )
+
+
+# ---------------------------------------------------------------------------
 # Round-6 gate consolidations (registry 81 -> 76 so the 50-row driver cap
 # re-verifies every gate within 2 rounds).  Pattern per _q_media_pixels /
 # _q_asof_join_both: variants that share an upstream CTE union into ONE
@@ -1197,7 +1356,10 @@ def _q_minhash_all(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(None).cast("double").alias("v_d"),
         )
     )
-    pairs = dedup.minhash_lsh_pairs(spark, sf_dir).select(
+    # vectorized=False: the gate verifies the expression route (the
+    # oracle-checked source of truth); the r9 library default is the
+    # vectorized kernel, bridged by bit-equality parity units
+    pairs = dedup.minhash_lsh_pairs(spark, sf_dir, vectorized=False).select(
         F.lit("pair").alias("kind"),
         "doc_a",
         "doc_b",
@@ -1744,6 +1906,9 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # staged fixtures (registry 74 -> 76, within the 2-round period)
         "libsvm_read": _q_libsvm_read,
         "scrub_pii": _q_scrub_pii,
+        # r9: wide-matrix (631-attribute) selection path pinned by value —
+        # registry 76 -> 77, still within the 2-round rotation period
+        "selected_wide_mrmr": _q_selected_wide_mrmr,
         # dedup / similarity / text / streaming extensions:
         "simhash64_incremental": _q_simhash64_incremental,
         "cross_source_overlap": profile_ops.cross_source_overlap,
@@ -1758,7 +1923,7 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": dedup.exact_dedup,
         "dedup_jaccard_pairs": dedup.shingle_jaccard_pairs,
         "minhash_lsh_pairs": _q_minhash_all,
-        "neardup_groups": dedup.neardup_groups,
+        "neardup_groups": _q_neardup_groups,
         "decontaminate": dedup.decontaminate_query,
         "simhash_pairs": _q_simhash_all,
         "tfidf_topk": text.tfidf_topk,
@@ -1878,6 +2043,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash64_mining": _simhash64_mining_oracle(),
         "libsvm_read": _libsvm_read_oracle(),
         "scrub_pii": _scrub_pii_oracle(),
+        "selected_wide_mrmr": _wide_selection_oracle_sql(),
         "simhash64_incremental": dedup.simhash64_incremental_oracle(),
         "source_token_cap": text.source_token_cap_oracle(),
         "epoch_shuffle": text.epoch_shuffle_oracle(),

@@ -649,7 +649,7 @@ def minhash_lsh_pairs(
     n: int = 3,
     n_hashes: int = 8,
     n_bands: int = 4,
-    vectorized: bool = False,
+    vectorized: bool = True,
     max_bucket: int | None = LSH_MAX_BUCKET,
 ) -> DataFrame:
     """LSH-banded candidate pairs verified by exact Jaccard.
@@ -695,8 +695,11 @@ def minhash_lsh_pairs(
 
     if vectorized:
         # Arrow kernel over the SAME persisted shingle-array table —
-        # identical integers (unit-pinned); opt-in perf path, the
-        # expression route stays the gate default
+        # identical integers (unit-pinned).  r9: DEFAULT now that
+        # bit-equality is pinned (2-8x on multi-file corpora); the gate
+        # wrappers pass vectorized=False so the driver keeps verifying
+        # the expression route (the single oracle-checked source of
+        # truth), with parity units bridging the two.
         schema = "doc_id long, " + ", ".join(f"mh{i} long" for i in range(n_hashes))
         sig = docs_arr.select("doc_id", "shingles").mapInPandas(
             _minhash_arrow_kernel(params), schema
@@ -1513,7 +1516,7 @@ def simhash64_incremental(
     max_hamming: int = 3,
     hash_fn: str = "xxhash64",
     batch_pred: str = "doc_id % 10 = 0",
-    vectorized: bool = False,
+    vectorized: bool = True,
     checkpoint: bool = True,
 ) -> DataFrame:
     """Incremental near-dup check — the daily-ingest production shape:
@@ -1548,7 +1551,8 @@ def simhash64_incremental(
     from pyspark.sql import functions as F
 
     # vectorized: Arrow signature kernel (bit-identical, unit-pinned) —
-    # the components precedent; the expression route stays gate-default
+    # r9: the production DEFAULT; gates pass False to keep verifying the
+    # expression route (parity units bridge the two)
     sig_fn = simhash64_vectorized if vectorized else simhash64
     sig = sig_fn(spark, sf_dir, hash_fn=hash_fn).persist()
     try:
@@ -1807,7 +1811,7 @@ def simhash64_components(
     max_hamming: int = 3,
     driver_edge_limit: int = 1 << 20,
     hash_fn: str = "xxhash64",
-    vectorized: bool = False,
+    vectorized: bool = True,
 ) -> DataFrame:
     """Near-dup components by 64-bit SimHash, with OUTPUT LINEAR in docs
     — the 100 TB form of :func:`simhash64_pairs`.
@@ -1969,10 +1973,16 @@ def neardup_components(
 
 
 def neardup_groups(
-    spark: SparkSession, sf_dir: str, threshold: float = 0.2, n: int = 3
+    spark: SparkSession,
+    sf_dir: str,
+    threshold: float = 0.2,
+    n: int = 3,
+    vectorized: bool = True,
 ) -> DataFrame:
     """LSH pairs → connected near-dup groups, one row per grouped doc."""
-    return neardup_components(minhash_lsh_pairs(spark, sf_dir, threshold, n))
+    return neardup_components(
+        minhash_lsh_pairs(spark, sf_dir, threshold, n, vectorized=vectorized)
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -630,12 +630,16 @@ def test_simhash64_vectorized_bit_equals_expression_route(spark, sf_dir, hash_fn
     assert a == b
 
 
-def test_simhash64_components_vectorized_matches_default(spark, sf_dir):
+def test_simhash64_components_vectorized_matches_expression(spark, sf_dir):
     from flink_infotheoretic_feature_selection_spark.operators.dedup import (
         simhash64_components,
     )
 
-    a = sorted(tuple(r) for r in simhash64_components(spark, sf_dir).collect())
+    # r9: vectorized is the DEFAULT — compare both routes explicitly
+    a = sorted(
+        tuple(r)
+        for r in simhash64_components(spark, sf_dir, vectorized=False).collect()
+    )
     b = sorted(
         tuple(r) for r in simhash64_components(spark, sf_dir, vectorized=True).collect()
     )
@@ -687,12 +691,15 @@ def test_minhash_vectorized_bit_equals_sql_route(spark, sf_dir):
     assert len(a) > 0
 
 
-def test_minhash_lsh_pairs_vectorized_matches_default(spark, sf_dir):
+def test_minhash_lsh_pairs_vectorized_matches_expression(spark, sf_dir):
     from flink_infotheoretic_feature_selection_spark.operators.dedup import (
         minhash_lsh_pairs,
     )
 
-    a = sorted(tuple(r) for r in minhash_lsh_pairs(spark, sf_dir).collect())
+    # r9: vectorized is the DEFAULT — compare both routes explicitly
+    a = sorted(
+        tuple(r) for r in minhash_lsh_pairs(spark, sf_dir, vectorized=False).collect()
+    )
     b = sorted(
         tuple(r) for r in minhash_lsh_pairs(spark, sf_dir, vectorized=True).collect()
     )
@@ -937,7 +944,11 @@ def test_simhash64_incremental_vectorized_matches_expression(spark):
     )
     from tests.conftest import SF_CORRECT
 
-    a = sorted(tuple(r) for r in simhash64_incremental(spark, SF_CORRECT).collect())
+    # r9: vectorized is the DEFAULT — compare both routes explicitly
+    a = sorted(
+        tuple(r)
+        for r in simhash64_incremental(spark, SF_CORRECT, vectorized=False).collect()
+    )
     b = sorted(
         tuple(r)
         for r in simhash64_incremental(spark, SF_CORRECT, vectorized=True).collect()

@@ -57,7 +57,26 @@ def main() -> int:
         jobs.append(("keel", s, lambda d, s=s: keel.test_keel_reader_cross_engine_on_random_files(spark, d, s)))
         jobs.append(("matrix", s, lambda d, s=s: matrix.test_core_gates_cross_engine_on_random_matrix(spark, d, s, 120)))
         jobs.append(("media", s, lambda d, s=s: corpus.test_media_gates_on_ascii_corpus_with_nulls(spark, d, s)))
+    def _matrix_distmerge(d, s):
+        # r9 (verdict ask #7): force the DISTRIBUTED merge regime —
+        # combineByKey int64 partials on the dense packed substrate and
+        # PackedSparse's pad-to-max merge — under the randomized
+        # cross-engine sweep.  The default lanes above exercise the
+        # driver-merge regime (random shapes sit far under 32 MB), so
+        # without this lane the distributed branch only ever ran in
+        # test_packed's fixed cases.  Module attr restored in finally:
+        # packed.py re-imports it from histogram at call time.
+        from flink_infotheoretic_feature_selection_spark.operators import histogram
+
+        prev = histogram.BLOB_DRIVER_MERGE_MAX_BYTES
+        histogram.BLOB_DRIVER_MERGE_MAX_BYTES = 0
+        try:
+            matrix.test_core_gates_cross_engine_on_random_matrix(spark, d, s, 120)
+        finally:
+            histogram.BLOB_DRIVER_MERGE_MAX_BYTES = prev
+
     for s in thin:
+        jobs.append(("matrix_distmerge", s, lambda d, s=s: _matrix_distmerge(d, s)))
         jobs.append(("stream_window", s, lambda d, s=s: streaming.test_windowed_agg_complete_mode_equals_batch_on_disorder(spark, d, s)))
         jobs.append(("stream_dedup", s, lambda d, s=s: streaming.test_streaming_dedup_catches_cross_batch_duplicates(spark, d, s)))
         jobs.append(("stream_sessionize", s, lambda d, s=s: streaming.test_sessionize_complete_mode_merges_sessions_across_batches(spark, d, s)))
