@@ -1199,8 +1199,12 @@ def _q_neardup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_selected_wide_mrmr(spark: SparkSession, sf_dir: str) -> DataFrame:
     # I1 (wide) — mRMR over 631 features; emit_f32=False so scores stay
     # float64 end-to-end (same contract as the other selected_* gates).
-    df = spark.read.parquet(_staged_wide_matrix_path())
+    # The select drops the oracle-only `rid` BEFORE fit so the input's
+    # column set equals feats+label — that is what arms the pack
+    # column-count fast path this gate exists to pin (with rid present,
+    # pack would take the ordinary select route instead).
     feats = [f"f{j}" for j in range(_WIDE_GATE_NF)]
+    df = spark.read.parquet(_staged_wide_matrix_path()).select(*feats, "label")
     model = InfoThSelector(
         n_to_select=_WIDE_GATE_K,
         criterion="mrmr",
@@ -1214,7 +1218,9 @@ def _q_selected_wide_mrmr(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "step int, feat int, score double")
 
 
-def _wide_selection_oracle_sql() -> str:
+def wide_selection_oracle_sql(
+    path: str | None = None, nf: int | None = None, k: int | None = None
+) -> str:
     """DuckDB oracle for the wide mRMR greedy loop.
 
     ``selection_oracle_sql`` unrolls O(nf²) pairwise GROUP-BY CTEs — fine
@@ -1222,12 +1228,18 @@ def _wide_selection_oracle_sql() -> str:
     update structure instead (``InfoThCriterion.scala:143-164``): step t
     only needs MI(c ; s_{t-1}) against the SINGLE feature selected at the
     previous step, folded into a running redundancy sum — the exact
-    accumulation order of the engine's criterion state.  The fixture's
+    accumulation order of the engine's criterion state.  The input's
     explicit ``rid`` makes each stage ONE long-format self-join keyed on
     the just-selected feature: O(k · nf · rows) total work.
+
+    Parameterized (r9) so the randomized wide-matrix sweep can oracle
+    arbitrary (path, nf, k) shapes; defaults are the staged gate fixture.
+    Input contract: parquet with columns ``rid`` (unique), ``f0..f{nf-1}``
+    (integer, byte-ranged), ``label`` (integer).
     """
-    path = _staged_wide_matrix_path()
-    nf, k = _WIDE_GATE_NF, _WIDE_GATE_K
+    path = path or _staged_wide_matrix_path()
+    nf = nf if nf is not None else _WIDE_GATE_NF
+    k = k if k is not None else _WIDE_GATE_K
     fcols = ", ".join(f"f{j}" for j in range(nf))
     head = f"""
     WITH fm AS MATERIALIZED (SELECT * FROM read_parquet('{path}')),
@@ -2043,7 +2055,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash64_mining": _simhash64_mining_oracle(),
         "libsvm_read": _libsvm_read_oracle(),
         "scrub_pii": _scrub_pii_oracle(),
-        "selected_wide_mrmr": _wide_selection_oracle_sql(),
+        "selected_wide_mrmr": wide_selection_oracle_sql(),
         "simhash64_incremental": dedup.simhash64_incremental_oracle(),
         "source_token_cap": text.source_token_cap_oracle(),
         "epoch_shuffle": text.epoch_shuffle_oracle(),

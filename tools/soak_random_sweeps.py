@@ -42,6 +42,7 @@ def main() -> int:
     corpus = _load("test_random_corpus_gate_sweep.py")
     events = _load("test_random_events_gate_sweep.py")
     matrix = _load("test_random_matrix_gate_sweep.py")
+    wide = _load("test_random_wide_matrix_sweep.py")
     embeds = _load("test_random_embeddings_gate_sweep.py")
     keel = _load("test_random_keel_gate_sweep.py")
     streaming = _load("test_random_streaming_sweep.py")
@@ -77,6 +78,9 @@ def main() -> int:
 
     for s in thin:
         jobs.append(("matrix_distmerge", s, lambda d, s=s: _matrix_distmerge(d, s)))
+        # r9: random wide shapes (150-320 features) through the pack
+        # fast path vs the parameterized rid-join oracle
+        jobs.append(("wide_matrix", s, lambda d, s=s: wide.test_wide_selection_cross_engine_on_random_matrix(spark, d, s)))
         jobs.append(("stream_window", s, lambda d, s=s: streaming.test_windowed_agg_complete_mode_equals_batch_on_disorder(spark, d, s)))
         jobs.append(("stream_dedup", s, lambda d, s=s: streaming.test_streaming_dedup_catches_cross_batch_duplicates(spark, d, s)))
         jobs.append(("stream_sessionize", s, lambda d, s=s: streaming.test_sessionize_complete_mode_merges_sessions_across_batches(spark, d, s)))
