@@ -1196,6 +1196,14 @@ def _q_neardup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.neardup_groups(spark, sf_dir, vectorized=False)
 
 
+def _q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # same expression-route pin as _q_neardup_groups (keep_best composes
+    # over neardup_groups, so it inherited the r9 default flip — the
+    # review caught it running the Arrow route while the contract says
+    # gates verify the expression route)
+    return dedup.dedup_keep_best(spark, sf_dir, vectorized=False)
+
+
 def _q_selected_wide_mrmr(spark: SparkSession, sf_dir: str) -> DataFrame:
     # I1 (wide) — mRMR over 631 features; emit_f32=False so scores stay
     # float64 end-to-end (same contract as the other selected_* gates).
@@ -1888,7 +1896,7 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_join_agg": temporal.range_join_query,
         "hypertable_rollup": _q_hypertable_us,
         "funnel_conversion": events_ops.funnel_conversion,
-        "dedup_keep_best": dedup.dedup_keep_best,
+        "dedup_keep_best": _q_dedup_keep_best,
         "mixture_sample": text.mixture_sample,
         "token_mi_topk": text.token_mi_topk,
         "quality_quantile_filter": text.quality_quantile_filter,

@@ -2349,7 +2349,11 @@ def _components_ctes(threshold: float, n: int) -> str:
 
 
 def dedup_keep_best(
-    spark: SparkSession, sf_dir: str, threshold: float = 0.2, n: int = 3
+    spark: SparkSession,
+    sf_dir: str,
+    threshold: float = 0.2,
+    n: int = 3,
+    vectorized: bool = True,
 ) -> DataFrame:
     """Full-corpus keep/drop decision: one representative per near-dup
     group, everything ungrouped kept.
@@ -2382,7 +2386,9 @@ def dedup_keep_best(
     # eager lineage-free materialization: groups feeds TWO joins below;
     # without it the whole LSH+components pipeline would execute twice
     # (same lifecycle pattern as minhash_lsh_pairs' shingle cache)
-    groups = neardup_groups(spark, sf_dir, threshold, n).localCheckpoint(eager=True)
+    groups = neardup_groups(
+        spark, sf_dir, threshold, n, vectorized=vectorized
+    ).localCheckpoint(eager=True)
     w = Window.partitionBy("component").orderBy(F.col("n_chars").desc(), "doc_id")
     grouped = (
         docs.join(groups, "doc_id")

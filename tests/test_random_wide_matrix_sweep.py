@@ -15,18 +15,14 @@ a wider range per round.
 
 from __future__ import annotations
 
-import sys
-
 import duckdb
 import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 import pytest
 
-sys.path.insert(0, "/root/repo")
-
-import __spark_entry__ as entry_mod  # noqa: E402
-from flink_infotheoretic_feature_selection_spark.selector import InfoThSelector  # noqa: E402
+import __spark_entry__ as entry_mod
+from flink_infotheoretic_feature_selection_spark.selector import InfoThSelector
 
 
 def _write_wide_matrix(path: str, seed: int) -> tuple[int, int]:

@@ -34,11 +34,15 @@ feats = list(FEATURE_NAMES)
 packed = PackedMatrix.pack(df, feats + ["label"])
 dims, n = packed.dims_and_count()
 packed = packed.rebalance(10, 60000)
-packed.hist3d_mi_cmi(feats[:31], "label", feats[31], dims, n)  # warm-up
+# y=selected feature, z=label — the REAL loop's argument order
+# (selector.py: hist3d_mi_cmi(remaining, best, label, ...)); an earlier
+# draft swapped y/z, which transposes the histogram planes and would
+# mis-measure any change asymmetric in the y/z roles
+packed.hist3d_mi_cmi(feats[:31], feats[31], "label", dims, n)  # warm-up
 times = []
 for i in range(30):
     t0 = time.perf_counter()
-    packed.hist3d_mi_cmi(feats[:31], "label", feats[i % 32], dims, n)
+    packed.hist3d_mi_cmi([f for f in feats if f != feats[i % 32]], feats[i % 32], "label", dims, n)
     times.append(time.perf_counter() - t0)
 print("LOOP_RESULT " + json.dumps({
     "min": round(min(times), 4), "p50": round(statistics.median(times), 4),

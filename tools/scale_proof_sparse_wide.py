@@ -58,11 +58,16 @@ def build(out: str, n_rows: int, copies: int) -> tuple[str, str, int]:
     row_ids = row_ids[~drop]
     # binary values (a1a-style); duplicates within a row collapse via
     # the (row_id, feat) distinct below
-    tbl = (
+    agg = (
         pa.table({"row_id": row_ids, "feat": feats, "x": np.ones(len(feats), np.int32)})
         .group_by(["row_id", "feat"])
         .aggregate([("x", "max")])
-        .rename_columns(["row_id", "feat", "x"])
+    )
+    # select BY NAME: pyarrow's key-vs-aggregate column order is not
+    # contractual across versions; a positional rename could silently
+    # relabel x-values as row_ids (r9 review find)
+    tbl = pa.table(
+        {"row_id": agg["row_id"], "feat": agg["feat"], "x": agg["x_max"]}
     )
     base = f"{out}/nz_1x.parquet"
     os.makedirs(base, exist_ok=True)
