@@ -31,7 +31,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 # Generation token baked into cached-matrix filenames: bump whenever
 # build_matrix's output changes so stale /tmp caches from older code
 # can never be silently benched (r9, advisor find on bench.py's reuse).
-MATRIX_GEN = 1
+# gen 2: 64k-row parquet row groups — Spark splits parquet at row-group
+# boundaries only, so the gen-1 single-group layout made any matrix
+# over ~64k rows scan (and pack) on ONE task regardless of size.
+# Values are unchanged (same seed/rng draw order).
+MATRIX_GEN = 2
 
 
 def matrix_path(out: str, n_rows: int, n_feats: int, seed: int) -> str:
@@ -60,7 +64,7 @@ def build_matrix(out: str, n_rows: int, n_feats: int, seed: int) -> str:
     # write-then-rename: an interrupted run must never leave a truncated
     # file at the cached path (readers reuse whatever exists there)
     tmp = f"{path}.tmp-{os.getpid()}"
-    pq.write_table(pa.table(cols), tmp)
+    pq.write_table(pa.table(cols), tmp, row_group_size=65536)
     os.replace(tmp, path)
     return path
 
@@ -130,8 +134,19 @@ def main() -> None:
     spark.range(3).mapInArrow(_noop, "id long").collect()
     runner_init = round(_t.perf_counter() - t0, 2)
 
+    # default cases: the reference's own test shape (631x8k,
+    # InfoSelectorTest.scala:102-105) + a tall-narrow control.  Extra
+    # argv pairs override, e.g. `scale_proof_wide.py /tmp/wide 600000 631`
+    # = the FULL ECBDL14 shape the reference's dataset actually has
+    # (the test file is an 8k subsample of a ~600k-row corpus).
+    cases = ((8192, 631), (100_000, 100))
+    if len(sys.argv) > 3:
+        cases = tuple(
+            (int(sys.argv[i]), int(sys.argv[i + 1]))
+            for i in range(2, len(sys.argv) - 1, 2)
+        )
     results = []
-    for n_rows, n_feats in ((8192, 631), (100_000, 100)):
+    for n_rows, n_feats in cases:
         path = build_matrix(out, n_rows, n_feats, seed=n_feats)
         cold = run_case(spark, path, n_feats, n_rows, k=10)
         warm = run_case(spark, path, n_feats, n_rows, k=10)
