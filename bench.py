@@ -334,6 +334,24 @@ def main() -> None:
     )
     assert len({tuple(c for c, _ in m.selection_path) for m in wide_models}) == 1
 
+    # B16c — the r9 DIRECT row-group pack on the same matrix: pyarrow
+    # reads the columns straight into blocks, skipping the DataFrame
+    # scan's JVM row round-trip (at 600k×631 that transit is 84% of the
+    # fit — BASELINE r9).  Selection must be identical to b16's.
+    def b16c():
+        m = InfoThSelector(
+            n_to_select=10, criterion="mrmr", feature_cols=wide_feats, emit_f32=False
+        ).fit_parquet(spark, wide_path)
+        wide_models.append(m)
+        return m
+
+    t, _ = timed(b16c)
+    results["b16c_wide_direct_mrmr_k10"] = round(t, 3)
+    results["b16c_wide_direct_pack_per_iter"] = round(
+        wide_models[-1].fit_timings["pack_sec"], 3
+    )
+    assert len({tuple(c for c, _ in m.selection_path) for m in wide_models}) == 1
+
     total = round(sum(v for k, v in results.items() if not k.endswith(("per_iter", "per_sec"))), 3)
     print(
         json.dumps(

@@ -242,6 +242,50 @@ class InfoThSelector:
         finally:
             matrix.unpersist()
 
+    def fit_parquet(self, spark, path: str) -> InfoThSelectorModel:
+        """Fit straight from a MATERIALIZED parquet feature matrix via
+        the direct row-group pack (``PackedMatrix.pack_parquet``) —
+        skips the DataFrame scan's JVM row round-trip, the dominant
+        cost on wide matrices (BASELINE r9: 600k×631 pack 113 s →
+        seconds).  Semantics are identical to ``fit`` on
+        ``spark.read.parquet(path)`` — bit-identical selection, same
+        dims/validation contract — PROVIDED the parquet columns already
+        hold the final feature values (no Catalyst expressions are
+        applied; derive-then-write first if your features are computed).
+        ``feature_cols`` defaults to the parquet schema order minus
+        ``label_col``."""
+        import time
+
+        import pyarrow.parquet as pq_mod
+
+        from flink_infotheoretic_feature_selection_spark.operators.packed import PackedMatrix
+
+        if self.loop_engine != "packed":
+            raise ValueError("fit_parquet requires loop_engine='packed'")
+        import glob
+        import os
+
+        first = (
+            sorted(glob.glob(os.path.join(path, "*.parquet")))[0]
+            if os.path.isdir(path)
+            else path
+        )
+        schema_names = pq_mod.ParquetFile(first).schema_arrow.names
+        feats = self.feature_cols or [c for c in schema_names if c != self.label_col]
+        if self.n_to_select > len(feats):
+            raise ValueError(
+                f"n_to_select={self.n_to_select} exceeds n_features={len(feats)}"
+            )
+        label = self.label_col
+        timings: dict = {}
+        t0 = time.perf_counter()
+        packed = PackedMatrix.pack_parquet(
+            spark, path, feats + [label],
+            rows_per_partition=self.LOOP_ROWS_PER_PARTITION,
+        )
+        timings["pack_sec"] = round(time.perf_counter() - t0, 3)
+        return self._fit_from_packed(packed, feats, label, timings)
+
     def _fit_packed(self, df: DataFrame, feats: list[str], label: str) -> InfoThSelectorModel:
         import time
 
@@ -251,6 +295,16 @@ class InfoThSelector:
         t0 = time.perf_counter()
         packed = PackedMatrix.pack(df, feats + [label])
         timings["pack_sec"] = round(time.perf_counter() - t0, 3)
+        return self._fit_from_packed(packed, feats, label, timings)
+
+    def _fit_from_packed(
+        self, packed, feats: list[str], label: str, timings: dict
+    ) -> InfoThSelectorModel:
+        """Everything after the pack — shared by :meth:`fit` (DataFrame
+        pack) and :meth:`fit_parquet` (direct row-group pack); the two
+        routes differ ONLY in how the blocks were produced."""
+        import time
+
         try:
             t0 = time.perf_counter()
             if self.validate:
@@ -282,8 +336,11 @@ class InfoThSelector:
                     packed = packed.rebalance(target, self.LOOP_ROWS_PER_PARTITION)
                     timings["rebalance_sec"] = round(time.perf_counter() - t0, 3)
             timings["loop_partitions"] = packed.n_partitions
+            # matrix=None: with a packed substrate _fit_stages never
+            # touches the DataFrame (both histogram passes and the
+            # partition probe run on the blocks)
             return self._fit_stages(
-                df, feats, label, dims, n, dims[label], packed=packed,
+                None, feats, label, dims, n, dims[label], packed=packed,
                 timings=timings,
             )
         finally:
@@ -410,7 +467,7 @@ class InfoThSelector:
 
     def _fit_stages(
         self,
-        matrix: DataFrame,
+        matrix: DataFrame | None,  # None iff packed is provided
         feats: list[str],
         label: str,
         dims: dict[str, int],
