@@ -1226,6 +1226,26 @@ def _q_selected_wide_mrmr(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "step int, feat int, score double")
 
 
+def _q_selected_wide_direct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Route twin of _q_selected_wide_mrmr through the r9 DIRECT
+    # row-group pack (InfoThSelector.fit_parquet) — same fixture, same
+    # oracle.  A driver row of its own so the direct substrate cannot
+    # silently drift from the scan route (fit_parquet prunes to
+    # feats+label at the reader, so the oracle-only rid never packs).
+    feats = [f"f{j}" for j in range(_WIDE_GATE_NF)]
+    model = InfoThSelector(
+        n_to_select=_WIDE_GATE_K,
+        criterion="mrmr",
+        feature_cols=feats,
+        emit_f32=False,
+    ).fit_parquet(spark, _staged_wide_matrix_path())
+    rows = [
+        (step, int(c[1:]), _q5(s))
+        for step, (c, s) in enumerate(model.selection_path)
+    ]
+    return spark.createDataFrame(rows, "step int, feat int, score double")
+
+
 def wide_selection_oracle_sql(
     path: str | None = None, nf: int | None = None, k: int | None = None
 ) -> str:
@@ -1927,8 +1947,10 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "libsvm_read": _q_libsvm_read,
         "scrub_pii": _q_scrub_pii,
         # r9: wide-matrix (631-attribute) selection path pinned by value —
-        # registry 76 -> 77, still within the 2-round rotation period
+        # registry 76 -> 78 with the direct-pack route twin, still within
+        # the 2-round rotation period
         "selected_wide_mrmr": _q_selected_wide_mrmr,
+        "selected_wide_direct": _q_selected_wide_direct,
         # dedup / similarity / text / streaming extensions:
         "simhash64_incremental": _q_simhash64_incremental,
         "cross_source_overlap": profile_ops.cross_source_overlap,
@@ -2064,6 +2086,7 @@ def oracle_sql() -> dict[str, str]:
         "libsvm_read": _libsvm_read_oracle(),
         "scrub_pii": _scrub_pii_oracle(),
         "selected_wide_mrmr": wide_selection_oracle_sql(),
+        "selected_wide_direct": wide_selection_oracle_sql(),
         "simhash64_incremental": dedup.simhash64_incremental_oracle(),
         "source_token_cap": text.source_token_cap_oracle(),
         "epoch_shuffle": text.epoch_shuffle_oracle(),
