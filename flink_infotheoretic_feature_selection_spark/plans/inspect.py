@@ -46,7 +46,69 @@ __all__ = [
     "exchange_count",
     "broadcast_join_count",
     "wholestage_codegen_count",
+    "bare_parquet_scan_files",
 ]
+
+
+def bare_parquet_scan_files(df: DataFrame, cols: list[str]) -> list[str] | None:
+    """Local parquet files behind ``df`` IFF the frame is a BARE scan —
+    i.e. reading ``cols`` straight from the files with pyarrow yields
+    exactly the values Spark would deliver.  None otherwise (the caller
+    must take a route that executes the plan).
+
+    This is the eligibility probe for ``InfoThSelector``'s auto direct
+    pack (r10, VERDICT ask #1).  Eligible shapes, checked on the
+    OPTIMIZED logical plan so Catalyst has already collapsed aliases and
+    redundant projections:
+
+    - ``LogicalRelation`` over a parquet ``HadoopFsRelation``, optionally
+      under attribute-only ``Project`` nodes (column pruning / reorder —
+      the direct reader prunes by name itself).  Any computed expression,
+      ``Alias`` (a rename would break name-keyed reading), ``Filter``,
+      join, or non-V1 source → None.
+    - none of ``cols`` is a Hive PARTITION column (those live in
+      directory names, not in the files).
+    - every input file is local (``file:`` or schemeless) — pyarrow
+      opens them directly on the executors.
+
+    Conservative by construction: every check failure (including py4j
+    surprises on future Spark versions) returns None, never a wrong
+    file list — the fallback routes are correct for everything.
+    """
+    try:
+        node = df._jdf.queryExecution().optimizedPlan()
+        while node.getClass().getSimpleName() == "Project":
+            plist = node.projectList()
+            for i in range(plist.size()):
+                if plist.apply(i).getClass().getSimpleName() != "AttributeReference":
+                    return None
+            node = node.child()
+        if node.getClass().getSimpleName() != "LogicalRelation":
+            return None
+        rel = node.relation()
+        if rel.getClass().getSimpleName() != "HadoopFsRelation":
+            return None
+        if "Parquet" not in rel.fileFormat().getClass().getSimpleName():
+            return None
+        part_cols = {str(n) for n in rel.partitionSchema().fieldNames()}
+        if part_cols & set(cols):
+            return None
+        files = list(df.inputFiles())
+        if not files:
+            return None
+        out: list[str] = []
+        for f in files:
+            if f.startswith("file:"):
+                from urllib.parse import unquote, urlparse
+
+                out.append(unquote(urlparse(f).path))
+            elif "://" not in f:
+                out.append(f)
+            else:
+                return None  # non-local filesystem: the scan route reads it
+        return out
+    except Exception:
+        return None
 
 
 def formatted_plan(df: DataFrame) -> str:

@@ -103,3 +103,209 @@ def test_fit_parquet_rejects_arrow_engine(spark, tmp_path):
     _write_matrix(p)
     with pytest.raises(ValueError, match="loop_engine"):
         InfoThSelector(n_to_select=2, loop_engine="arrow").fit_parquet(spark, str(p))
+
+
+# ---------------------------------------------------------------------------
+# r10 — pack-route auto-detection (VERDICT ask #1), recursive listing
+# (advisor finds), uint8 block compaction (VERDICT ask #4), spill guard.
+# ---------------------------------------------------------------------------
+from pyspark.sql import functions as F  # noqa: E402
+
+from flink_infotheoretic_feature_selection_spark.operators.packed import (  # noqa: E402
+    _compact,
+    estimate_packed_bytes,
+    list_parquet_files,
+)
+from flink_infotheoretic_feature_selection_spark.plans.inspect import (  # noqa: E402
+    bare_parquet_scan_files,
+)
+
+
+def _sel(route="auto", k=3):
+    return InfoThSelector(
+        n_to_select=k, criterion="mrmr", emit_f32=False, pack_route=route
+    )
+
+
+def test_auto_route_direct_packs_bare_scan(spark, tmp_path):
+    p = tmp_path / "m.parquet"
+    _write_matrix(p)
+    m = _sel().fit(spark.read.parquet(str(p)))
+    assert m.fit_timings["pack_route"] == "direct"
+    # column-pruned select stays bare (attribute-only Project)
+    m2 = InfoThSelector(
+        n_to_select=2, feature_cols=["f0", "f1", "f2"], emit_f32=False
+    ).fit(spark.read.parquet(str(p)).select("f0", "f1", "f2", "label"))
+    assert m2.fit_timings["pack_route"] == "direct"
+
+
+def test_auto_route_falls_back_to_scan_on_derived_frame(spark, tmp_path):
+    p = tmp_path / "m.parquet"
+    _write_matrix(p)
+    bare = spark.read.parquet(str(p))
+    derived = bare.withColumn("f0", F.greatest("f0", F.lit(0)))
+    m = _sel().fit(derived)
+    assert m.fit_timings["pack_route"] == "scan"
+    # ... with the identical selection as the direct route on the file
+    assert m.selection_path == _sel().fit(bare).selection_path
+
+
+def test_all_pack_routes_bit_identical(spark, tmp_path):
+    p = tmp_path / "m.parquet"
+    _write_matrix(p)
+    bare = spark.read.parquet(str(p))
+    paths = {}
+    for route in ("auto", "scan", "spill", "direct"):
+        m = _sel(route).fit(bare)
+        assert m.fit_timings["pack_route"] in (route, "direct")
+        paths[route] = tuple(m.selection_path)
+    assert len(set(paths.values())) == 1
+
+
+def test_direct_route_raises_on_derived_plan(spark, tmp_path):
+    p = tmp_path / "m.parquet"
+    _write_matrix(p)
+    # NOTE: `F.col("f1") + 0` does NOT work here — Catalyst's optimizer
+    # folds the identity away and the plan IS a bare scan again (which
+    # the probe correctly accepts); greatest() survives optimization
+    derived = spark.read.parquet(str(p)).withColumn("f1", F.greatest("f1", F.lit(0)))
+    with pytest.raises(ValueError, match="bare .*parquet scan"):
+        _sel("direct").fit(derived)
+
+
+def test_bare_scan_probe_rejects_filters_renames_and_partition_cols(spark, tmp_path):
+    p = tmp_path / "m.parquet"
+    _write_matrix(p)
+    bare = spark.read.parquet(str(p))
+    cols = ["f0", "label"]
+    assert bare_parquet_scan_files(bare, cols)
+    assert bare_parquet_scan_files(bare.filter("f0 >= 0"), cols) is None
+    assert (
+        bare_parquet_scan_files(bare.withColumnRenamed("f0", "g0"), ["g0", "label"])
+        is None
+    )
+    # Hive-partitioned layout: the partition column lives in dir names,
+    # not the files — packing it must be refused
+    d = tmp_path / "part"
+    df = bare.withColumn("pk", F.col("label") % 2)
+    df.write.partitionBy("pk").parquet(str(d))
+    pdf = spark.read.parquet(str(d))
+    assert bare_parquet_scan_files(pdf, ["f0", "pk"]) is None
+    # ... but data-column-only reads of the same layout are eligible
+    assert bare_parquet_scan_files(pdf, ["f0", "label"])
+
+
+def test_auto_route_on_partitioned_layout_matches_scan(spark, tmp_path):
+    # end-to-end over a Spark-partitioned (nested-dir) layout: the
+    # recursive lister + inputFiles-driven direct pack must agree with
+    # the scan route on the same frame
+    p = tmp_path / "m.parquet"
+    _write_matrix(p)
+    d = tmp_path / "bypk"
+    spark.read.parquet(str(p)).withColumn("pk", F.col("label") % 2).write.partitionBy(
+        "pk"
+    ).parquet(str(d))
+    pdf = spark.read.parquet(str(d))
+    feats = [f"f{j}" for j in range(12)]
+    auto = InfoThSelector(
+        n_to_select=3, feature_cols=feats, emit_f32=False
+    ).fit(pdf)
+    assert auto.fit_timings["pack_route"] == "direct"
+    scan = InfoThSelector(
+        n_to_select=3, feature_cols=feats, emit_f32=False, pack_route="scan"
+    ).fit(pdf)
+    assert auto.selection_path == scan.selection_path
+
+
+def test_list_parquet_files_recursive_and_errors(tmp_path):
+    (tmp_path / "a" / "pk=1").mkdir(parents=True)
+    _write_matrix(tmp_path / "a" / "top.parquet", n=100)
+    _write_matrix(tmp_path / "a" / "pk=1" / "nested.parquet", n=100)
+    files = list_parquet_files(str(tmp_path / "a"))
+    assert [f.split("/")[-1] for f in files] == ["nested.parquet", "top.parquet"]
+    with pytest.raises(ValueError, match="no parquet files"):
+        list_parquet_files([])
+    empty = tmp_path / "empty"
+    empty.mkdir()
+    with pytest.raises(ValueError, match="no parquet files"):
+        list_parquet_files(str(empty))
+
+
+def test_fit_parquet_empty_dir_clear_error(spark, tmp_path):
+    # advisor r10: used to raise a bare IndexError from sorted(glob)[0]
+    empty = tmp_path / "empty"
+    empty.mkdir()
+    with pytest.raises(ValueError, match="no parquet files"):
+        InfoThSelector(n_to_select=2).fit_parquet(spark, str(empty))
+
+
+def test_pack_parquet_all_empty_row_groups_clear_error(spark, tmp_path):
+    # advisor r10: all-empty input used to surface as an opaque
+    # dims_and_count failure from an RDD with zero blocks
+    import pyarrow.parquet as pqm
+
+    p = tmp_path / "empty_rows.parquet"
+    schema = pa.schema([("f0", pa.int32()), ("label", pa.int32())])
+    pqm.write_table(pa.table({"f0": [], "label": []}, schema=schema), str(p))
+    with pytest.raises(ValueError, match="no non-empty parquet row groups"):
+        PackedMatrix.pack_parquet(spark, str(p), ["f0", "label"])
+
+
+def test_compact_downcasts_without_wrapping():
+    a = np.array([0, 7, 255], dtype=np.int64)
+    assert _compact(a).dtype == np.uint8
+    assert _compact(a).tolist() == [0, 7, 255]
+    # out-of-contract values must KEEP a dtype that preserves them so
+    # dims_and_count still sees the real value (no silent 300 -> 44)
+    big = np.array([0, 300], dtype=np.int64)
+    assert _compact(big).tolist() == [0, 300]
+    neg = np.array([-3, 5], dtype=np.int32)
+    assert _compact(neg).tolist() == [-3, 5]
+    f = np.array([0.0, np.nan])
+    assert _compact(f).dtype.kind == "f"  # floats (NULL promotion) untouched
+
+
+def test_packed_blocks_are_compacted_and_dims_guard_survives(spark, tmp_path):
+    p = tmp_path / "m.parquet"
+    _write_matrix(p)  # int32 source columns
+    packed = PackedMatrix.pack_parquet(spark, str(p), ["f0", "label"])
+    try:
+        dtypes = packed.rdd.map(
+            lambda blk: {c: blk[c].dtype.kind + str(blk[c].dtype.itemsize) for c in blk}
+        ).first()
+        assert dtypes == {"f0": "u1", "label": "u1"}
+    finally:
+        packed.unpersist()
+    # a wild cell (dim > 256) still raises the contract error end-to-end
+    p2 = tmp_path / "wild.parquet"
+    pq.write_table(
+        pa.table(
+            {
+                "f0": pa.array(np.array([0, 1, 300], dtype=np.int32)),
+                "label": pa.array(np.array([0, 1, 0], dtype=np.int32)),
+            }
+        ),
+        str(p2),
+    )
+    packed2 = PackedMatrix.pack_parquet(spark, str(p2), ["f0", "label"])
+    try:
+        with pytest.raises(ValueError, match="exceed the byte range"):
+            packed2.dims_and_count()
+    finally:
+        packed2.unpersist()
+
+
+def test_estimate_packed_bytes_and_spill_warning(spark, tmp_path, caplog):
+    import logging
+
+    from flink_infotheoretic_feature_selection_spark.operators.packed import (
+        _storage_budget_bytes,
+        _warn_if_spill_regime,
+    )
+
+    assert estimate_packed_bytes(6_000_000, 632) > 3_700_000_000
+    budget = _storage_budget_bytes(spark)
+    assert budget is None or budget > 0
+    with caplog.at_level(logging.WARNING):
+        _warn_if_spill_regime(spark, 10**13, 632)  # 6.3 PB estimate
+    assert any("exceeds" in r.message for r in caplog.records)
