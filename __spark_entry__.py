@@ -1213,9 +1213,35 @@ def _q_selected_wide_mrmr(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pack would take the ordinary select route instead).
     feats = [f"f{j}" for j in range(_WIDE_GATE_NF)]
     df = spark.read.parquet(_staged_wide_matrix_path()).select(*feats, "label")
+    # pack_route="scan" (r10): the auto default now direct-packs bare
+    # scans — this slot exists to pin the SCAN-pack substrate, so pin
+    # the route (selected_wide_direct owns direct, selected_wide_cmim
+    # owns the auto router).
     model = InfoThSelector(
         n_to_select=_WIDE_GATE_K,
         criterion="mrmr",
+        feature_cols=feats,
+        emit_f32=False,
+        pack_route="scan",
+    ).fit(df)
+    rows = [
+        (step, int(c[1:]), _q5(s))
+        for step, (c, s) in enumerate(model.selection_path)
+    ]
+    return spark.createDataFrame(rows, "step int, feat int, score double")
+
+
+def _q_selected_wide_cmim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # I1 (wide, CMIM — r10, VERDICT ask #7): the max-update accumulator,
+    # the most divergence-prone criterion algebra, pinned by value at
+    # the 631-attribute width.  pack_route stays the "auto" default, so
+    # this gate ALSO drives the r10 router end-to-end (the pruned bare
+    # scan below direct-packs through plans.inspect.bare_parquet_scan_files).
+    feats = [f"f{j}" for j in range(_WIDE_GATE_NF)]
+    df = spark.read.parquet(_staged_wide_matrix_path()).select(*feats, "label")
+    model = InfoThSelector(
+        n_to_select=_WIDE_GATE_K,
+        criterion="cmim",
         feature_cols=feats,
         emit_f32=False,
     ).fit(df)
@@ -1247,7 +1273,10 @@ def _q_selected_wide_direct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def wide_selection_oracle_sql(
-    path: str | None = None, nf: int | None = None, k: int | None = None
+    path: str | None = None,
+    nf: int | None = None,
+    k: int | None = None,
+    criterion: str = "mrmr",
 ) -> str:
     """DuckDB oracle for the wide mRMR greedy loop.
 
@@ -1264,10 +1293,21 @@ def wide_selection_oracle_sql(
     arbitrary (path, nf, k) shapes; defaults are the staged gate fixture.
     Input contract: parquet with columns ``rid`` (unique), ``f0..f{nf-1}``
     (integer, byte-ranged), ``label`` (integer).
+
+    ``criterion`` (r10, VERDICT ask #7) extends the same staged rid-join
+    structure to every greedy criterion's update algebra
+    (``InfoThCriterion.scala``): per stage the selected feature's column
+    joins once; mRMR/MIFS fold MI into a running sum, JMI additionally
+    folds CMI(c; s | Y) (one 3-way rid join per stage), CMIM keeps a
+    running ``greatest`` of (MI − CMI) — the max-update accumulator, the
+    most divergence-prone — and ICAP a running sum of its positive part.
     """
     path = path or _staged_wide_matrix_path()
     nf = nf if nf is not None else _WIDE_GATE_NF
     k = k if k is not None else _WIDE_GATE_K
+    if criterion not in ("mrmr", "mifs", "jmi", "cmim", "icap"):
+        raise ValueError(f"no wide oracle for criterion {criterion!r}")
+    needs_cmi = criterion in ("jmi", "cmim", "icap")
     fcols = ", ".join(f"f{j}" for j in range(nf))
     head = f"""
     WITH fm AS MATERIALIZED (SELECT * FROM read_parquet('{path}')),
@@ -1293,11 +1333,20 @@ def wide_selection_oracle_sql(
     s1 AS (SELECT feat, rel AS score FROM relv
           ORDER BY CAST(floor(rel * 100000.0 + 0.5) AS BIGINT) DESC, feat LIMIT 1),
     sel1 AS (SELECT 0 AS step, feat, score FROM s1),
-    acc1 AS (SELECT feat, 0.0 AS acc FROM relv)"""
+    acc1 AS (SELECT feat, 0.0 AS acc_mi, 0.0 AS acc_cmi, 0.0 AS acc_mod,
+                    0.0 AS acc_icap FROM relv)"""
+    # per-criterion score over the running accumulators ({t1} = |selected|)
+    score_expr = {
+        "mrmr": "r.rel - a.acc_mi / {t1}.0",
+        "mifs": "r.rel - 1.0 * a.acc_mi",
+        "jmi": "r.rel - a.acc_mi / {t1}.0 + a.acc_cmi / {t1}.0",
+        "cmim": "r.rel - a.acc_mod",
+        "icap": "r.rel - a.acc_icap",
+    }[criterion]
     stages = []
     for t in range(2, k + 1):
         prev = t - 1
-        # bsel{t}: the selected feature's 2048 long rows, REDUCED FIRST
+        # bsel{t}: the selected feature's long rows, REDUCED FIRST
         # (a scalar subquery in the rid-join predicate is not pushed
         # below the join by DuckDB — the unfiltered self-join is
         # rows × nf² ≈ 800M intermediates; this shape measured <1 s)
@@ -1317,12 +1366,47 @@ def wide_selection_oracle_sql(
       JOIN tot ON true
       JOIN mx ma ON ma.feat = j.feat AND ma.x = j.xa
       JOIN mbsel{t} mb ON mb.x = j.xb
+      GROUP BY j.feat)""")
+        if needs_cmi:
+            # CMI(c; s_{prev} | Y) = Σ (c3/n)·log2(c3·cy / (c_xy·c_sy)) —
+            # the 3-way rid join reduces to counts once; c_xy is the
+            # init-time jl table, c_sy the selected feature's slice of it
+            stages.append(f"""
+    jbsel{t} AS MATERIALIZED (
+      SELECT jj.x, jj.y, CAST(jj.c AS DOUBLE) AS c
+      FROM jl jj JOIN s{prev} s ON jj.feat = s.feat),
+    cmi{t} AS MATERIALIZED (
+      SELECT j.feat AS feat,
+             sum((CAST(j.c AS DOUBLE)/n)
+                 * log2(CAST(j.c AS DOUBLE)*cy/(CAST(ja.c AS DOUBLE)*jb.c))) AS cmi
+      FROM (
+        SELECT a.feat, a.x AS xa, b.x AS xb, l.y AS y, count(*) AS c
+        FROM lng a JOIN bsel{t} b ON a.rid = b.rid
+        JOIN lab l ON a.rid = l.rid
+        GROUP BY 1, 2, 3, 4) j
+      JOIN tot ON true
+      JOIN my ON my.y = j.y
+      JOIN jl ja ON ja.feat = j.feat AND ja.x = j.xa AND ja.y = j.y
+      JOIN jbsel{t} jb ON jb.x = j.xb AND jb.y = j.y
       GROUP BY j.feat),
+    upd{t} AS (
+      SELECT m.feat, m.mi, coalesce(c.cmi, 0.0) AS cmi
+      FROM mi{t} m LEFT JOIN cmi{t} c ON c.feat = m.feat)""")
+        else:
+            stages.append(f"""
+    upd{t} AS (SELECT feat, mi, 0.0 AS cmi FROM mi{t})""")
+        # running criterion state — the exact update algebra of
+        # InfoThCriterion.scala (sum / sum+sum / max / positive-part sum)
+        stages.append(f"""
     acc{t} AS MATERIALIZED (
-      SELECT p.feat, p.acc + coalesce(m.mi, 0.0) AS acc
-      FROM acc{prev} p LEFT JOIN mi{t} m ON m.feat = p.feat),
+      SELECT p.feat,
+             p.acc_mi + coalesce(u.mi, 0.0) AS acc_mi,
+             p.acc_cmi + coalesce(u.cmi, 0.0) AS acc_cmi,
+             greatest(p.acc_mod, coalesce(u.mi - u.cmi, 0.0)) AS acc_mod,
+             p.acc_icap + greatest(0.0, coalesce(u.mi - u.cmi, 0.0)) AS acc_icap
+      FROM acc{prev} p LEFT JOIN upd{t} u ON u.feat = p.feat),
     c{t} AS (
-      SELECT r.feat, r.rel - a.acc / {t - 1}.0 AS score
+      SELECT r.feat, {score_expr.format(t1=t - 1)} AS score
       FROM relv r JOIN acc{t} a ON a.feat = r.feat
       WHERE r.feat NOT IN (SELECT feat FROM sel{prev})),
     s{t} AS MATERIALIZED (
@@ -1575,7 +1659,11 @@ def rotation_history(root: str | None = None) -> dict[int, dict]:
 # mapped through each gate's import closure; the r7 verdict's ask — the
 # hand-set under-promoted when a shared module rewrite touched ~17 gates).
 # Reset at each round start (r8: r7's stream_dedup entry reset).
-ROTATION_PROMOTE = frozenset()
+# r10 gate-body edits: selected_wide_mrmr pinned to pack_route="scan"
+# (the auto default would have silently switched its substrate to the
+# direct pack); selected_wide_direct's oracle generator gained the
+# criterion parameter (values unchanged, but the body text moved).
+ROTATION_PROMOTE = frozenset({"selected_wide_mrmr", "selected_wide_direct"})
 
 _PKG_NAME = "flink_infotheoretic_feature_selection_spark"
 
@@ -1951,6 +2039,9 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the 2-round rotation period
         "selected_wide_mrmr": _q_selected_wide_mrmr,
         "selected_wide_direct": _q_selected_wide_direct,
+        # r10: CMIM (max-update algebra) at width + the auto pack router
+        # end-to-end (registry 78 -> 79)
+        "selected_wide_cmim": _q_selected_wide_cmim,
         # dedup / similarity / text / streaming extensions:
         "simhash64_incremental": _q_simhash64_incremental,
         "cross_source_overlap": profile_ops.cross_source_overlap,
@@ -2087,6 +2178,7 @@ def oracle_sql() -> dict[str, str]:
         "scrub_pii": _scrub_pii_oracle(),
         "selected_wide_mrmr": wide_selection_oracle_sql(),
         "selected_wide_direct": wide_selection_oracle_sql(),
+        "selected_wide_cmim": wide_selection_oracle_sql(criterion="cmim"),
         "simhash64_incremental": dedup.simhash64_incremental_oracle(),
         "source_token_cap": text.source_token_cap_oracle(),
         "epoch_shuffle": text.epoch_shuffle_oracle(),

@@ -46,8 +46,22 @@ def _write_wide_matrix(path: str, seed: int) -> tuple[int, int]:
     return nf, n
 
 
-@pytest.mark.parametrize("seed", [31, 32])
-def test_wide_selection_cross_engine_on_random_matrix(spark, tmp_path, seed):
+# (seed, criterion, pack_route) — r10 extends the sweep across the
+# criterion update algebras (VERDICT ask #7) and the pack router:
+# "scan" pins the r9 substrate the staged mRMR gate owns; the "auto"
+# rows run the r10 router, which direct-packs the pruned bare scan.
+@pytest.mark.parametrize(
+    "seed, criterion, route",
+    [
+        (31, "mrmr", "scan"),
+        (32, "mrmr", "auto"),
+        (33, "cmim", "auto"),
+        (34, "jmi", "scan"),
+        (35, "icap", "auto"),
+        (36, "mifs", "scan"),
+    ],
+)
+def test_wide_selection_cross_engine_on_random_matrix(spark, tmp_path, seed, criterion, route):
     k = 4
     path = str(tmp_path / f"wide_{seed}.parquet")
     nf, n = _write_wide_matrix(path, seed)
@@ -57,16 +71,23 @@ def test_wide_selection_cross_engine_on_random_matrix(spark, tmp_path, seed):
     # exact route the staged gate pins (see _q_selected_wide_mrmr)
     df = spark.read.parquet(path).select(*feats, "label")
     model = InfoThSelector(
-        n_to_select=k, criterion="mrmr", feature_cols=feats, emit_f32=False
+        n_to_select=k,
+        criterion=criterion,
+        feature_cols=feats,
+        emit_f32=False,
+        pack_route=route,
     ).fit(df)
+    assert model.fit_timings["pack_route"] == ("direct" if route == "auto" else route)
     got = [
         (step, int(c[1:]), entry_mod._q5(s))
         for step, (c, s) in enumerate(model.selection_path)
     ]
 
-    sql = entry_mod.wide_selection_oracle_sql(path=path, nf=nf, k=k)
+    sql = entry_mod.wide_selection_oracle_sql(path=path, nf=nf, k=k, criterion=criterion)
     exp = [
         (int(r[0]), int(r[1]), float(r[2]))
         for r in duckdb.connect().execute(sql).fetchall()
     ]
-    assert got == sorted(exp), f"seed {seed} (nf={nf}, n={n}): {got} vs {sorted(exp)}"
+    assert got == sorted(exp), (
+        f"seed {seed} ({criterion}/{route}, nf={nf}, n={n}): {got} vs {sorted(exp)}"
+    )
