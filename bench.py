@@ -318,10 +318,16 @@ def main() -> None:
 
     wide_models = []
 
+    # r10: fit() on this bare scan now AUTO-routes through the direct
+    # row-group pack (plans.inspect.bare_parquet_scan_files) — b16
+    # measures what a user actually gets from fit(); its r9 twin (the
+    # pinned scan pack) moves to b16s so the substrate regression signal
+    # survives the default change.
     def b16():
         m = InfoThSelector(
             n_to_select=10, criterion="mrmr", feature_cols=wide_feats, emit_f32=False
         ).fit(wide_df)
+        assert m.fit_timings["pack_route"] == "direct"
         wide_models.append(m)
         return m
 
@@ -331,6 +337,20 @@ def main() -> None:
     results["b16_wide_pack_per_iter"] = round(last.fit_timings["pack_sec"], 3)
     results["b16_wide_loop_per_iter"] = round(
         last.fit_timings["loop_sec"] / max(last.fit_timings["iterations"], 1), 3
+    )
+
+    def b16s():
+        m = InfoThSelector(
+            n_to_select=10, criterion="mrmr", feature_cols=wide_feats,
+            emit_f32=False, pack_route="scan",
+        ).fit(wide_df)
+        wide_models.append(m)
+        return m
+
+    t, _ = timed(b16s)
+    results["b16s_wide_scan_mrmr_k10"] = round(t, 3)
+    results["b16s_wide_scan_pack_per_iter"] = round(
+        wide_models[-1].fit_timings["pack_sec"], 3
     )
     assert len({tuple(c for c, _ in m.selection_path) for m in wide_models}) == 1
 
