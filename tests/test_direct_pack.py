@@ -309,3 +309,52 @@ def test_estimate_packed_bytes_and_spill_warning(spark, tmp_path, caplog):
     with caplog.at_level(logging.WARNING):
         _warn_if_spill_regime(spark, 10**13, 632)  # 6.3 PB estimate
     assert any("exceeds" in r.message for r in caplog.records)
+
+
+def test_fit_parquet_heterogeneous_object_store_layout(spark, tmp_path):
+    # VERDICT r9 ask #5: object-store-shaped input — many files of
+    # uneven sizes, wildly mixed row-group sizes, one file with a
+    # DIFFERENT physical column order (name-keyed reads must not care),
+    # nested subdirectory.  fit_parquet must agree with fit() on the
+    # same directory bit-for-bit.
+    d = tmp_path / "store"
+    (d / "sub").mkdir(parents=True)
+    rng = np.random.default_rng(42)
+
+    def write(path, n, rg, reorder=False):
+        y = rng.integers(0, 3, size=n)
+        cols = {}
+        for j in range(6):
+            dim = 2 + j % 4
+            cols[f"f{j}"] = pa.array(
+                np.where(rng.random(n) < 0.5, y % dim, rng.integers(0, dim, n)).astype(
+                    np.int32
+                )
+            )
+        cols["label"] = pa.array(y.astype(np.int32))
+        names = list(cols)
+        if reorder:
+            names = names[::-1]
+        pq.write_table(
+            pa.table({k: cols[k] for k in names}), str(path), row_group_size=rg
+        )
+
+    write(d / "tiny_a.parquet", 37, 16)
+    write(d / "tiny_b.parquet", 111, 7)
+    write(d / "big.parquet", 4000, 1500)
+    write(d / "reordered.parquet", 900, 900, reorder=True)
+    write(d / "sub" / "nested.parquet", 500, 64)
+
+    feats = [f"f{j}" for j in range(6)]
+    direct = InfoThSelector(
+        n_to_select=3, feature_cols=feats, emit_f32=False
+    ).fit_parquet(spark, str(d))
+    # recursive=True is load-bearing: spark.read.parquet("<dir>") does
+    # NOT descend into plain subdirs by default, so compare against the
+    # explicit file list to keep both engines reading the same rows
+    files = sorted(str(p) for p in d.rglob("*.parquet"))
+    via_df = InfoThSelector(
+        n_to_select=3, feature_cols=feats, emit_f32=False, pack_route="scan"
+    ).fit(spark.read.parquet(*files))
+    assert direct.selection_path == via_df.selection_path
+    assert direct.relevances == via_df.relevances
