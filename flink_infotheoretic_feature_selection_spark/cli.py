@@ -30,6 +30,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--crit", default="mrmr",
                    choices=["mim", "mifs", "jmi", "mrmr", "cmim", "if", "icap"])
     p.add_argument("--label", default="label")
+    p.add_argument(
+        "--pack-route",
+        default="auto",
+        choices=["auto", "scan", "spill", "direct"],
+        help="pack substrate routing (auto: direct-pack bare parquet scans)",
+    )
     p.add_argument("--save-model", default=None, help="write fitted model JSON here")
     # parity flags, ignored: schema-derived in this engine (SURVEY.md §1.3)
     p.add_argument("--nf", type=int, default=None, help="(ignored)")
@@ -58,7 +64,10 @@ def main(argv: list[str] | None = None) -> int:
 
     t0 = time.perf_counter()
     model = InfoThSelector(
-        n_to_select=args.nfeat, criterion=args.crit, label_col=args.label
+        n_to_select=args.nfeat,
+        criterion=args.crit,
+        label_col=args.label,
+        pack_route=args.pack_route,
     ).fit(df)
     fs_time = time.perf_counter() - t0
 

@@ -79,8 +79,15 @@ def main() -> int:
     for s in thin:
         jobs.append(("matrix_distmerge", s, lambda d, s=s: _matrix_distmerge(d, s)))
         # r9: random wide shapes (150-320 features) through the pack
-        # fast path vs the parameterized rid-join oracle
-        jobs.append(("wide_matrix", s, lambda d, s=s: wide.test_wide_selection_cross_engine_on_random_matrix(spark, d, s)))
+        # fast path vs the parameterized rid-join oracle; r10 crosses
+        # criterion (all five update algebras) x pack route by seed
+        _crit = ("mrmr", "cmim", "jmi", "icap", "mifs")[s % 5]
+        _route = ("scan", "auto")[s % 2]
+        jobs.append((
+            f"wide_matrix[{_crit}/{_route}]", s,
+            lambda d, s=s, c=_crit, r=_route:
+            wide.test_wide_selection_cross_engine_on_random_matrix(spark, d, s, c, r),
+        ))
         jobs.append(("stream_window", s, lambda d, s=s: streaming.test_windowed_agg_complete_mode_equals_batch_on_disorder(spark, d, s)))
         jobs.append(("stream_dedup", s, lambda d, s=s: streaming.test_streaming_dedup_catches_cross_batch_duplicates(spark, d, s)))
         jobs.append(("stream_sessionize", s, lambda d, s=s: streaming.test_sessionize_complete_mode_merges_sessions_across_batches(spark, d, s)))
