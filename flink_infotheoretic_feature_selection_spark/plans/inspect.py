@@ -78,10 +78,21 @@ def bare_parquet_scan_files(df: DataFrame, cols: list[str]) -> list[str] | None:
     try:
         node = df._jdf.queryExecution().optimizedPlan()
         while node.getClass().getSimpleName() == "Project":
-            plist = node.projectList()
-            for i in range(plist.size()):
-                if plist.apply(i).getClass().getSimpleName() != "AttributeReference":
-                    return None
+            # ONE py4j call for the whole projectList: per-element
+            # apply(i).getClass() costs a py4j round-trip each — ~1.3 s
+            # of pure RPC at 632 columns (r10 bench b16 vs b16c).  An
+            # AttributeReference prints as a bare `name#id[typeSuffix]`
+            # token; an Alias prints `expr AS name#id` and any computed
+            # expression carries spaces/parens — both fail the token
+            # regex and return None (conservative: odd column names
+            # merely fall back to the scan route).
+            plist = node.projectList().toString()
+            body = plist[plist.index("(") + 1 : plist.rindex(")")]
+            if body and not all(
+                re.fullmatch(r"[^\s,()#]+#\d+[A-Za-z]*", e.strip())
+                for e in body.split(",")
+            ):
+                return None
             node = node.child()
         if node.getClass().getSimpleName() != "LogicalRelation":
             return None
