@@ -81,6 +81,32 @@ def list_parquet_files(path: str | list[str]) -> list[str]:
     return files
 
 
+def _list_parquet_files_fs(filesystem, path: str | list[str]) -> list[str]:
+    """Recursive ``*.parquet`` listing through a ``pyarrow.fs``
+    FileSystem — the non-local twin of :func:`list_parquet_files`
+    (object stores have no os.path; the filesystem's own selector
+    walks the prefix)."""
+    from pyarrow import fs as pafs
+
+    if isinstance(path, (list, tuple)):
+        files = sorted(path)
+    else:
+        info = filesystem.get_file_info(path)
+        if info.type == pafs.FileType.Directory:
+            files = sorted(
+                f.path
+                for f in filesystem.get_file_info(
+                    pafs.FileSelector(path, recursive=True)
+                )
+                if f.type == pafs.FileType.File and f.path.endswith(".parquet")
+            )
+        else:
+            files = [path]
+    if not files:
+        raise ValueError(f"no parquet files under {path!r}")
+    return files
+
+
 def _warn_if_spill_regime(spark, n_rows: int, n_cols: int) -> None:
     """Loud, actionable log line when the estimated packed working set
     exceeds what the executors can keep in storage memory (VERDICT r9
@@ -280,6 +306,7 @@ class PackedMatrix:
         cols: list[str],
         rows_per_partition: int = 65536,
         storage_level: StorageLevel = StorageLevel.MEMORY_AND_DISK,
+        filesystem=None,
     ) -> "PackedMatrix":
         """Direct pack from a MATERIALIZED parquet feature matrix: tasks
         read their own row groups via pyarrow straight into NumPy blocks.
@@ -317,17 +344,25 @@ class PackedMatrix:
           with bounded ``row_group_size`` for parallelism.
         - Column pruning: only ``cols`` are decoded — the pruning the
           Catalyst scan would have pushed down, done by the reader.
-        - Cluster note: pyarrow opens paths through fsspec-compatible
-          filesystems; this repo exercises local paths (the test rig),
-          the mechanism is storage-agnostic.
+        - Cluster note (r10): pass ``filesystem`` — a
+          ``pyarrow.fs.FileSystem`` (S3FileSystem, HadoopFileSystem,
+          a PyFileSystem-wrapped fsspec, ...) — and both the driver's
+          footer reads and the executors' row-group reads go through it
+          (pyarrow filesystems pickle into the task closures).  Listing
+          then uses the filesystem's own recursive selector.  Without
+          it, paths are local.
         """
         import pyarrow.parquet as pq_mod
 
         cols = list(cols)
-        files = list_parquet_files(path)
+        files = (
+            list_parquet_files(path)
+            if filesystem is None
+            else _list_parquet_files_fs(filesystem, path)
+        )
         units: list[tuple[str, int, int]] = []
         for f in files:
-            md = pq_mod.ParquetFile(f)
+            md = pq_mod.ParquetFile(f, filesystem=filesystem)
             missing = [c for c in cols if c not in md.schema_arrow.names]
             if missing:
                 raise ValueError(
@@ -363,7 +398,9 @@ class PackedMatrix:
             for chunk in it:
                 parts: dict[str, list[np.ndarray]] = {c: [] for c in cols}
                 for f, rg, _ in chunk:
-                    tbl = _pq.ParquetFile(f).read_row_group(rg, columns=cols)
+                    tbl = _pq.ParquetFile(f, filesystem=filesystem).read_row_group(
+                        rg, columns=cols
+                    )
                     for c in cols:
                         parts[c].append(
                             tbl.column(c)

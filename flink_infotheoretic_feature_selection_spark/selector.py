@@ -260,7 +260,7 @@ class InfoThSelector:
         finally:
             matrix.unpersist()
 
-    def fit_parquet(self, spark, path: str) -> InfoThSelectorModel:
+    def fit_parquet(self, spark, path: str, filesystem=None) -> InfoThSelectorModel:
         """Fit straight from a MATERIALIZED parquet feature matrix via
         the direct row-group pack (``PackedMatrix.pack_parquet``) —
         skips the DataFrame scan's JVM row round-trip, the dominant
@@ -271,13 +271,17 @@ class InfoThSelector:
         hold the final feature values (no Catalyst expressions are
         applied; derive-then-write first if your features are computed).
         ``feature_cols`` defaults to the parquet schema order minus
-        ``label_col``."""
+        ``label_col``.  ``filesystem`` (r10) — an optional
+        ``pyarrow.fs.FileSystem`` for non-local storage (S3, HDFS, a
+        wrapped fsspec); footer reads and executor row-group reads both
+        go through it."""
         import time
 
         import pyarrow.parquet as pq_mod
 
         from flink_infotheoretic_feature_selection_spark.operators.packed import (
             PackedMatrix,
+            _list_parquet_files_fs,
             list_parquet_files,
         )
 
@@ -287,8 +291,12 @@ class InfoThSelector:
         # an empty directory (r10, advisor find: the old sorted(glob)[0]
         # raised a bare IndexError first) and resolves nested /
         # Spark-partitioned layouts recursively
-        first = list_parquet_files(path)[0]
-        schema_names = pq_mod.ParquetFile(first).schema_arrow.names
+        first = (
+            list_parquet_files(path)
+            if filesystem is None
+            else _list_parquet_files_fs(filesystem, path)
+        )[0]
+        schema_names = pq_mod.ParquetFile(first, filesystem=filesystem).schema_arrow.names
         feats = self.feature_cols or [c for c in schema_names if c != self.label_col]
         if self.n_to_select > len(feats):
             raise ValueError(
@@ -300,6 +308,7 @@ class InfoThSelector:
         packed = PackedMatrix.pack_parquet(
             spark, path, feats + [label],
             rows_per_partition=self.LOOP_ROWS_PER_PARTITION,
+            filesystem=filesystem,
         )
         timings["pack_sec"] = round(time.perf_counter() - t0, 3)
         return self._fit_from_packed(packed, feats, label, timings)
