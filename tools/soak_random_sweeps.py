@@ -83,8 +83,10 @@ def main() -> int:
         # criterion (all five update algebras) x pack route by seed
         _crit = ("mrmr", "cmim", "jmi", "icap", "mifs")[s % 5]
         _route = ("scan", "auto")[s % 2]
+        # NOTE: the lane name becomes the tmp DIRECTORY name — keep it
+        # glob-safe (no brackets: Hadoop's path globber rejects `[`)
         jobs.append((
-            f"wide_matrix[{_crit}/{_route}]", s,
+            f"wide_matrix.{_crit}.{_route}", s,
             lambda d, s=s, c=_crit, r=_route:
             wide.test_wide_selection_cross_engine_on_random_matrix(spark, d, s, c, r),
         ))
