@@ -402,10 +402,14 @@ class PackedMatrix:
                         rg, columns=cols
                     )
                     for c in cols:
+                        # ChunkedArray.to_numpy directly: combine_chunks
+                        # first COPIES the column even when it is a
+                        # single chunk (measured 50× the conversion cost
+                        # at 632 columns, BASELINE r10); to_numpy handles
+                        # multi-chunk and keeps the identical NULL →
+                        # float64-NaN promotion the dims contract sees
                         parts[c].append(
-                            tbl.column(c)
-                            .combine_chunks()
-                            .to_numpy(zero_copy_only=False)
+                            tbl.column(c).to_numpy(zero_copy_only=False)
                         )
                 yield {
                     c: _compact(v[0] if len(v) == 1 else np.concatenate(v))
