@@ -824,16 +824,18 @@ class PackedSparse:
                 raise ValueError("sparse histogram indices must be >= 0")
             _, inv = np.unique(cols["row_id"], return_inverse=True)
             order = np.argsort(feat, kind="stable")
-            # int32 cell arrays: halves the block bytes the persisted RDD
-            # re-deserializes on EVERY job (the per-job floor) — x/y are
-            # byte-ranged by contract (the >=0 check above and the
-            # caller's dim>256 check run on these stored values, so a
-            # wild cell still errors, int32 can't overflow on [0, 2^31)),
-            # local row index is < 2^31 rows per partition by construction
+            # Compact cell arrays: x/y are byte-ranged by contract, so
+            # _compact stores them uint8 (r10 — was int32; the persisted
+            # RDD re-deserializes every block on EVERY job, so cell
+            # bytes are the per-job floor).  Same no-silent-wrap rule as
+            # the dense blocks: out-of-range values keep a preserving
+            # dtype so the executor-side dim>256 guard in the histogram
+            # partials still sees the real value.  Local row index stays
+            # int32 (< 2^31 rows per partition by construction).
             blk = {
                 "ptr": np.searchsorted(feat[order], np.arange(nf + 1)),
-                "x": x[order].astype(np.int32),
-                "y": y[order].astype(np.int32),
+                "x": _compact(x[order].astype(np.int32)),
+                "y": _compact(y[order].astype(np.int32)),
                 "row": inv[order].astype(np.int32),
                 "nrows": int(inv.max()) + 1 if inv.size else 0,
             }
