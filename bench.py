@@ -323,6 +323,14 @@ def main() -> None:
     # measures what a user actually gets from fit(); its r9 twin (the
     # pinned scan pack) moves to b16s so the substrate regression signal
     # survives the default change.
+    # One UNTIMED warmup first: the first wide fit in the process pays
+    # one-time JIT/GC/plan machinery that min-of-3 does not fully decay
+    # (measured r10: the first-positioned wide bench reads ~1.5 s above
+    # the same code re-run later) — without it the route comparison
+    # b16 vs b16s vs b16c mostly measures position, not route.
+    InfoThSelector(
+        n_to_select=2, criterion="mrmr", feature_cols=wide_feats, emit_f32=False
+    ).fit(wide_df)
     def b16():
         m = InfoThSelector(
             n_to_select=10, criterion="mrmr", feature_cols=wide_feats, emit_f32=False
