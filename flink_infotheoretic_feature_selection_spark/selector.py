@@ -358,21 +358,27 @@ class InfoThSelector:
                         "or fit_parquet on the materialized path"
                     )
             else:
+                timings: dict = {"pack_route": "direct"}
+                t0 = time.perf_counter()
                 try:
-                    timings: dict = {"pack_route": "direct"}
-                    t0 = time.perf_counter()
                     packed = PackedMatrix.pack_parquet(
                         df.sparkSession, files, cols,
                         rows_per_partition=self.LOOP_ROWS_PER_PARTITION,
                     )
-                    timings["pack_sec"] = round(time.perf_counter() - t0, 3)
-                    return self._fit_from_packed(packed, feats, label, timings)
                 except ValueError:
                     if route == "direct":
                         raise
                     # footer-stage ineligibility (a file missing a column
                     # under mergeSchema, all-empty row groups) — the scan
-                    # and spill routes handle or re-diagnose these
+                    # route handles or re-diagnoses these.  The try wraps
+                    # ONLY the pack: a contract ValueError from the fit
+                    # itself (dims>256, byte-range validation) must
+                    # propagate, not silently re-run the fit on another
+                    # route (r10 self-review find)
+                    packed = None
+                if packed is not None:
+                    timings["pack_sec"] = round(time.perf_counter() - t0, 3)
+                    return self._fit_from_packed(packed, feats, label, timings)
         if route == "spill":
             return self._fit_spill(df, feats, label)
         timings = {"pack_route": "scan"}

@@ -390,3 +390,24 @@ def test_fit_parquet_through_pyarrow_filesystem(spark, tmp_path):
 
         (tmp_path / "void").mkdir()
         _list_parquet_files_fs(subfs, "void")
+
+
+def test_auto_route_propagates_contract_errors_without_reroute(spark, tmp_path):
+    # r10 self-review: the auto route's footer-ineligibility fallback
+    # must wrap ONLY the pack — a contract error from the fit itself
+    # (dim > 256) propagates once, not after a silent second fit on the
+    # scan route.  The wild value errors identically on every route, so
+    # the observable difference is doing the work twice; pin the message
+    # so the failure class keeps surfacing.
+    p = tmp_path / "wild.parquet"
+    pq.write_table(
+        pa.table(
+            {
+                "f0": pa.array(np.array([0, 1, 999], dtype=np.int32)),
+                "label": pa.array(np.array([0, 1, 0], dtype=np.int32)),
+            }
+        ),
+        str(p),
+    )
+    with pytest.raises(ValueError, match="exceed the byte range"):
+        _sel(k=1).fit(spark.read.parquet(str(p)))
