@@ -282,6 +282,11 @@ class PackedMatrix:
             src = src.repartition(n_partitions)
 
         def pack_batches(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+            # free the PREVIOUS task's retained Arrow buffers first:
+            # reused python workers otherwise keep ~one partition of
+            # decoded batches in the pool per worker (r10, see
+            # read_chunk's release note)
+            pa.default_memory_pool().release_unused()
             got = list(batches)
             if got:
                 blob = pickle.dumps(_block_of(got, cols), protocol=pickle.HIGHEST_PROTOCOL)
@@ -393,6 +398,7 @@ class PackedMatrix:
             chunks.append(cur)
 
         def read_chunk(it):
+            import pyarrow as _pa
             import pyarrow.parquet as _pq
 
             for chunk in it:
@@ -411,10 +417,19 @@ class PackedMatrix:
                         parts[c].append(
                             tbl.column(c).to_numpy(zero_copy_only=False)
                         )
-                yield {
+                out = {
                     c: _compact(v[0] if len(v) == 1 else np.concatenate(v))
                     for c, v in parts.items()
                 }
+                del parts, tbl
+                # Return retained decode buffers to the OS: long-lived
+                # REUSED python workers otherwise keep each unit's
+                # transient int32 table (~rows × cols × 4 B) in the
+                # pyarrow pool after the uint8 blocks are built — at
+                # 60M×631 / 32 workers that is tens of GB of dead RSS
+                # and it OOM-killed the single-box decade run (r10).
+                _pa.default_memory_pool().release_unused()
+                yield out
 
         sc = spark.sparkContext
         rdd = (

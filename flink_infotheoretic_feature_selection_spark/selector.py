@@ -448,22 +448,32 @@ class InfoThSelector:
             timings["stats_sec"] = round(time.perf_counter() - t0, 3)
             if n >= 2 * self.LOOP_ROWS_PER_PARTITION:
                 sc = packed.rdd.context
-                target = max(
-                    1,
-                    min(-(-n // self.LOOP_ROWS_PER_PARTITION), sc.defaultParallelism),
-                )
+                # ideal = the layout the loop's memory model is built on
+                # (~LOOP_ROWS_PER_PARTITION rows per block); the
+                # core-clamped target exists ONLY for the starved case
+                # (spread few huge blocks across the cores).
+                ideal = -(-n // self.LOOP_ROWS_PER_PARTITION)
+                target = max(1, min(ideal, sc.defaultParallelism))
                 cur = packed.n_partitions
                 # Re-layout only for GROSS mismatch: parallelism-starved
-                # (cur < half the target — e.g. one giant unsplit file)
-                # pays a one-time chunk shuffle; over-split (cur > 4× —
-                # e.g. a 100 TB scan's thousands of input splits) is a
-                # shuffle-free coalesce.  Near-target layouts (e.g. 26
-                # scan partitions for a 32-target) are NOT worth the
-                # re-layout cost — the blocks are the cache, and a
-                # reshuffle of the whole matrix buys <20% wave packing.
-                if cur < -(-target // 2) or cur > 4 * target:
+                # (cur < half the core-clamped target — e.g. one giant
+                # unsplit file) pays a one-time chunk shuffle; over-split
+                # (cur > 4× IDEAL — e.g. a 100 TB scan's millions of tiny
+                # input splits) is a shuffle-free coalesce DOWN TO IDEAL.
+                # The over-split test compares against IDEAL, never the
+                # core-clamped target: at 60M×631 the pack's 901
+                # right-sized blocks exceeded 4×32 cores and the old
+                # band coalesced them into 32 blocks of 1.9M rows /
+                # 1.2 GB each, whose concat OOM-killed the box — more
+                # partitions than cores is exactly how big data is
+                # supposed to look (r10 decade-run find).
+                if cur < -(-target // 2):
                     t0 = time.perf_counter()
                     packed = packed.rebalance(target, self.LOOP_ROWS_PER_PARTITION)
+                    timings["rebalance_sec"] = round(time.perf_counter() - t0, 3)
+                elif cur > 4 * ideal:
+                    t0 = time.perf_counter()
+                    packed = packed.rebalance(ideal, self.LOOP_ROWS_PER_PARTITION)
                     timings["rebalance_sec"] = round(time.perf_counter() - t0, 3)
             timings["loop_partitions"] = packed.n_partitions
             # matrix=None: with a packed substrate _fit_stages never

@@ -411,3 +411,44 @@ def test_auto_route_propagates_contract_errors_without_reroute(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="exceed the byte range"):
         _sel(k=1).fit(spark.read.parquet(str(p)))
+
+
+def test_rebalance_band_compares_oversplit_to_row_ideal(spark, tmp_path):
+    # r10 decade-run find: the over-split coalesce must target the
+    # ROW-COUNT-ideal layout (~rows_per_partition rows per block), never
+    # the core-clamped target — at 60Mx631 the old band coalesced 901
+    # right-sized blocks into 32 blocks of 1.9M rows whose concat
+    # OOM-killed the box.  Shrink the row target so a small fixture
+    # reproduces the decision geometry.
+    class TinySelector(InfoThSelector):
+        LOOP_ROWS_PER_PARTITION = 100
+
+    p = tmp_path / "m.parquet"
+    _write_matrix(p, n=4000, row_group_size=10)  # 400 row groups
+    df = spark.read.parquet(str(p))
+
+    # direct pack chains 10-row groups to ~100-row chunks -> ~40
+    # partitions = the ideal layout; with defaultParallelism >= 8 the
+    # old band saw 40 > 4*min(40, cores)? keep cores high: ideal=40,
+    # cur=40 -> NO rebalance either way (sanity)
+    m = TinySelector(n_to_select=2, emit_f32=False).fit(df)
+    assert m.fit_timings["pack_route"] == "direct"
+    assert "rebalance_sec" not in m.fit_timings
+    assert m.fit_timings["loop_partitions"] == 40
+
+    # grossly over-split: 400 single-group chunks (pack at 10-row
+    # target) -> the fit must coalesce DOWN TO IDEAL (40), not to the
+    # core count
+    from flink_infotheoretic_feature_selection_spark.operators.packed import PackedMatrix
+
+    packed = PackedMatrix.pack_parquet(
+        spark, str(p), ["f0", "label"], rows_per_partition=10
+    )
+    try:
+        assert packed.n_partitions == 400
+        sel = TinySelector(n_to_select=1, feature_cols=["f0"], emit_f32=False)
+        m2 = sel._fit_from_packed(packed, ["f0"], "label", {})
+        assert m2.fit_timings["loop_partitions"] == 40
+        assert "rebalance_sec" in m2.fit_timings
+    finally:
+        pass  # _fit_from_packed unpersists
