@@ -126,10 +126,11 @@ def _warn_if_spill_regime(spark, n_rows: int, n_cols: int) -> None:
         return
     logging.getLogger(__name__).warning(
         "packed matrix estimated at %.1f GiB exceeds the ~%.1f GiB "
-        "executor storage budget: blocks will spill and every greedy "
-        "iteration re-reads them from disk (measured 2.4x per-iteration "
-        "cost at 6Mx631/48g — BASELINE r9). Add executors/memory or "
-        "fit on a row subsample.",
+        "executor storage budget: blocks will spill to the executors' "
+        "disk store and every greedy iteration re-reads them (measured "
+        "~1.3x per-iteration cost at 60Mx631/48g when the OS page cache "
+        "absorbs the spill, worse on cold disks — BASELINE r10). Add "
+        "executors/memory or fit on a row subsample.",
         est / 2**30,
         budget / 2**30,
     )
