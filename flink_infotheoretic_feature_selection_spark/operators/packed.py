@@ -54,6 +54,17 @@ from pyspark.storagelevel import StorageLevel
 __all__ = ["PackedMatrix", "PackedSparse", "list_parquet_files"]
 
 
+def _is_hidden_relpath(rel: str) -> bool:
+    """True when any path component under the listing root starts with
+    ``_`` or ``.`` — Hadoop's hidden-file convention, which
+    ``spark.read.parquet`` applies.  Without it, files under e.g. a
+    leftover ``_temporary/`` from an aborted Spark write would be packed
+    as duplicate rows (r11, advisor find)."""
+    return any(
+        c.startswith(("_", ".")) for c in rel.replace("\\", "/").split("/") if c
+    )
+
+
 def list_parquet_files(path: str | list[str]) -> list[str]:
     """Resolve ``path`` (file / directory / explicit list) to a sorted
     list of parquet data files.
@@ -61,9 +72,12 @@ def list_parquet_files(path: str | list[str]) -> list[str]:
     Directories are walked RECURSIVELY so Spark-partitioned layouts
     (``key=val/part-*.parquet``) and nested dirs resolve like
     ``spark.read.parquet`` on the same path (r10, advisor find — the old
-    top-level glob rejected or silently skipped them).  Spark sidecar
-    files (``_SUCCESS``, ``.crc``, ``_metadata``) never match the
-    ``*.parquet`` suffix filter.  An empty result raises the clear
+    top-level glob rejected or silently skipped them).  Hidden paths
+    (any component starting with ``_`` or ``.`` below the root — e.g.
+    ``_temporary`` leftovers, ``_SUCCESS``, ``.crc`` sidecars) are
+    skipped exactly as Spark's Hadoop listing skips them (r11, advisor
+    find).  Explicit file lists are taken verbatim — the caller named
+    those files on purpose.  An empty result raises the clear
     input-validation error instead of a downstream IndexError."""
     import glob
     import os
@@ -72,7 +86,11 @@ def list_parquet_files(path: str | list[str]) -> list[str]:
         files = sorted(path)
     elif os.path.isdir(path):
         files = sorted(
-            glob.glob(os.path.join(glob.escape(path), "**", "*.parquet"), recursive=True)
+            f
+            for f in glob.glob(
+                os.path.join(glob.escape(path), "**", "*.parquet"), recursive=True
+            )
+            if not _is_hidden_relpath(os.path.relpath(f, path))
         )
     else:
         files = [path]
@@ -85,7 +103,9 @@ def _list_parquet_files_fs(filesystem, path: str | list[str]) -> list[str]:
     """Recursive ``*.parquet`` listing through a ``pyarrow.fs``
     FileSystem — the non-local twin of :func:`list_parquet_files`
     (object stores have no os.path; the filesystem's own selector
-    walks the prefix)."""
+    walks the prefix).  Applies the same Hadoop hidden-path filter
+    (``_``/``.``-prefixed components below the root) as the local
+    listing."""
     from pyarrow import fs as pafs
 
     if isinstance(path, (list, tuple)):
@@ -93,12 +113,15 @@ def _list_parquet_files_fs(filesystem, path: str | list[str]) -> list[str]:
     else:
         info = filesystem.get_file_info(path)
         if info.type == pafs.FileType.Directory:
+            root = path.rstrip("/")
             files = sorted(
                 f.path
                 for f in filesystem.get_file_info(
                     pafs.FileSelector(path, recursive=True)
                 )
-                if f.type == pafs.FileType.File and f.path.endswith(".parquet")
+                if f.type == pafs.FileType.File
+                and f.path.endswith(".parquet")
+                and not _is_hidden_relpath(f.path[len(root) :].lstrip("/"))
             )
         else:
             files = [path]
@@ -163,7 +186,10 @@ def _storage_budget_bytes(spark) -> int | None:
         master = sc.master or ""
         conf = sc.getConf()
         frac = float(conf.get("spark.memory.fraction", "0.6"))
-        if master.startswith("local["):
+        # bare "local" (one thread, no bracket) is still the single-JVM
+        # regime: budget from driver memory, not executor memory (r11,
+        # advisor find)
+        if master == "local" or master.startswith("local["):
             mem = _parse_mem_bytes(conf.get("spark.driver.memory", "1g"))
             n_exec = 1
         else:

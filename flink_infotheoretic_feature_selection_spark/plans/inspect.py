@@ -76,6 +76,12 @@ def bare_parquet_scan_files(df: DataFrame, cols: list[str]) -> list[str] | None:
     file list — the fallback routes are correct for everything.
     """
     try:
+        if not set(cols) <= set(df.columns):
+            # a column the frame's projection dropped may still exist in
+            # the files; the direct route must not read data from outside
+            # the user's frame (r11, advisor find) — let the scan route
+            # raise its usual unresolved-column error instead
+            return None
         node = df._jdf.queryExecution().optimizedPlan()
         while node.getClass().getSimpleName() == "Project":
             # ONE py4j call for the whole projectList: per-element

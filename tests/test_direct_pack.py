@@ -452,3 +452,94 @@ def test_rebalance_band_compares_oversplit_to_row_ideal(spark, tmp_path):
         assert "rebalance_sec" in m2.fit_timings
     finally:
         pass  # _fit_from_packed unpersists
+
+
+def test_list_parquet_files_skips_hidden_paths(tmp_path):
+    # advisor r11: Hadoop's hidden-path convention — files under
+    # '_'/'.'-prefixed components (e.g. _temporary leftovers from an
+    # aborted Spark write) must not be packed as duplicate rows
+    d = tmp_path / "tbl"
+    (d / "_temporary" / "0").mkdir(parents=True)
+    (d / ".stage").mkdir()
+    _write_matrix(d / "part-0.parquet", n=100)
+    _write_matrix(d / "_temporary" / "0" / "part-0.parquet", n=100)
+    _write_matrix(d / ".stage" / "part-1.parquet", n=100)
+    _write_matrix(d / "_hidden.parquet", n=100)
+    files = list_parquet_files(str(d))
+    assert [f.split("/")[-1] for f in files] == ["part-0.parquet"]
+    # explicit lists are verbatim — the caller named those files
+    explicit = [str(d / "_temporary" / "0" / "part-0.parquet")]
+    assert list_parquet_files(explicit) == explicit
+
+
+def test_list_parquet_files_fs_skips_hidden_paths(tmp_path):
+    from pyarrow import fs as pafs
+
+    from flink_infotheoretic_feature_selection_spark.operators.packed import (
+        _list_parquet_files_fs,
+    )
+
+    d = tmp_path / "tbl"
+    (d / "_temporary").mkdir(parents=True)
+    _write_matrix(d / "part-0.parquet", n=100)
+    _write_matrix(d / "_temporary" / "part-0.parquet", n=100)
+    subfs = pafs.SubTreeFileSystem(str(tmp_path), pafs.LocalFileSystem())
+    files = _list_parquet_files_fs(subfs, "tbl")
+    assert [f.split("/")[-1] for f in files] == ["part-0.parquet"]
+
+
+def test_hidden_temporary_dir_matches_spark_read(spark, tmp_path):
+    # end-to-end: fit_parquet over a dir with a _temporary leftover
+    # selects identically to fit over spark.read.parquet (which ignores
+    # the hidden dir)
+    d = tmp_path / "tbl"
+    (d / "_temporary").mkdir(parents=True)
+    _write_matrix(d / "part-0.parquet", n=2000)
+    _write_matrix(d / "_temporary" / "dup.parquet", n=2000)
+    via_direct = InfoThSelector(n_to_select=3, emit_f32=False).fit_parquet(
+        spark, str(d)
+    )
+    via_scan = InfoThSelector(n_to_select=3, emit_f32=False, pack_route="scan").fit(
+        spark.read.parquet(str(d))
+    )
+    assert via_direct.selection_path == via_scan.selection_path
+    assert via_direct.relevances == via_scan.relevances
+
+
+def test_bare_scan_probe_rejects_cols_outside_frame(spark, tmp_path):
+    # advisor r11: a column dropped by the frame's projection may still
+    # exist in the files — the probe must return None so the scan route
+    # raises its usual unresolved-column error instead of the direct
+    # route silently reading data from outside the user's frame
+    p = tmp_path / "m.parquet"
+    _write_matrix(p, n=200)
+    bare = spark.read.parquet(str(p)).select("f0", "label")
+    assert bare_parquet_scan_files(bare, ["f0", "label"])
+    assert bare_parquet_scan_files(bare, ["f1", "label"]) is None
+
+
+def test_storage_budget_bare_local_master(monkeypatch):
+    # advisor r11: bare 'local' master must budget from driver memory
+    from flink_infotheoretic_feature_selection_spark.operators.packed import (
+        _storage_budget_bytes,
+    )
+
+    class FakeConf:
+        def __init__(self, vals):
+            self.vals = vals
+
+        def get(self, k, d=None):
+            return self.vals.get(k, d)
+
+    class FakeSC:
+        master = "local"
+
+        def getConf(self):
+            return FakeConf(
+                {"spark.driver.memory": "8g", "spark.executor.memory": "1g"}
+            )
+
+    class FakeSpark:
+        sparkContext = FakeSC()
+
+    assert _storage_budget_bytes(FakeSpark()) == int(8 * 2**30 * 0.6)
