@@ -11,6 +11,14 @@ numbers under host load read up to 4-10x the warm isolated minimum
 "regressions" that judge re-measurement dissolved) — the minimum of
 three consecutive runs is the reproducible statistic, and it also
 absorbs first-run plan-compile noise (the b6 r4 false alarm).
+
+Self-adjudication fields (r11, VERDICT asks #1/#7): the JSON line also
+carries `queries_median` (same reps, median), `calibration_sec` (a fixed
+seeded single-threaded NumPy probe, min-of-3 — divide two rounds'
+calibration numbers to normalize away host contention), `loadavg`
+before/after, and `loop_iter_regression` (true when the sf0.1
+b4_mrmr_k10_loop_iter exceeds 1.5x the measured BASELINE floor — the one
+metric host load barely moves, hence the substrate tripwire).
 """
 
 from __future__ import annotations
@@ -49,20 +57,72 @@ def _min_of() -> int:
 MIN_OF = _min_of()
 
 
-def timed(fn, reps: int | None = None):
-    """min-of-N timing: returns (best_sec, last_result)."""
+# min-of-N per query (the headline, round-over-round comparable) plus the
+# per-query MEDIAN of the same reps (VERDICT r10 ask #1): when the host is
+# noisy the median inflates while the min holds, so the two together tell
+# host noise from a real regression without hand re-measurement.
+RESULTS: dict[str, float] = {}
+MEDIANS: dict[str, float] = {}
+
+
+def record(name: str, fn, reps: int | None = None):
+    """Time ``fn`` min-of-N into RESULTS[name] (+ median into
+    MEDIANS[name]); returns (best_sec, last_result) like `timed`."""
+    import statistics
+
     reps = MIN_OF if reps is None else reps
-    best, out = float("inf"), None
+    times, out = [], None
     for _ in range(max(1, reps)):
         t0 = time.perf_counter()
         out = fn()
-        best = min(best, time.perf_counter() - t0)
+        times.append(time.perf_counter() - t0)
+    best = min(times)
+    RESULTS[name] = round(best, 3)
+    MEDIANS[name] = round(statistics.median(times), 3)
     return best, out
 
 
+def calibration_probe(reps: int = 3) -> float:
+    """Fixed, seeded, single-threaded NumPy CPU probe (min-of-N sec).
+
+    VERDICT r10 ask #1: three rounds produced phantom wall-clock swings
+    (±25-40% on identical code) that only hand re-measurement dissolved —
+    the container's loadavg cannot see host neighbors.  This probe does a
+    CONSTANT amount of elementwise float work (elementwise NumPy kernels
+    are single-threaded, so BLAS thread-count differences can't skew it);
+    its min-of-N on this host class reads ~0.5 s idle (measured 2026-08-16) and inflates with
+    the same host contention that inflates the Spark queries.  The judge
+    normalizes round N vs round M by the calibration ratio instead of
+    guessing."""
+    import numpy as np
+
+    a0 = np.arange(4_000_000, dtype=np.float64) * 1e-7 + 0.1  # seeded, constant
+    best = float("inf")
+    for _ in range(max(1, reps)):
+        a = a0.copy()
+        t0 = time.perf_counter()
+        s = 0.0
+        for _i in range(48):
+            a = np.sqrt(a * 1.0000001 + 0.25)
+            s += float(a[::65536].sum())
+        best = min(best, time.perf_counter() - t0)
+        assert s == s  # keep the work observable
+    return best
+
+
+# BASELINE floor for b4_mrmr_k10_loop_iter at the sf0.1 / 32-feature shape
+# (r10 idle close measured 0.23-0.27 s/iter; driver/judge runs under host
+# load still read 0.29-0.32).  VERDICT r10 ask #7: per-iteration loop cost
+# is the one metric host load barely moves, so >1.5x the floor is a real
+# substrate regression, not noise.
+LOOP_ITER_FLOOR_SF01 = 0.23
+
+
 def main() -> None:
+    loadavg_before = list(os.getloadavg())
+    calibration_before = calibration_probe()
     spark = get_spark("bench", cpus=CPUS)
-    results: dict[str, float] = {}
+    results = RESULTS
 
     # B1 — matrix build + cache materialization.  Each rep re-does the
     # real work (unpersist -> persist -> count); without the reset,
@@ -75,8 +135,7 @@ def main() -> None:
         matrix.persist(StorageLevel.MEMORY_AND_DISK)
         return matrix.count()
 
-    t, n = timed(b1)
-    results["b1_cache_materialize"] = round(t, 3)
+    t, n = record("b1_cache_materialize", b1)
 
     # B2 — relevance init: dims + 2-D histograms + MI for all 32 features
     def b2():
@@ -89,22 +148,22 @@ def main() -> None:
         )
         return {c: mutual_info(h2[c], n) for c in FEATURE_NAMES}
 
-    t, _ = timed(b2)
-    results["b2_relevance_init"] = round(t, 3)
+    t, _ = record("b2_relevance_init", b2)
 
     # B3 — MIM top-k end-to-end fit (includes its own cache+count);
     # the fitted model is reused by B6 below (refitting it there added a
     # redundant untimed full fit to every run)
-    t, mim_model = timed(lambda: InfoThSelector(n_to_select=10, criterion="mim").fit(df))
-    results["b3_mim_k10"] = round(t, 3)
+    t, mim_model = record("b3_mim_k10", lambda: InfoThSelector(n_to_select=10, criterion="mim").fit(df))
 
     # B4 — mRMR fit at k ∈ {5, 10, 25}.  *_per_iter keeps its historical
     # wall/k meaning for round-over-round comparability; *_loop_iter is
     # the honest loop-only number from model.fit_timings (wall/k folds
     # the one-time pack/stats setup into "per-iteration").
     for k in (5, 10, 25):
-        t, m4 = timed(lambda k=k: InfoThSelector(n_to_select=k, criterion="mrmr").fit(df))
-        results[f"b4_mrmr_k{k}"] = round(t, 3)
+        t, m4 = record(
+            f"b4_mrmr_k{k}",
+            lambda k=k: InfoThSelector(n_to_select=k, criterion="mrmr").fit(df),
+        )
         results[f"b4_mrmr_k{k}_per_iter"] = round(t / k, 3)
         results[f"b4_mrmr_k{k}_loop_iter"] = round(
             m4.fit_timings["loop_sec"] / max(m4.fit_timings["iterations"], 1), 3
@@ -112,13 +171,11 @@ def main() -> None:
 
     # B5 — JMI / CMIM fit, k=10
     for crit in ("jmi", "cmim"):
-        t, _ = timed(lambda c=crit: InfoThSelector(n_to_select=10, criterion=c).fit(df))
-        results[f"b5_{crit}_k10"] = round(t, 3)
+        t, _ = record(f"b5_{crit}_k10", lambda c=crit: InfoThSelector(n_to_select=10, criterion=c).fit(df))
 
     # B6 — projection transform throughput (model from B3)
     model = mim_model
-    t, cnt = timed(lambda: model.transform(df).count())
-    results["b6_transform"] = round(t, 3)
+    t, cnt = record("b6_transform", lambda: model.transform(df).count())
     results["b6_transform_rows_per_sec"] = round(cnt / t) if t > 0 else -1
 
     # B7 — discretizer fit + transform over raw numerics
@@ -130,8 +187,7 @@ def main() -> None:
         ).fit(li)
         return m.transform(li).count()
 
-    t, _ = timed(b7)
-    results["b7_discretizer"] = round(t, 3)
+    t, _ = record("b7_discretizer", b7)
 
     # B13 — sparse long-format selection (implicit-zero path), k=3 over
     # the first 8 features of the matrix; runs with the other matrix-cache
@@ -147,8 +203,7 @@ def main() -> None:
         finally:
             base.unpersist()
 
-    t, _ = timed(b13)
-    results["b13_sparse_mrmr_k3"] = round(t, 3)
+    t, _ = record("b13_sparse_mrmr_k3", b13)
 
     # B8-B12 — extension operators (LLM-data-pipeline surface).
     # The matrix cache is dead weight from here on; drop it so the
@@ -165,134 +220,97 @@ def main() -> None:
         spark.catalog.clearCache()
         return dedup.minhash_lsh_pairs(spark, SF_DIR).count()
 
-    t, _ = timed(b8)
-    results["b8_minhash_lsh"] = round(t, 3)
+    t, _ = record("b8_minhash_lsh", b8)
     spark.catalog.clearCache()
 
-    t, _ = timed(lambda: dedup.simhash_pairs(spark, SF_DIR).count())
-    results["b8b_simhash_pairs"] = round(t, 3)
+    t, _ = record("b8b_simhash_pairs", lambda: dedup.simhash_pairs(spark, SF_DIR).count())
 
     # production 64-bit variant: same plan shape, desaturated buckets —
     # the wall-clock proof that b8b is output-volume-bound, not plan-bound
-    t, _ = timed(lambda: dedup.simhash64_pairs(spark, SF_DIR).count())
-    results["b8d_simhash64_pairs"] = round(t, 3)
+    t, _ = record("b8d_simhash64_pairs", lambda: dedup.simhash64_pairs(spark, SF_DIR).count())
 
     # linear-output grouped form (signature graph + union-find)
-    t, _ = timed(lambda: dedup.simhash64_components(spark, SF_DIR).count())
-    results["b8f_simhash64_components"] = round(t, 3)
+    t, _ = record("b8f_simhash64_components", lambda: dedup.simhash64_components(spark, SF_DIR).count())
 
     # Arrow-vectorized signature kernels (bit-identical to the gated
     # expression/SQL routes; forced agg so column pruning can't skip the
     # signature computation the way a bare count() would)
     from pyspark.sql import functions as _F
 
-    t, _ = timed(
-        lambda: dedup.simhash64_vectorized(spark, SF_DIR)
+    t, _ = record("b8g_simhash64_sig_vec", lambda: dedup.simhash64_vectorized(spark, SF_DIR)
         .agg(_F.sum(_F.expr("simhash64 % 1000")))
-        .collect()
-    )
-    results["b8g_simhash64_sig_vec"] = round(t, 3)
+        .collect())
 
-    t, _ = timed(
-        lambda: dedup.minhash_signatures_vectorized(spark, SF_DIR)
+    t, _ = record("b8h_minhash_sig_vec", lambda: dedup.minhash_signatures_vectorized(spark, SF_DIR)
         .agg(_F.sum("mh0"))
-        .collect()
-    )
-    results["b8h_minhash_sig_vec"] = round(t, 3)
+        .collect())
 
-    t, _ = timed(lambda: dedup.decontaminate_query(spark, SF_DIR).count())
-    results["b8c_decontaminate"] = round(t, 3)
+    t, _ = record("b8c_decontaminate", lambda: dedup.decontaminate_query(spark, SF_DIR).count())
 
     # incremental ingest check (10% batch vs 90% corpus, xxhash64
     # production default): output linear in the batch by construction
-    t, _ = timed(lambda: dedup.simhash64_incremental(spark, SF_DIR).count())
-    results["b8i_simhash64_incremental"] = round(t, 3)
+    t, _ = record("b8i_simhash64_incremental", lambda: dedup.simhash64_incremental(spark, SF_DIR).count())
 
     # character-level exact-substring pass (content-defined anchors)
-    t, _ = timed(lambda: dedup.substring_dup_spans(spark, SF_DIR).count())
-    results["b8e_substring_spans"] = round(t, 3)
+    t, _ = record("b8e_substring_spans", lambda: dedup.substring_dup_spans(spark, SF_DIR).count())
 
-    t, _ = timed(lambda: similarity.cosine_topk(spark, SF_DIR).count())
-    results["b9_cosine_topk"] = round(t, 3)
+    t, _ = record("b9_cosine_topk", lambda: similarity.cosine_topk(spark, SF_DIR).count())
 
-    t, _ = timed(lambda: similarity.ivf_multiprobe_topk(spark, SF_DIR).count())
-    results["b9b_ann_multiprobe"] = round(t, 3)
+    t, _ = record("b9b_ann_multiprobe", lambda: similarity.ivf_multiprobe_topk(spark, SF_DIR).count())
 
     # bucket-wise Arrow matmul kernel over the same probe geometry (the
     # large-corpus path; per-pair SQL fold is the gated/oracle form)
-    t, _ = timed(lambda: similarity.ivf_multiprobe_vectorized(spark, SF_DIR).count())
-    results["b9b2_ann_multiprobe_vec"] = round(t, 3)
+    t, _ = record("b9b2_ann_multiprobe_vec", lambda: similarity.ivf_multiprobe_vectorized(spark, SF_DIR).count())
 
     # int8-quantized IVF: same plan over 4x-smaller vectors
-    t, _ = timed(lambda: similarity.ivf_topk_q8(spark, SF_DIR).count())
-    results["b9c_ann_q8"] = round(t, 3)
+    t, _ = record("b9c_ann_q8", lambda: similarity.ivf_topk_q8(spark, SF_DIR).count())
 
     # learned-coarse-quantizer IVF (distributed k-means fit + probe search)
-    t, _ = timed(lambda: similarity.ivf_kmeans_topk(spark, SF_DIR).count())
-    results["b9d_ann_kmeans"] = round(t, 3)
+    t, _ = record("b9d_ann_kmeans", lambda: similarity.ivf_kmeans_topk(spark, SF_DIR).count())
 
     # frozen-quantizer IVF (the gate form: assignment + probes against
     # the fixture centroids, no fit in the query path)
-    t, _ = timed(lambda: similarity.ivf_kmeans_fixture_topk(spark, SF_DIR).count())
-    results["b9e_ann_kmeans_frozen"] = round(t, 3)
+    t, _ = record("b9e_ann_kmeans_frozen", lambda: similarity.ivf_kmeans_fixture_topk(spark, SF_DIR).count())
 
     # IVF-PQ: candidates scored from 4-bit codes + integer LUT sums,
     # corpus floats untouched after the encode pass
-    t, _ = timed(lambda: similarity.ann_ivf_pq_topk(spark, SF_DIR).count())
-    results["b9f_ann_ivf_pq"] = round(t, 3)
+    t, _ = record("b9f_ann_ivf_pq", lambda: similarity.ann_ivf_pq_topk(spark, SF_DIR).count())
 
     # bit-identical Arrow LUT-gather twin (4.6x at 1M vectors)
-    t, _ = timed(lambda: similarity.ann_ivf_pq_vectorized(spark, SF_DIR).count())
-    results["b9g_ann_ivf_pq_vec"] = round(t, 3)
+    t, _ = record("b9g_ann_ivf_pq_vec", lambda: similarity.ann_ivf_pq_vectorized(spark, SF_DIR).count())
 
-    t, _ = timed(lambda: text.text_stats(spark, SF_DIR).count())
-    results["b10_text_stats"] = round(t, 3)
+    t, _ = record("b10_text_stats", lambda: text.text_stats(spark, SF_DIR).count())
 
-    t, _ = timed(lambda: text.corpus_clean(spark, SF_DIR).count())
-    results["b10b_corpus_clean"] = round(t, 3)
+    t, _ = record("b10b_corpus_clean", lambda: text.corpus_clean(spark, SF_DIR).count())
 
     # corpus-trained bigram LM scoring (two count aggs + keyed join)
-    t, _ = timed(lambda: text.lm_score(spark, SF_DIR).count())
-    results["b10c_lm_score"] = round(t, 3)
+    t, _ = record("b10c_lm_score", lambda: text.lm_score(spark, SF_DIR).count())
 
-    t, _ = timed(
-        lambda: load_events(spark, SF_DIR)
+    t, _ = record("b11_events_window", lambda: load_events(spark, SF_DIR)
         .groupBy(F.window("ts", "1 day"), "event_type")
         .agg(F.count("*"), F.sum("value"))
-        .count()
-    )
-    results["b11_events_window"] = round(t, 3)
+        .count())
 
     from flink_infotheoretic_feature_selection_spark.operators import sessions
 
-    t, _ = timed(lambda: sessions.sessionize(load_events(spark, SF_DIR)).count())
-    results["b11b_sessionize"] = round(t, 3)
+    t, _ = record("b11b_sessionize", lambda: sessions.sessionize(load_events(spark, SF_DIR)).count())
 
-    t, _ = timed(
-        lambda: multimodal.extract_features(
+    t, _ = record("b12_media_features", lambda: multimodal.extract_features(
             multimodal.attach_media(spark.read.parquet(f"{SF_DIR}/documents.parquet"))
-        ).count()
-    )
-    results["b12_media_features"] = round(t, 3)
+        ).count())
 
     from flink_infotheoretic_feature_selection_spark.operators import temporal
 
-    t, _ = timed(lambda: temporal.asof_join_query(spark, SF_DIR).count())
-    results["b14_asof_join"] = round(t, 3)
-    t, _ = timed(lambda: temporal.range_join_query(spark, SF_DIR).count())
-    results["b14b_range_join"] = round(t, 3)
-    t, _ = timed(lambda: temporal.hypertable_rollup(spark, SF_DIR).count())
-    results["b14c_hypertable"] = round(t, 3)
+    t, _ = record("b14_asof_join", lambda: temporal.asof_join_query(spark, SF_DIR).count())
+    t, _ = record("b14b_range_join", lambda: temporal.range_join_query(spark, SF_DIR).count())
+    t, _ = record("b14c_hypertable", lambda: temporal.hypertable_rollup(spark, SF_DIR).count())
 
     from flink_infotheoretic_feature_selection_spark.operators import events as events_ops
     from flink_infotheoretic_feature_selection_spark.operators import pipeline as pipeline_ops
 
-    t, _ = timed(lambda: events_ops.funnel_conversion(spark, SF_DIR).count())
-    results["b15_funnel"] = round(t, 3)
-    t, _ = timed(lambda: text.token_mi_topk(spark, SF_DIR).count())
-    results["b15b_token_mi"] = round(t, 3)
-    t, _ = timed(lambda: pipeline_ops.pipeline_curate_split(spark, SF_DIR).count())
-    results["b15c_curate_split"] = round(t, 3)
+    t, _ = record("b15_funnel", lambda: events_ops.funnel_conversion(spark, SF_DIR).count())
+    t, _ = record("b15b_token_mi", lambda: text.token_mi_topk(spark, SF_DIR).count())
+    t, _ = record("b15c_curate_split", lambda: pipeline_ops.pipeline_curate_split(spark, SF_DIR).count())
 
     # B16 — the REFERENCE'S OWN default workload shape: 631 attributes ×
     # 8,192 rows (InfoSelectorTest.scala:102-105, ECBDL14 subsample),
@@ -339,8 +357,7 @@ def main() -> None:
         wide_models.append(m)
         return m
 
-    t, _ = timed(b16)
-    results["b16_wide_mrmr_k10"] = round(t, 3)
+    t, _ = record("b16_wide_mrmr_k10", b16)
     last = wide_models[-1]
     results["b16_wide_pack_per_iter"] = round(last.fit_timings["pack_sec"], 3)
     results["b16_wide_loop_per_iter"] = round(
@@ -355,8 +372,7 @@ def main() -> None:
         wide_models.append(m)
         return m
 
-    t, _ = timed(b16s)
-    results["b16s_wide_scan_mrmr_k10"] = round(t, 3)
+    t, _ = record("b16s_wide_scan_mrmr_k10", b16s)
     results["b16s_wide_scan_pack_per_iter"] = round(
         wide_models[-1].fit_timings["pack_sec"], 3
     )
@@ -373,14 +389,21 @@ def main() -> None:
         wide_models.append(m)
         return m
 
-    t, _ = timed(b16c)
-    results["b16c_wide_direct_mrmr_k10"] = round(t, 3)
+    t, _ = record("b16c_wide_direct_mrmr_k10", b16c)
     results["b16c_wide_direct_pack_per_iter"] = round(
         wide_models[-1].fit_timings["pack_sec"], 3
     )
     assert len({tuple(c for c, _ in m.selection_path) for m in wide_models}) == 1
 
     total = round(sum(v for k, v in results.items() if not k.endswith(("per_iter", "per_sec"))), 3)
+    # loud substrate-regression tripwire (VERDICT r10 ask #7): only
+    # meaningful at the sf0.1 shape the floor was measured on
+    loop_iter = results.get("b4_mrmr_k10_loop_iter")
+    loop_regressed = (
+        bool(loop_iter > 1.5 * LOOP_ITER_FLOOR_SF01)
+        if (SF == 0.1 and loop_iter is not None)
+        else None
+    )
     print(
         json.dumps(
             {
@@ -388,9 +411,18 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": results,
+                "queries_median": MEDIANS,
                 "sf": SF,
                 "cpus": N_CPUS,
                 "min_of": MIN_OF,
+                "calibration_sec": round(min(calibration_before, calibration_probe()), 3),
+                "calibration_sec_before": round(calibration_before, 3),
+                "loadavg": {
+                    "before": [round(x, 2) for x in loadavg_before],
+                    "after": [round(x, 2) for x in os.getloadavg()],
+                },
+                "loop_iter_regression": loop_regressed,
+                "loop_iter_floor": LOOP_ITER_FLOOR_SF01 if SF == 0.1 else None,
             }
         )
     )
