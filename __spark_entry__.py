@@ -1272,6 +1272,27 @@ def _q_selected_wide_direct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "step int, feat int, score double")
 
 
+def _q_selected_wide_jmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # I1 (wide, JMI — r11, VERDICT ask #6): the TWO-accumulator update
+    # (running redundancy sum + running conditional-redundancy sum,
+    # InfoThCriterion.scala:104-126) pinned by value at the 631-attribute
+    # width, and crossed with the DIRECT row-group pack substrate
+    # (fit_parquet) — a criterion x route cell no other gate covers
+    # (mrmr owns scan, cmim owns the auto router, direct owns mrmr).
+    feats = [f"f{j}" for j in range(_WIDE_GATE_NF)]
+    model = InfoThSelector(
+        n_to_select=_WIDE_GATE_K,
+        criterion="jmi",
+        feature_cols=feats,
+        emit_f32=False,
+    ).fit_parquet(spark, _staged_wide_matrix_path())
+    rows = [
+        (step, int(c[1:]), _q5(s))
+        for step, (c, s) in enumerate(model.selection_path)
+    ]
+    return spark.createDataFrame(rows, "step int, feat int, score double")
+
+
 def wide_selection_oracle_sql(
     path: str | None = None,
     nf: int | None = None,
@@ -2042,6 +2063,7 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r10: CMIM (max-update algebra) at width + the auto pack router
         # end-to-end (registry 78 -> 79)
         "selected_wide_cmim": _q_selected_wide_cmim,
+        "selected_wide_jmi": _q_selected_wide_jmi,
         # dedup / similarity / text / streaming extensions:
         "simhash64_incremental": _q_simhash64_incremental,
         "cross_source_overlap": profile_ops.cross_source_overlap,
@@ -2179,6 +2201,7 @@ def oracle_sql() -> dict[str, str]:
         "selected_wide_mrmr": wide_selection_oracle_sql(),
         "selected_wide_direct": wide_selection_oracle_sql(),
         "selected_wide_cmim": wide_selection_oracle_sql(criterion="cmim"),
+        "selected_wide_jmi": wide_selection_oracle_sql(criterion="jmi"),
         "simhash64_incremental": dedup.simhash64_incremental_oracle(),
         "source_token_cap": text.source_token_cap_oracle(),
         "epoch_shuffle": text.epoch_shuffle_oracle(),
