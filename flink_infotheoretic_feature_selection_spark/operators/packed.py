@@ -240,6 +240,29 @@ def _compact(a: np.ndarray) -> np.ndarray:
     return a
 
 
+def _col_to_numpy(col) -> np.ndarray:
+    """Arrow column (Array or ChunkedArray) → NumPy, zero-copy when safe.
+
+    Null-free integer columns view the Arrow data buffer directly
+    (``to_numpy(zero_copy_only=True)`` per chunk; multi-chunk concatenates
+    views with one vectorized memcpy) — ``ChunkedArray.to_numpy`` takes a
+    copying conversion path even for a single null-free chunk, and it was
+    0.51 s of the 0.67 s/unit pack decode at the 6M×631 shape (VERDICT
+    r10 ask #2).  Everything else falls back to
+    ``to_numpy(zero_copy_only=False)``, preserving the NULL → float64-NaN
+    promotion the dims/NULL contract depends on.  ``_compact`` copies the
+    view into the uint8/int16 block right after, so no Arrow buffer
+    outlives the decode unless the column genuinely needs its source
+    dtype."""
+    chunks = col.chunks if isinstance(col, pa.ChunkedArray) else [col]
+    if chunks and pa.types.is_integer(chunks[0].type) and all(
+        c.null_count == 0 for c in chunks
+    ):
+        views = [c.to_numpy(zero_copy_only=True) for c in chunks]
+        return views[0] if len(views) == 1 else np.concatenate(views)
+    return col.to_numpy(zero_copy_only=False)
+
+
 def _block_of(batches: list[pa.RecordBatch], cols: list[str]) -> dict[str, np.ndarray]:
     # resolve columns BY NAME from the batch schema, not by position:
     # pack feeds the scan's own column order through when possible (the
@@ -249,7 +272,7 @@ def _block_of(batches: list[pa.RecordBatch], cols: list[str]) -> dict[str, np.nd
     arrs: dict[str, np.ndarray] = {}
     for c in cols:
         i = idx[c]
-        chunks = [b.column(i).to_numpy(zero_copy_only=False) for b in batches]
+        chunks = [_col_to_numpy(b.column(i)) for b in batches]
         arrs[c] = _compact(chunks[0] if len(chunks) == 1 else np.concatenate(chunks))
     return arrs
 
@@ -435,15 +458,13 @@ class PackedMatrix:
                         rg, columns=cols
                     )
                     for c in cols:
-                        # ChunkedArray.to_numpy directly: combine_chunks
-                        # first COPIES the column even when it is a
-                        # single chunk (measured 50× the conversion cost
-                        # at 632 columns, BASELINE r10); to_numpy handles
-                        # multi-chunk and keeps the identical NULL →
-                        # float64-NaN promotion the dims contract sees
-                        parts[c].append(
-                            tbl.column(c).to_numpy(zero_copy_only=False)
-                        )
+                        # _col_to_numpy: zero-copy buffer view for the
+                        # null-free integer case (0.51 of 0.67 s/unit was
+                        # ChunkedArray.to_numpy's copying path — VERDICT
+                        # r10 ask #2), to_numpy fallback otherwise so the
+                        # NULL → float64-NaN promotion the dims contract
+                        # sees is unchanged
+                        parts[c].append(_col_to_numpy(tbl.column(c)))
                 out = {
                     c: _compact(v[0] if len(v) == 1 else np.concatenate(v))
                     for c, v in parts.items()
