@@ -2084,6 +2084,8 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_topk": text.tfidf_topk,
         "stratified_sample": text.stratified_sample,
         "pack_sequences": text.pack_sequences,
+        "tokenize_bpe": text.tokenize_bpe,
+        "pack_sequences_exact": text.pack_sequences_exact,
         "vocab_topk": text.vocab_topk,
         "chunk_documents": text.chunk_documents,
         "cosine_topk": similarity.cosine_topk,
@@ -2218,6 +2220,8 @@ def oracle_sql() -> dict[str, str]:
         "stratified_sample": text.STRATIFIED_SAMPLE_ORACLE,
         "corpus_rollup": text.CORPUS_ROLLUP_ORACLE,
         "pack_sequences": text.pack_sequences_oracle(),
+        "tokenize_bpe": text.tokenize_bpe_oracle(),
+        "pack_sequences_exact": text.pack_sequences_exact_oracle(),
         "vocab_topk": text.VOCAB_TOPK_ORACLE,
         "chunk_documents": text.CHUNK_DOCUMENTS_ORACLE,
         "cosine_topk": similarity.cosine_topk_oracle(),

@@ -286,6 +286,14 @@ def main() -> None:
     # corpus-trained bigram LM scoring (two count aggs + keyed join)
     t, _ = record("b10c_lm_score", lambda: text.lm_score(spark, SF_DIR).count())
 
+    # exact frozen-BPE tokenization (r11): SQL merge-chain gate route and
+    # the Arrow-batched production twin (word-cache amortized)
+    t, _ = record("b10d_tokenize_bpe", lambda: text.tokenize_bpe(spark, SF_DIR).count())
+    t, _ = record(
+        "b10e_tokenize_bpe_vec",
+        lambda: text.tokenize_bpe_vectorized(spark, SF_DIR).count(),
+    )
+
     t, _ = record("b11_events_window", lambda: load_events(spark, SF_DIR)
         .groupBy(F.window("ts", "1 day"), "event_type")
         .agg(F.count("*"), F.sum("value"))

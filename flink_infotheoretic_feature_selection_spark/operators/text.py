@@ -59,6 +59,12 @@ __all__ = [
     "source_token_cap_oracle",
     "epoch_shuffle",
     "epoch_shuffle_oracle",
+    "tokenize_bpe",
+    "tokenize_bpe_oracle",
+    "tokenize_bpe_vectorized",
+    "bpe_encode_word",
+    "pack_sequences_exact",
+    "pack_sequences_exact_oracle",
 ]
 
 STOPWORDS_EN = ("the", "a", "and", "of", "to", "in", "is")
@@ -276,13 +282,35 @@ def pack_tail_sql(src: str, budget: int = PACK_BUDGET, with_tok_before: bool = T
 
 
 def pack_sequences(
-    spark: SparkSession, sf_dir: str, budget: int = PACK_BUDGET, shards: int = PACK_SHARDS
+    spark: SparkSession,
+    sf_dir: str,
+    budget: int = PACK_BUDGET,
+    shards: int = PACK_SHARDS,
+    token_counts: DataFrame | None = None,
 ) -> DataFrame:
     """Assign every document to a (shard, training-sequence) slot under a
     token budget — the packing step that turns a cleaned corpus into
-    fixed-length training sequences."""
+    fixed-length training sequences.
+
+    ``token_counts`` (r11, VERDICT ask #3): a ``(doc_id, n_tokens)``
+    frame of EXACT tokenizer counts (e.g. from
+    :func:`tokenize_bpe_vectorized`) replaces the built-in whitespace
+    approximation; the shard hash and packing rule are unchanged, so
+    only the budget arithmetic differs.  With a broadcastable counts
+    frame the join is map-side; at corpus scale both sides hash-join on
+    doc_id before the one shard shuffle."""
     spark.read.parquet(f"{sf_dir}/documents.parquet").createOrReplaceTempView("documents")
-    return spark.sql(_pack_sql(duck=False, budget=budget, shards=shards))
+    if token_counts is None:
+        return spark.sql(_pack_sql(duck=False, budget=budget, shards=shards))
+    token_counts.createOrReplaceTempView("__pack_token_counts")
+    rh = rolling_hash_expr_spark("lower(trim(text))")
+    return spark.sql(f"""
+    WITH t AS (
+      SELECT d.doc_id, CAST(tc.n_tokens AS BIGINT) AS n_tokens,
+             {rh} % {shards} AS shard
+      FROM documents d JOIN __pack_token_counts tc ON d.doc_id = tc.doc_id),
+    {pack_tail_sql("t", budget)}
+    """)
 
 
 def pack_sequences_oracle(
@@ -1245,3 +1273,224 @@ def epoch_shuffle(
 
 def epoch_shuffle_oracle(seed: int = 1, shards: int = EPOCH_SHUFFLE_SHARDS) -> str:
     return _epoch_shuffle_sql(duck=True, seed=seed, shards=shards)
+
+
+# ---------------------------------------------------------------------------
+# Exact BPE tokenizer over a FROZEN merges fixture (r11, VERDICT ask #3)
+# ---------------------------------------------------------------------------
+# pack_sequences / source_token_cap / mixture_sample budget on whitespace or
+# pretoken counts — approximations.  A real pipeline packs on the counts of
+# the tokenizer it will train with.  fixtures/bpe_merges.json freezes a tiny
+# BPE merge table (tools/fit_bpe_merges.py, deterministic training on the
+# sf0.01 corpus), and BOTH engines replay the same merges:
+#
+# - SQL route (gated): per pretoken, chars joined as ' c1. c2. ...' (each
+#   token carries a LEADING space and a TRAILING '.' sentinel), then one
+#   replace(' u. v.' -> ' uv.') per merge IN RANK ORDER.  The leading space
+#   anchors the START of u (so ' s. t.' cannot match inside 'as'), the '.'
+#   anchors the END of v (so ' a. s.' cannot match ' a. st.' — the bug a
+#   leading-space-only encoding has), and because each token carries its
+#   OWN boundary chars, replace's non-overlapping scan still merges
+#   adjacent occurrences (' a. b. a. b.' -> ' ab. ab.').  '.' is safe:
+#   multi-symbol tokens are letter-only (below), and a punctuation
+#   pretoken is a single symbol that never appears inside a pattern.
+#   Rank-order application is equivalent to the
+#   canonical lowest-rank-first BPE loop: merging rank r can only create
+#   pairs trained AFTER r (any pair containing the new symbol postdates it),
+#   so no pair with rank < r ever appears once r is processed; and string
+#   replace's left-to-right non-overlapping scan is exactly BPE's
+#   leftmost-first merge of all occurrences.  The vectorized twin runs the
+#   canonical iterative algorithm, so the parity unit re-proves the
+#   equivalence on real data every run.
+# - Learned merges are letter-only by construction (only `[a-z]+` pretokens
+#   are multi-symbol), so the generated SQL never needs quote escaping.
+#
+# Scale: the SQL route is a narrow per-row map (no shuffle); the production
+# path is tokenize_bpe_vectorized — Arrow-batched with a per-batch word
+# cache (Zipf reuse makes cache hits the common case).
+
+def _load_bpe_fixture() -> dict:
+    import json
+    import os
+
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "fixtures",
+        "bpe_merges.json",
+    )
+    with open(path) as f:
+        return json.load(f)
+
+
+def _bpe_word_encode_expr(duck: bool, var: str = "w") -> str:
+    """Encoded-word expression: ``var`` (one pretoken) → ' t1 t2 ...'."""
+    merges = _load_bpe_fixture()["merges"]
+    expr = (
+        f"regexp_replace({var}, '(.)', ' \\1.', 'g')"
+        if duck
+        else f"regexp_replace({var}, '(.)', ' $1.')"
+    )
+    for u, v in merges:
+        expr = f"replace({expr}, ' {u}. {v}.', ' {u}{v}.')"
+    return expr
+
+
+def _bpe_joined_expr(duck: bool) -> str:
+    """Whole-document encoded token stream as ONE string (each token as
+    ``' tok.'`` — leading space, trailing sentinel), in pretoken order.
+    Exactly one space per token, and tokens never contain spaces, so the
+    count is ``length - length(without spaces)`` regardless of what the
+    tokens themselves are (a '.' punctuation token encodes as ' ..')."""
+    words = _BPE_DUCK if duck else _BPE
+    # coalesce: a NULL text must tokenize as the empty stream in BOTH
+    # engines (same reasoning as the rolling-hash NULL wrap above)
+    words = words.replace("lower(text)", "lower(coalesce(text, ''))")
+    enc = _bpe_word_encode_expr(duck)
+    if duck:
+        # coalesce: DuckDB's array_to_string is string_agg underneath, so
+        # an EMPTY pretoken list (empty/whitespace-only text) folds to
+        # NULL where Spark's array_join gives '' — found by the
+        # adversarial boundary unit
+        return f"coalesce(array_to_string(list_transform({words}, w -> {enc}), ''), '')"
+    return f"array_join(transform({words}, w -> {enc}), '')"
+
+
+def _tokenize_bpe_sql(duck: bool) -> str:
+    # nested select so the merge chain evaluates ONCE per row: Spark's
+    # CollapseProject declines to inline a non-cheap alias referenced
+    # three times (verified: one regexp_extract_all in the final plan vs
+    # three when the expression is written inline)
+    j = _bpe_joined_expr(duck)
+    return f"""
+    SELECT doc_id,
+           CAST(length(j) - length(replace(j, ' ', '')) AS INT)
+             AS n_bpe_exact,
+           md5(j) AS bpe_md5
+    FROM (SELECT doc_id, {j} AS j FROM documents)
+    """
+
+
+def tokenize_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact BPE token counts + token-stream fingerprint per document,
+    against the frozen merges fixture.  Pure SQL both dialects — the
+    value-gated source of truth for exact token budgets."""
+    spark.read.parquet(f"{sf_dir}/documents.parquet").createOrReplaceTempView("documents")
+    return spark.sql(_tokenize_bpe_sql(duck=False))
+
+
+def tokenize_bpe_oracle() -> str:
+    return _tokenize_bpe_sql(duck=True)
+
+
+def bpe_encode_word(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
+    """Canonical iterative BPE encode (lowest-rank pair first, all
+    occurrences leftmost-first) — deliberately a DIFFERENT algorithm from
+    the SQL route's rank-order replace chain, so their unit-pinned parity
+    re-proves the equivalence on real data."""
+    syms = list(word)
+    while len(syms) > 1:
+        best_rank, best = None, None
+        for i in range(len(syms) - 1):
+            r = ranks.get((syms[i], syms[i + 1]))
+            if r is not None and (best_rank is None or r < best_rank):
+                best_rank, best = r, (syms[i], syms[i + 1])
+        if best is None:
+            break
+        u, v = best
+        out, i = [], 0
+        while i < len(syms):
+            if i < len(syms) - 1 and syms[i] == u and syms[i + 1] == v:
+                out.append(u + v)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        syms = out
+    return syms
+
+
+def tokenize_bpe_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched production twin of :func:`tokenize_bpe`.
+
+    64 nested ``replace`` calls per pretoken is fine for a value gate but
+    is interpreted expression evaluation; the production path tokenizes
+    in Python over Arrow batches with a per-worker word→tokens cache
+    (natural-language word reuse is Zipfian, so encode work amortizes to
+    ~unique-words, not total words).  Output bit-identical to the SQL
+    route (parity unit, both the count and the md5)."""
+    import hashlib
+    import re as _re
+
+    fx = _load_bpe_fixture()
+    pat = fx["pretoken_regex"]
+    ranks = {tuple(m): i for i, m in enumerate(fx["merges"])}
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+
+    def batches(it):
+        import pyarrow as _pa
+
+        rx = _re.compile(pat)
+        cache: dict[str, str] = {}
+
+        def enc(w: str) -> str:
+            s = cache.get(w)
+            if s is None:
+                s = "".join(" " + t + "." for t in bpe_encode_word(w, ranks))
+                cache[w] = s
+            return s
+
+        for b in it:
+            ids = b.column(0).to_pylist()
+            texts = b.column(1).to_pylist()
+            ns, md5s = [], []
+            for t in texts:
+                joined = "".join(enc(w) for w in rx.findall((t or "").lower()))
+                ns.append(joined.count(" "))
+                md5s.append(hashlib.md5(joined.encode("utf-8")).hexdigest())
+            yield _pa.RecordBatch.from_arrays(
+                [
+                    _pa.array(ids, _pa.int64()),
+                    _pa.array(ns, _pa.int32()),
+                    _pa.array(md5s, _pa.string()),
+                ],
+                names=["doc_id", "n_bpe_exact", "bpe_md5"],
+            )
+
+    return docs.mapInArrow(
+        batches, "doc_id bigint, n_bpe_exact int, bpe_md5 string"
+    )
+
+
+def _pack_exact_sql(duck: bool, budget: int, shards: int) -> str:
+    """pack_sequences on EXACT frozen-BPE counts — same shard hash, same
+    pack_tail_sql rule, only the n_tokens definition changes."""
+    j = _bpe_joined_expr(duck)
+    rh = (
+        rolling_hash_expr_duckdb("lower(trim(text))")
+        if duck
+        else rolling_hash_expr_spark("lower(trim(text))")
+    )
+    return f"""
+    WITH t AS (
+      SELECT doc_id,
+             length(j) - length(replace(j, ' ', '')) AS n_tokens,
+             shard
+      FROM (SELECT doc_id, {j} AS j, {rh} % {shards} AS shard
+            FROM documents)),
+    {pack_tail_sql("t", budget)}
+    """
+
+
+def pack_sequences_exact(
+    spark: SparkSession, sf_dir: str, budget: int = PACK_BUDGET, shards: int = PACK_SHARDS
+) -> DataFrame:
+    """:func:`pack_sequences` budgeted on exact frozen-BPE token counts
+    (the form a real training pipeline packs with)."""
+    spark.read.parquet(f"{sf_dir}/documents.parquet").createOrReplaceTempView("documents")
+    return spark.sql(_pack_exact_sql(duck=False, budget=budget, shards=shards))
+
+
+def pack_sequences_exact_oracle(
+    budget: int = PACK_BUDGET, shards: int = PACK_SHARDS
+) -> str:
+    return _pack_exact_sql(duck=True, budget=budget, shards=shards)

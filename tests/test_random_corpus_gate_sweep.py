@@ -57,6 +57,11 @@ SWEEP_GATES = [
     "vocab_topk",
     "chunk_documents",
     "pack_sequences",
+    # frozen-BPE gates (r11): the merges fixture is corpus-independent
+    # (any text re-encodes against the same frozen table), so random
+    # corpora exercise the full merge chain + sentinel boundary encoding
+    "tokenize_bpe",
+    "pack_sequences_exact",
     "stratified_sample",
     "mixture_sample",
     "quality_quantile_filter",

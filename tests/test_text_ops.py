@@ -282,3 +282,106 @@ def test_curation_ops_cross_engine_on_random_corpora(spark, tmp_path):
         duck.close()
 
     check()
+
+
+# ---------------------------------------------------------------------------
+# Exact BPE tokenizer (r11, VERDICT ask #3)
+# ---------------------------------------------------------------------------
+
+def _bpe_ranks():
+    from flink_infotheoretic_feature_selection_spark.operators.text import _load_bpe_fixture
+
+    fx = _load_bpe_fixture()
+    return {tuple(m): i for i, m in enumerate(fx["merges"])}
+
+
+def test_bpe_encode_word_golden():
+    # GOLDEN-pinned encodings against the frozen sf0.01 merges fixture
+    # (like the simhash64 xxhash64 goldens): these fail loudly if the
+    # fixture or the encoder algebra ever drifts.  Hand-traceable:
+    # 'fast' -> (s,t) is rank 4, (a,s) rank 12 never applies afterwards
+    # because the canonical loop takes the LOWEST rank present first.
+    from flink_infotheoretic_feature_selection_spark.operators.text import bpe_encode_word
+
+    ranks = _bpe_ranks()
+    assert bpe_encode_word("fast", ranks) == ["f", "a", "st"]
+    assert bpe_encode_word("customer", ranks) == ["customer"]
+    assert bpe_encode_word("sorting", ranks) == ["s", "or", "t", "in", "g"]
+    assert bpe_encode_word("vectorized", ranks) == ["vector", "i", "z", "e", "d"]
+    assert bpe_encode_word("x", ranks) == ["x"]
+    assert bpe_encode_word("stst", ranks) == ["st", "st"]
+
+
+def test_bpe_sql_route_boundary_encoding(spark):
+    # the sentinel regression ('s' merge pattern matching inside 'st'
+    # etc.): adversarial single-word docs through the FULL SQL chain
+    # must equal the canonical iterative encoder
+    import duckdb
+
+    from flink_infotheoretic_feature_selection_spark.operators.text import (
+        _tokenize_bpe_sql,
+        bpe_encode_word,
+    )
+
+    words = ["fast", "stst", "asst", "aas", "sta", "keykey", "atat",
+             "valuevalue", "join", "joinjoin", "a", "", "x.y!z"]
+    ranks = _bpe_ranks()
+    import re
+    pat = re.compile(r"[a-z]+|[0-9]|[^a-z0-9\s]")
+
+    def expect(text):
+        toks = [t for w in pat.findall(text.lower()) for t in bpe_encode_word(w, ranks)]
+        return len(toks)
+
+    sdf = spark.createDataFrame(
+        [(i, w) for i, w in enumerate(words)], "doc_id long, text string"
+    )
+    sdf.createOrReplaceTempView("documents")
+    got = {r.doc_id: r.n_bpe_exact for r in spark.sql(_tokenize_bpe_sql(duck=False)).collect()}
+    for i, w in enumerate(words):
+        assert got[i] == expect(w), (w, got[i], expect(w))
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents AS SELECT * FROM (VALUES "
+                + ", ".join(f"({i}, '{w.replace(chr(39), chr(39)*2)}')" for i, w in enumerate(words))
+                + ") t(doc_id, text)")
+    for doc_id, n, _md5 in con.execute(_tokenize_bpe_sql(duck=True)).fetchall():
+        assert n == expect(words[doc_id]), (words[doc_id], n)
+
+
+def test_tokenize_bpe_three_route_parity(spark, sf_dir):
+    # SQL rank-order replace chain vs canonical iterative Arrow kernel:
+    # count AND md5 fingerprint bit-equal per doc (the equivalence
+    # theorem re-proved on real data)
+    from flink_infotheoretic_feature_selection_spark.operators.text import (
+        tokenize_bpe,
+        tokenize_bpe_vectorized,
+    )
+
+    a = {r.doc_id: (r.n_bpe_exact, r.bpe_md5) for r in tokenize_bpe(spark, sf_dir).collect()}
+    b = {r.doc_id: (r.n_bpe_exact, r.bpe_md5) for r in tokenize_bpe_vectorized(spark, sf_dir).collect()}
+    assert a == b and len(a) > 0
+
+
+def test_pack_sequences_token_counts_param_pins_exact_budgets(spark, sf_dir):
+    # the token_counts= twin must reproduce pack_sequences_exact (same
+    # shard hash, same packing rule, budgets on the EXACT counts), and
+    # the exact counts must actually differ from the whitespace
+    # approximation for some docs (else this pins nothing)
+    from flink_infotheoretic_feature_selection_spark.operators.text import (
+        pack_sequences_exact,
+        tokenize_bpe_vectorized,
+    )
+
+    exact = {r.doc_id: tuple(r) for r in pack_sequences_exact(spark, sf_dir).collect()}
+    tc = tokenize_bpe_vectorized(spark, sf_dir).selectExpr(
+        "doc_id", "n_bpe_exact AS n_tokens"
+    )
+    via_param = {
+        r.doc_id: tuple(r)
+        for r in pack_sequences(spark, sf_dir, token_counts=tc).collect()
+    }
+    assert exact == via_param
+    approx = {r.doc_id: tuple(r) for r in pack_sequences(spark, sf_dir).collect()}
+    assert any(exact[k][3] != approx[k][3] for k in exact), (
+        "exact BPE counts never differ from whitespace counts — fixture too weak"
+    )
