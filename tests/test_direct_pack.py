@@ -571,3 +571,54 @@ def test_col_to_numpy_zero_copy_and_null_promotion(tmp_path):
     rn = nullable.to_numpy(zero_copy_only=False)
     assert gn.dtype == np.float64 and np.isnan(gn).sum() == 1
     assert ((gn == rn) | (np.isnan(gn) & np.isnan(rn))).all()
+
+
+def test_fit_parquet_over_s3_protocol(spark, tmp_path):
+    # r11 (VERDICT ask #5): fit_parquet through pyarrow's REAL
+    # S3FileSystem against a local moto S3 endpoint — the full object-
+    # store path: driver footer reads, executor row-group reads through
+    # the pickled filesystem, recursive prefix listing, and the Hadoop
+    # hidden-path filter (a _temporary duplicate upload must be ignored).
+    pytest.importorskip("moto")
+    import io
+
+    import boto3
+    from moto.server import ThreadedMotoServer
+    from pyarrow import fs as pafs
+
+    p1, p2 = tmp_path / "a.parquet", tmp_path / "b.parquet"
+    _write_matrix(p1, n=1500, seed=21, row_group_size=400)
+    _write_matrix(p2, n=900, seed=22, row_group_size=250)
+
+    server = ThreadedMotoServer(port=0, verbose=False)
+    server.start()
+    try:
+        port = server._server.socket.getsockname()[1]
+        endpoint = f"http://127.0.0.1:{port}"
+        c = boto3.client(
+            "s3", endpoint_url=endpoint, aws_access_key_id="test",
+            aws_secret_access_key="test", region_name="us-east-1",
+        )
+        c.create_bucket(Bucket="bkt")
+        c.put_object(Bucket="bkt", Key="data/a.parquet", Body=p1.read_bytes())
+        c.put_object(Bucket="bkt", Key="data/nested/b.parquet", Body=p2.read_bytes())
+        # an aborted-write leftover: same bytes again under _temporary —
+        # packing it would duplicate rows and change the selection
+        c.put_object(
+            Bucket="bkt", Key="data/_temporary/a.parquet", Body=p1.read_bytes()
+        )
+        s3 = pafs.S3FileSystem(
+            endpoint_override=endpoint, access_key="test", secret_key="test",
+            region="us-east-1",
+        )
+
+        via_s3 = InfoThSelector(n_to_select=3, emit_f32=False).fit_parquet(
+            spark, "bkt/data", filesystem=s3
+        )
+    finally:
+        server.stop()
+    via_local = InfoThSelector(n_to_select=3, emit_f32=False, pack_route="scan").fit(
+        spark.read.parquet(str(p1), str(p2))
+    )
+    assert via_s3.selection_path == via_local.selection_path
+    assert via_s3.relevances == via_local.relevances
