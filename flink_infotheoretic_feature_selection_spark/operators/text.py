@@ -1199,12 +1199,39 @@ def _source_token_cap_sql(duck: bool, budget: int = SOURCE_TOKEN_BUDGET) -> str:
 
 
 def source_token_cap(
-    spark: SparkSession, sf_dir: str, budget: int = SOURCE_TOKEN_BUDGET
+    spark: SparkSession,
+    sf_dir: str,
+    budget: int = SOURCE_TOKEN_BUDGET,
+    token_counts: DataFrame | None = None,
 ) -> DataFrame:
     """Deterministic per-source token cap: the surviving docs and their
-    position in the source's running token budget."""
+    position in the source's running token budget.
+
+    ``token_counts`` (r11, same contract as :func:`pack_sequences`): a
+    ``(doc_id, n_tokens)`` frame of EXACT tokenizer counts replaces the
+    whitespace approximation — priority hashes and the cumsum rule are
+    unchanged, so only which docs fit the budget can differ."""
     spark.read.parquet(f"{sf_dir}/documents.parquet").createOrReplaceTempView("documents")
-    return spark.sql(_source_token_cap_sql(duck=False, budget=budget))
+    if token_counts is None:
+        return spark.sql(_source_token_cap_sql(duck=False, budget=budget))
+    token_counts.createOrReplaceTempView("__cap_token_counts")
+    rh = rolling_hash_expr_spark("lower(trim(text))")
+    rh2 = rolling_hash_expr_spark("lower(trim(text))", mult=131)
+    return spark.sql(f"""
+    WITH pr AS (
+      SELECT d.doc_id, d.source, CAST(tc.n_tokens AS BIGINT) AS n_tokens,
+             {rh} AS prio, {rh2} AS prio2
+      FROM documents d JOIN __cap_token_counts tc ON d.doc_id = tc.doc_id),
+    c AS (
+      SELECT doc_id, source, n_tokens,
+             CAST(sum(n_tokens) OVER (PARTITION BY source
+                  ORDER BY prio, prio2, doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS cum_tokens
+      FROM pr)
+    SELECT doc_id, source, CAST(n_tokens AS INT) AS n_tokens, cum_tokens
+    FROM c WHERE cum_tokens <= {budget}
+    """)
 
 
 def source_token_cap_oracle(budget: int = SOURCE_TOKEN_BUDGET) -> str:

@@ -385,3 +385,52 @@ def test_pack_sequences_token_counts_param_pins_exact_budgets(spark, sf_dir):
     assert any(exact[k][3] != approx[k][3] for k in exact), (
         "exact BPE counts never differ from whitespace counts — fixture too weak"
     )
+
+
+def test_source_token_cap_token_counts_param(spark, sf_dir):
+    # exact-count twin for the domain cap (r11): same priority hashes and
+    # cumsum rule, budgets on the provided exact counts.  Verified by
+    # recomputing the expected survivor set from the approximate run's
+    # full ordering re-weighted with exact counts via a DuckDB replay.
+    import duckdb
+
+    from flink_infotheoretic_feature_selection_spark.operators.text import (
+        SOURCE_TOKEN_BUDGET,
+        source_token_cap,
+        tokenize_bpe_vectorized,
+    )
+
+    tc = tokenize_bpe_vectorized(spark, sf_dir).selectExpr(
+        "doc_id", "n_bpe_exact AS n_tokens"
+    )
+    got = {r.doc_id: (r.n_tokens, r.cum_tokens) for r in
+           source_token_cap(spark, sf_dir, token_counts=tc).collect()}
+
+    # independent replay: DuckDB computes the same cap over the exact
+    # counts exported from the Spark encoder
+    counts = {r.doc_id: r.n_tokens for r in tc.collect()}
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf_dir}/documents.parquet')")
+    con.execute("CREATE TABLE tc (doc_id BIGINT, n_tokens INT)")
+    con.executemany("INSERT INTO tc VALUES (?, ?)", list(counts.items()))
+    from flink_infotheoretic_feature_selection_spark.operators.text import (
+        rolling_hash_expr_duckdb,
+    )
+    rh = rolling_hash_expr_duckdb("lower(trim(text))")
+    rh2 = rolling_hash_expr_duckdb("lower(trim(text))", mult=131)
+    exp = {row[0]: (row[1], row[2]) for row in con.execute(f"""
+        WITH pr AS (
+          SELECT d.doc_id, d.source, CAST(t.n_tokens AS BIGINT) AS n_tokens,
+                 {rh} AS prio, {rh2} AS prio2
+          FROM documents d JOIN tc t USING (doc_id)),
+        c AS (
+          SELECT doc_id, n_tokens,
+                 CAST(sum(n_tokens) OVER (PARTITION BY source
+                      ORDER BY prio, prio2, doc_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                   AS cum_tokens
+          FROM pr)
+        SELECT doc_id, CAST(n_tokens AS INT), cum_tokens
+        FROM c WHERE cum_tokens <= {SOURCE_TOKEN_BUDGET}
+    """).fetchall()}
+    assert got == exp and len(got) > 0
