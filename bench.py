@@ -287,11 +287,19 @@ def main() -> None:
     t, _ = record("b10c_lm_score", lambda: text.lm_score(spark, SF_DIR).count())
 
     # exact frozen-BPE tokenization (r11): SQL merge-chain gate route and
-    # the Arrow-batched production twin (word-cache amortized)
-    t, _ = record("b10d_tokenize_bpe", lambda: text.tokenize_bpe(spark, SF_DIR).count())
+    # the Arrow-batched production twin (word-cache amortized).  Forced
+    # agg, NOT count(): Catalyst prunes the whole merge chain out of a
+    # bare count (measured 0.68 s "tokenizing" 500k docs — it was only
+    # scanning); same rule as the b8g/b8h signature benches.
+    t, _ = record(
+        "b10d_tokenize_bpe",
+        lambda: text.tokenize_bpe(spark, SF_DIR).agg(_F.sum("n_bpe_exact")).collect(),
+    )
     t, _ = record(
         "b10e_tokenize_bpe_vec",
-        lambda: text.tokenize_bpe_vectorized(spark, SF_DIR).count(),
+        lambda: text.tokenize_bpe_vectorized(spark, SF_DIR)
+        .agg(_F.sum("n_bpe_exact"))
+        .collect(),
     )
 
     t, _ = record("b11_events_window", lambda: load_events(spark, SF_DIR)
