@@ -247,6 +247,16 @@ def main() -> None:
 
     t, _ = record("b8c_decontaminate", lambda: dedup.decontaminate_query(spark, SF_DIR).count())
 
+    # Bloom-prefiltered twin (r11): identical output, bitmap broadcast +
+    # vectorized probe instead of a raw eval-shingle broadcast join
+    def b8c2():
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        ev = docs.where(_F.expr(dedup.DECONTAMINATE_EVAL_PRED))
+        tr = docs.where(~_F.expr(dedup.DECONTAMINATE_EVAL_PRED))
+        return dedup.decontaminate_bloom(tr, ev, mode="flag").count()
+
+    t, _ = record("b8c2_decontaminate_bloom", b8c2)
+
     # incremental ingest check (10% batch vs 90% corpus, xxhash64
     # production default): output linear in the batch by construction
     t, _ = record("b8i_simhash64_incremental", lambda: dedup.simhash64_incremental(spark, SF_DIR).count())

@@ -52,6 +52,7 @@ __all__ = [
     "doc_shingles",
     "doc_shingle_arrays",
     "decontaminate",
+    "decontaminate_bloom",
     "decontaminate_query",
     "EXACT_DEDUP_ORACLE",
     "jaccard_pairs_oracle",
@@ -389,6 +390,108 @@ def decontaminate(
 # Gate fixture: eval set = every 20th doc (deterministic 5% split of the
 # documents table), train = the rest; flag-mode output.
 DECONTAMINATE_EVAL_PRED = "doc_id % 20 = 0"
+
+
+def decontaminate_bloom(
+    train_docs: DataFrame,
+    eval_docs: DataFrame,
+    n: int = 3,
+    mode: str = "drop",
+    max_train_df: int | None = 1000,
+    bits_per_key: int = 16,
+    n_hashes: int = 7,
+) -> DataFrame:
+    """:func:`decontaminate` with a Bloom-filter pre-filter on the train
+    side — IDENTICAL output (false positives die in the exact join that
+    follows), different plan for when the eval shingle set is too large
+    to broadcast-hash-join raw.
+
+    The pattern Spark's own runtime row-group filters use, done at the
+    operator level: the eval shingles reduce to a ~``bits_per_key`` bits/
+    key bitmap (16 bits/key + 7 probes ≈ 0.04% FP rate) that broadcasts
+    in MBs where the raw shingle strings would be 10-100× that; the
+    100 TB train side is scanned once, each shingle pays two codegen
+    ``xxhash64`` calls (JVM side) plus ``n_hashes`` vectorized bitmap
+    probes in one Arrow batch UDF, and only survivors (true matches +
+    the FP trickle) reach the exact join/cap/aggregate — which stays
+    bit-identical to :func:`decontaminate` because the join removes FPs
+    and the df-cap window runs on the same matched set.
+
+    Build side: eval shingle (h1, h2) = (xxhash64(s), xxhash64(s, '2'))
+    pairs collect to the driver (16 B per DISTINCT eval shingle — eval
+    sets are benchmarks, bounded by construction; at 10M shingles that
+    is 160 MB, still driver-feasible, and the bitmap itself stays
+    ``m/8`` bytes).  Double hashing ``h1 + i*h2`` over a power-of-two
+    ``m`` (Kirsch-Mitzenmacher) gives the ``n_hashes`` probe positions;
+    uint64 wraparound is identical in the NumPy build and probe kernels
+    by construction (both ``view(uint64)`` the JVM's signed hashes).
+    """
+    import numpy as np
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import pandas_udf
+
+    if mode not in ("drop", "flag"):
+        raise ValueError(f"mode must be 'drop' or 'flag', got {mode!r}")
+    train_sh = doc_shingles(train_docs, n)
+    eval_sh = doc_shingles(eval_docs, n).select("shingle").distinct()
+
+    h_exprs = [
+        F.xxhash64(F.col("shingle")).alias("h1"),
+        F.xxhash64(F.col("shingle"), F.lit("2")).alias("h2"),
+    ]
+    pairs = eval_sh.select(*h_exprs).collect()
+    n_keys = max(len(pairs), 1)
+    m = 1 << max(int(n_keys * bits_per_key - 1).bit_length(), 6)
+    mask = np.uint64(m - 1)
+    h1 = np.array([r.h1 for r in pairs], dtype=np.int64).view(np.uint64)
+    h2 = np.array([r.h2 for r in pairs], dtype=np.int64).view(np.uint64)
+    bitmap = np.zeros(m >> 3, dtype=np.uint8)
+    for i in range(n_hashes):
+        idx = (h1 + np.uint64(i) * h2) & mask
+        np.bitwise_or.at(
+            bitmap,
+            (idx >> np.uint64(3)).astype(np.int64),
+            (np.uint8(1) << (idx & np.uint64(7)).astype(np.uint8)),
+        )
+
+    spark = train_docs.sparkSession
+    bc = spark.sparkContext.broadcast(bitmap)
+    k = n_hashes
+
+    @pandas_udf("boolean")
+    def might_contain(s1, s2):
+        import numpy as _np
+        import pandas as _pd
+
+        bm = bc.value
+        a = s1.to_numpy(dtype=_np.int64).view(_np.uint64)
+        b = s2.to_numpy(dtype=_np.int64).view(_np.uint64)
+        ok = _np.ones(len(a), dtype=bool)
+        for i in range(k):
+            idx = (a + _np.uint64(i) * b) & mask
+            ok &= (
+                (bm[(idx >> _np.uint64(3)).astype(_np.int64)]
+                 >> (idx & _np.uint64(7)).astype(_np.uint8))
+                & _np.uint8(1)
+            ).astype(bool)
+        return _pd.Series(ok)
+
+    candidates = (
+        train_sh.select("*", *h_exprs)
+        .where(might_contain(F.col("h1"), F.col("h2")))
+        .drop("h1", "h2")
+    )
+    # exact tail — same join/cap/agg as decontaminate(), FPs die here
+    matched = candidates.join(F.broadcast(eval_sh), "shingle")
+    if max_train_df is not None:
+        matched = matched.withColumn(
+            "__df", F.count("*").over(Window.partitionBy("shingle"))
+        ).where(F.col("__df") <= max_train_df)
+    hits = matched.groupBy("doc_id").agg(F.count("*").alias("n_hits"))
+    if mode == "flag":
+        return hits
+    return train_docs.join(hits, "doc_id", "left_anti")
 
 
 def decontaminate_query(

@@ -954,3 +954,48 @@ def test_simhash64_incremental_vectorized_matches_expression(spark):
         for r in simhash64_incremental(spark, SF_CORRECT, vectorized=True).collect()
     )
     assert a == b and len(a) > 0
+
+
+def test_decontaminate_bloom_identical_to_exact(spark, sf_dir):
+    # r11: the Bloom pre-filter must change the PLAN, never the answer —
+    # both modes bit-equal to the exact operator, and the filter must
+    # actually prune (survivor shingles well under the train total, but
+    # a superset of the true matches by Bloom's no-false-negatives law)
+    from pyspark.sql import functions as F
+
+    from flink_infotheoretic_feature_selection_spark.operators.dedup import (
+        DECONTAMINATE_EVAL_PRED,
+        decontaminate,
+        decontaminate_bloom,
+        doc_shingles,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ev = docs.where(F.expr(DECONTAMINATE_EVAL_PRED))
+    tr = docs.where(~F.expr(DECONTAMINATE_EVAL_PRED))
+
+    exact_flag = {(r.doc_id, r.n_hits) for r in decontaminate(tr, ev, mode="flag").collect()}
+    bloom_flag = {(r.doc_id, r.n_hits) for r in decontaminate_bloom(tr, ev, mode="flag").collect()}
+    assert exact_flag == bloom_flag and exact_flag
+
+    exact_drop = {r.doc_id for r in decontaminate(tr, ev, mode="drop").select("doc_id").collect()}
+    bloom_drop = {r.doc_id for r in decontaminate_bloom(tr, ev, mode="drop").select("doc_id").collect()}
+    assert exact_drop == bloom_drop
+
+    # FP-rate sanity on DISJOINT shingle sets: the bitmap built from the
+    # eval side must pass almost nothing from a train side that shares
+    # no shingles (16 bits/key, 7 probes -> ~4e-4 expected)
+    ev_sh = doc_shingles(ev).select("shingle").distinct()
+    tr_sh = doc_shingles(tr).select("shingle").distinct().join(ev_sh, "shingle", "left_anti")
+    n_disjoint = tr_sh.count()
+    survivors = decontaminate_bloom(
+        tr_sh.withColumnRenamed("shingle", "text").selectExpr(
+            "monotonically_increasing_id() AS doc_id", "text"
+        ),
+        ev,
+        n=3,
+        mode="flag",
+    )
+    # the disjoint corpus re-shingles its shingle strings, so just bound
+    # the flagged docs: with no true overlap everything flagged is FP
+    assert survivors.count() <= max(10, n_disjoint // 100)
