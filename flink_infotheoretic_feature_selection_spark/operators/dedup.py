@@ -440,12 +440,15 @@ def decontaminate_bloom(
         F.xxhash64(F.col("shingle")).alias("h1"),
         F.xxhash64(F.col("shingle"), F.lit("2")).alias("h2"),
     ]
-    pairs = eval_sh.select(*h_exprs).collect()
+    # Arrow collect, not Row collect: at millions of eval shingles the
+    # py4j Row path costs 10+ s where toPandas moves the two int64
+    # columns in one Arrow batch (measured r11, 2.8M keys)
+    pairs = eval_sh.select(*h_exprs).toPandas()
     n_keys = max(len(pairs), 1)
     m = 1 << max(int(n_keys * bits_per_key - 1).bit_length(), 6)
     mask = np.uint64(m - 1)
-    h1 = np.array([r.h1 for r in pairs], dtype=np.int64).view(np.uint64)
-    h2 = np.array([r.h2 for r in pairs], dtype=np.int64).view(np.uint64)
+    h1 = pairs["h1"].to_numpy(dtype=np.int64).view(np.uint64)
+    h2 = pairs["h2"].to_numpy(dtype=np.int64).view(np.uint64)
     bitmap = np.zeros(m >> 3, dtype=np.uint8)
     for i in range(n_hashes):
         idx = (h1 + np.uint64(i) * h2) & mask
