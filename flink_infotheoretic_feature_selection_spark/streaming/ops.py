@@ -41,6 +41,7 @@ __all__ = [
     "sessionize_stream",
     "stateful_user_stats",
     "stream_text_stats",
+    "stream_tokenize_bpe",
     "stream_ann_candidates",
     "stream_neardup_candidates",
     "stream_decontaminate",
@@ -135,6 +136,23 @@ def stream_text_stats(docs: DataFrame) -> DataFrame:
     return docs.selectExpr(*[
         e.strip() for e in _split_select(_stats_select(duck=False))
     ])
+
+
+def stream_tokenize_bpe(docs: DataFrame) -> DataFrame:
+    """Exact frozen-BPE tokenization over a document stream (r11) — the
+    merge chain is a stateless per-row expression, so the batch operator
+    (operators/text.py::_bpe_joined_expr, the SAME generated SQL the
+    gate verifies) carries to streaming unchanged: no state, no
+    watermark, scan-speed.  Stream-equals-batch pinned in
+    test_streaming.py."""
+    from flink_infotheoretic_feature_selection_spark.operators.text import _bpe_joined_expr
+
+    j = _bpe_joined_expr(duck=False)
+    return docs.selectExpr("doc_id", f"{j} AS __j").selectExpr(
+        "doc_id",
+        "CAST(length(__j) - length(replace(__j, ' ', '')) AS INT) AS n_bpe_exact",
+        "md5(__j) AS bpe_md5",
+    )
 
 
 def _split_select(select_list: str) -> list[str]:

@@ -696,3 +696,29 @@ def test_jsonl_landing_dir_ingest_composes_end_to_end(spark, sf_dir, tmp_path):
     }
     got = {r["doc_id"] for r in out.collect()}
     assert got == expect and len(got) > 0
+
+
+def test_stream_tokenize_bpe_matches_batch_gate(spark, sf_dir, tmp_path):
+    # r11: the streamed merge chain must equal the GATE's batch output
+    # exactly (count + md5 per doc) — stateless expression, same SQL
+    import shutil as _sh
+
+    from flink_infotheoretic_feature_selection_spark.operators.text import tokenize_bpe
+    from flink_infotheoretic_feature_selection_spark.streaming.ops import (
+        stream_tokenize_bpe,
+    )
+
+    docs_dir = tmp_path / "docs"
+    docs_dir.mkdir()
+    _sh.copy(f"{sf_dir}/documents.parquet", docs_dir / "part-0.parquet")
+    batch_docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    stream_docs = spark.readStream.schema(batch_docs.schema).parquet(str(docs_dir))
+
+    got = {
+        r.doc_id: (r.n_bpe_exact, r.bpe_md5)
+        for r in run_to_memory(stream_tokenize_bpe(stream_docs), "bpe_stream").collect()
+    }
+    expect = {
+        r.doc_id: (r.n_bpe_exact, r.bpe_md5) for r in tokenize_bpe(spark, sf_dir).collect()
+    }
+    assert got == expect and len(got) > 0
