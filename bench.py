@@ -421,7 +421,19 @@ def main() -> None:
     )
     assert len({tuple(c for c, _ in m.selection_path) for m in wide_models}) == 1
 
-    total = round(sum(v for k, v in results.items() if not k.endswith(("per_iter", "per_sec"))), 3)
+    # r11 review find: the old ("per_iter", "per_sec") filter let the
+    # derived b4_*_loop_iter quotients leak ~0.9 s of non-wall-clock
+    # values into the headline total.  Totals from r11 on are therefore
+    # structurally ~0.9 s lower; round-over-round comparisons should be
+    # recomputed from the queries dict anyway (BASELINE note).
+    total = round(
+        sum(
+            v
+            for k, v in results.items()
+            if not k.endswith(("per_iter", "per_sec", "loop_iter"))
+        ),
+        3,
+    )
     # loud substrate-regression tripwire (VERDICT r10 ask #7): only
     # meaningful at the sf0.1 shape the floor was measured on
     loop_iter = results.get("b4_mrmr_k10_loop_iter")

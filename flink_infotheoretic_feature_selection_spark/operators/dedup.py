@@ -434,7 +434,12 @@ def decontaminate_bloom(
     if mode not in ("drop", "flag"):
         raise ValueError(f"mode must be 'drop' or 'flag', got {mode!r}")
     train_sh = doc_shingles(train_docs, n)
-    eval_sh = doc_shingles(eval_docs, n).select("shingle").distinct()
+    # persist: the eval shingle pipeline feeds BOTH the bitmap build
+    # (toPandas below) and the exact-verify join — without the cache the
+    # explode+distinct runs twice (r11 review find).  The cache lives
+    # for the returned frame's lifetime; callers that loop this operator
+    # clear it like the bench clears minhash's shared shingle table.
+    eval_sh = doc_shingles(eval_docs, n).select("shingle").distinct().persist()
 
     h_exprs = [
         F.xxhash64(F.col("shingle")).alias("h1"),
@@ -485,8 +490,13 @@ def decontaminate_bloom(
         .where(might_contain(F.col("h1"), F.col("h2")))
         .drop("h1", "h2")
     )
-    # exact tail — same join/cap/agg as decontaminate(), FPs die here
-    matched = candidates.join(F.broadcast(eval_sh), "shingle")
+    # exact tail — same join/cap/agg as decontaminate(), FPs die here.
+    # NO broadcast hint (r11 review find: forcing it would re-ship the
+    # raw eval strings this operator exists to avoid shipping): after
+    # the bloom filter the candidate side is ~matches + the FP trickle,
+    # so AQE picks a broadcast only when the eval side is genuinely
+    # small and a shuffle join of two pruned sides otherwise.
+    matched = candidates.join(eval_sh, "shingle")
     if max_train_df is not None:
         matched = matched.withColumn(
             "__df", F.count("*").over(Window.partitionBy("shingle"))

@@ -231,13 +231,16 @@ def _compact(a: np.ndarray) -> np.ndarray:
     ``astype(np.int64)`` before any code product, so the narrower
     storage cannot overflow downstream math."""
     if a.dtype == np.uint8 or a.dtype.kind not in "iu" or a.size == 0:
-        return a
+        return a if a.dtype.kind not in "iu" or a.flags.writeable else a.copy()
     lo, hi = int(a.min()), int(a.max())
     if 0 <= lo and hi <= 255:
         return a.astype(np.uint8)
     if -(2**15) <= lo and hi < 2**15:
         return a.astype(np.int16)
-    return a
+    # pass-through can now receive a READ-ONLY zero-copy Arrow view
+    # (_col_to_numpy): copy it so blocks keep their historical writable
+    # contract and stop pinning the whole decoded table (r11 review)
+    return a if a.flags.writeable else a.copy()
 
 
 def _col_to_numpy(col) -> np.ndarray:

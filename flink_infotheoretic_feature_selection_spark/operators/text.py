@@ -298,17 +298,32 @@ def pack_sequences(
     approximation; the shard hash and packing rule are unchanged, so
     only the budget arithmetic differs.  With a broadcastable counts
     frame the join is map-side; at corpus scale both sides hash-join on
-    doc_id before the one shard shuffle."""
+    doc_id before the one shard shuffle.
+
+    Contract: the counts frame must cover EVERY doc (a missing doc_id
+    raises at execution — a silent inner join would drop docs from
+    packing, r11 review find) and must be unique per doc_id (a
+    duplicate would pack the doc twice and corrupt every later cumsum
+    in its shard; uniqueness is the caller's responsibility — checking
+    would cost an extra aggregate pass)."""
     spark.read.parquet(f"{sf_dir}/documents.parquet").createOrReplaceTempView("documents")
     if token_counts is None:
         return spark.sql(_pack_sql(duck=False, budget=budget, shards=shards))
     token_counts.createOrReplaceTempView("__pack_token_counts")
     rh = rolling_hash_expr_spark("lower(trim(text))")
+    # LEFT join + runtime assert (r11 review find): an inner join would
+    # SILENTLY drop every doc the counts frame misses — data loss a
+    # stale/partial counts table must not be able to cause.  Duplicate
+    # doc_ids in the counts frame remain the caller's contract (checking
+    # needs an extra aggregate); documented above.
     return spark.sql(f"""
     WITH t AS (
-      SELECT d.doc_id, CAST(tc.n_tokens AS BIGINT) AS n_tokens,
+      SELECT d.doc_id,
+             IF(tc.n_tokens IS NULL,
+                CAST(raise_error('token_counts is missing doc_ids present in documents') AS BIGINT),
+                CAST(tc.n_tokens AS BIGINT)) AS n_tokens,
              {rh} % {shards} AS shard
-      FROM documents d JOIN __pack_token_counts tc ON d.doc_id = tc.doc_id),
+      FROM documents d LEFT JOIN __pack_token_counts tc ON d.doc_id = tc.doc_id),
     {pack_tail_sql("t", budget)}
     """)
 
@@ -1146,7 +1161,9 @@ def quality_threshold_filter(
 SOURCE_TOKEN_BUDGET = 1_000  # tokens kept per source
 
 
-def _source_token_cap_sql(duck: bool, budget: int = SOURCE_TOKEN_BUDGET) -> str:
+def _source_token_cap_sql(
+    duck: bool, budget: int = SOURCE_TOKEN_BUDGET, pr_body: str | None = None
+) -> str:
     """Cap each source's contribution at ``budget`` tokens.
 
     The over-represented-domain guard every web-corpus pipeline runs
@@ -1181,11 +1198,15 @@ def _source_token_cap_sql(duck: bool, budget: int = SOURCE_TOKEN_BUDGET) -> str:
     # only as the final tiebreak for byte-identical texts, where either
     # survivor is the same content anyway.
     rh2 = expr("lower(trim(text))", mult=131)
-    return f"""
-    WITH pr AS (
+    pr_body = pr_body or f"""
       SELECT doc_id, source, {size}({tokens}) AS n_tokens,
              {rh} AS prio, {rh2} AS prio2
-      FROM documents),
+      FROM documents"""
+    # ONE copy of the window/budget tail (r11 review find: the
+    # token_counts variant used to duplicate it verbatim, so an ordering
+    # or cast fix could silently diverge the two forms)
+    return f"""
+    WITH pr AS ({pr_body}),
     c AS (
       SELECT doc_id, source, n_tokens,
              CAST(sum(n_tokens) OVER (PARTITION BY source
@@ -1217,21 +1238,17 @@ def source_token_cap(
     token_counts.createOrReplaceTempView("__cap_token_counts")
     rh = rolling_hash_expr_spark("lower(trim(text))")
     rh2 = rolling_hash_expr_spark("lower(trim(text))", mult=131)
-    return spark.sql(f"""
-    WITH pr AS (
-      SELECT d.doc_id, d.source, CAST(tc.n_tokens AS BIGINT) AS n_tokens,
+    # same LEFT-join + raise_error coverage contract as pack_sequences;
+    # the window/budget tail comes from _source_token_cap_sql so the two
+    # n_tokens sources can never diverge on the cap rule (r11 review)
+    pr_body = f"""
+      SELECT d.doc_id, d.source,
+             IF(tc.n_tokens IS NULL,
+                CAST(raise_error('token_counts is missing doc_ids present in documents') AS BIGINT),
+                CAST(tc.n_tokens AS BIGINT)) AS n_tokens,
              {rh} AS prio, {rh2} AS prio2
-      FROM documents d JOIN __cap_token_counts tc ON d.doc_id = tc.doc_id),
-    c AS (
-      SELECT doc_id, source, n_tokens,
-             CAST(sum(n_tokens) OVER (PARTITION BY source
-                  ORDER BY prio, prio2, doc_id
-                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
-               AS cum_tokens
-      FROM pr)
-    SELECT doc_id, source, CAST(n_tokens AS INT) AS n_tokens, cum_tokens
-    FROM c WHERE cum_tokens <= {budget}
-    """)
+      FROM documents d LEFT JOIN __cap_token_counts tc ON d.doc_id = tc.doc_id"""
+    return spark.sql(_source_token_cap_sql(duck=False, budget=budget, pr_body=pr_body))
 
 
 def source_token_cap_oracle(budget: int = SOURCE_TOKEN_BUDGET) -> str:
@@ -1336,7 +1353,14 @@ def epoch_shuffle_oracle(seed: int = 1, shards: int = EPOCH_SHUFFLE_SHARDS) -> s
 # path is tokenize_bpe_vectorized — Arrow-batched with a per-batch word
 # cache (Zipf reuse makes cache hits the common case).
 
+import functools
+
+
+@functools.lru_cache(maxsize=1)
 def _load_bpe_fixture() -> dict:
+    # lru_cache: the gate runner builds both dialects per gate and each
+    # build folds 64 merges — one JSON parse per process, not 2-4 per
+    # gate evaluation (r11 review find)
     import json
     import os
 
@@ -1456,7 +1480,15 @@ def tokenize_bpe_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
     def batches(it):
         import pyarrow as _pa
 
-        rx = _re.compile(pat)
+        # re.ASCII: Python's default \s is UNICODE (includes U+00A0 etc.)
+        # where Spark's Java regex \s is ASCII — without the flag the two
+        # routes pretokenize non-breaking-space text differently and the
+        # "bit-identical" contract breaks (r11 review find).  Residual
+        # cross-engine gap documented on the fixture regex: DuckDB's RE2
+        # \s excludes \x0B which Java/Python-ASCII include — no route
+        # here disagrees, only a \x0B-bearing corpus could show it
+        # against the DuckDB oracle.
+        rx = _re.compile(pat, _re.ASCII)
         cache: dict[str, str] = {}
 
         def enc(w: str) -> str:

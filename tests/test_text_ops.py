@@ -434,3 +434,45 @@ def test_source_token_cap_token_counts_param(spark, sf_dir):
         FROM c WHERE cum_tokens <= {SOURCE_TOKEN_BUDGET}
     """).fetchall()}
     assert got == exp and len(got) > 0
+
+
+def test_bpe_routes_agree_on_unicode_whitespace(spark):
+    # r11 review find: Python's default \s is Unicode (swallows U+00A0)
+    # where Spark's Java \s is ASCII — the vectorized route must
+    # pretokenize with re.ASCII so non-breaking-space text agrees
+    from flink_infotheoretic_feature_selection_spark.operators.text import (
+        _tokenize_bpe_sql,
+        tokenize_bpe_vectorized,
+    )
+
+    rows = [(0, "a b"), (1, "the fast fox"), (2, "x y")]
+    sdf = spark.createDataFrame(rows, "doc_id long, text string")
+    sdf.createOrReplaceTempView("documents")
+    via_sql = {r.doc_id: (r.n_bpe_exact, r.bpe_md5)
+               for r in spark.sql(_tokenize_bpe_sql(duck=False)).collect()}
+
+    import tempfile, os
+    d = tempfile.mkdtemp()
+    sdf.write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
+    via_vec = {r.doc_id: (r.n_bpe_exact, r.bpe_md5)
+               for r in tokenize_bpe_vectorized(spark, d).collect()}
+    assert via_sql == via_vec
+
+
+def test_pack_sequences_token_counts_coverage_raises(spark, sf_dir):
+    # r11 review find: a counts frame missing doc_ids must raise, not
+    # silently drop docs from packing
+    import pytest as _pytest
+
+    from flink_infotheoretic_feature_selection_spark.operators.text import (
+        source_token_cap,
+        tokenize_bpe_vectorized,
+    )
+
+    partial = tokenize_bpe_vectorized(spark, sf_dir).selectExpr(
+        "doc_id", "n_bpe_exact AS n_tokens"
+    ).where("doc_id % 2 = 0")
+    with _pytest.raises(Exception, match="token_counts is missing"):
+        pack_sequences(spark, sf_dir, token_counts=partial).collect()
+    with _pytest.raises(Exception, match="token_counts is missing"):
+        source_token_cap(spark, sf_dir, token_counts=partial).collect()
