@@ -12,12 +12,18 @@ numbers under host load read up to 4-10x the warm isolated minimum
 three consecutive runs is the reproducible statistic, and it also
 absorbs first-run plan-compile noise (the b6 r4 false alarm).
 
-Self-adjudication fields (r11, VERDICT asks #1/#7): the JSON line also
-carries `queries_median` (same reps, median), `calibration_sec` (a fixed
-seeded single-threaded NumPy probe, min-of-3 — divide two rounds'
-calibration numbers to normalize away host contention), `loadavg`
-before/after, and `loop_iter_regression` (true when the sf0.1
-b4_mrmr_k10_loop_iter exceeds 1.5x the measured BASELINE floor — the one
+Output structure (r12, VERDICT r11 ask #1 — r11's single line outgrew
+the driver's 2000-char tail capture and BENCH_r11 recorded parsed=null):
+TWO JSON lines.  The penultimate line (`metric: bench_full`, also
+written to BENCH_FULL.json next to this file) carries everything —
+queries, `queries_median` (same reps, median), derived per_iter/per_sec
+quotients, `calibration_sec` detail (a fixed seeded single-threaded
+NumPy probe, min-of-3 — divide two rounds' calibration numbers to
+normalize away host contention), `loadavg` before/after.  The FINAL
+line (`metric: bench_total`, what the driver parses) is bounded: the
+wall-clock queries dict (so value == sum(queries)), `calibration_sec`,
+`b4_mrmr_k10_loop_iter`, and `loop_iter_regression` (true when that
+sf0.1 loop_iter exceeds 1.5x the measured BASELINE floor — the one
 metric host load barely moves, hence the substrate tripwire).
 """
 
@@ -442,28 +448,68 @@ def main() -> None:
         if (SF == 0.1 and loop_iter is not None)
         else None
     )
-    print(
-        json.dumps(
-            {
-                "metric": "bench_total",
-                "value": total,
-                "unit": "sec",
-                "queries": results,
-                "queries_median": MEDIANS,
-                "sf": SF,
-                "cpus": N_CPUS,
-                "min_of": MIN_OF,
-                "calibration_sec": round(min(calibration_before, calibration_probe()), 3),
-                "calibration_sec_before": round(calibration_before, 3),
-                "loadavg": {
-                    "before": [round(x, 2) for x in loadavg_before],
-                    "after": [round(x, 2) for x in os.getloadavg()],
-                },
-                "loop_iter_regression": loop_regressed,
-                "loop_iter_floor": LOOP_ITER_FLOOR_SF01 if SF == 0.1 else None,
-            }
+    calibration_sec = round(min(calibration_before, calibration_probe()), 3)
+    # r12 (VERDICT r11 ask #1): the r11 single self-adjudicating line
+    # outgrew the driver's tail capture and BENCH_r11 recorded
+    # parsed=null.  From r12 on the FULL payload (queries + medians +
+    # calibration detail) goes to an EARLIER stdout line and to
+    # BENCH_FULL.json next to this file; the FINAL line is kept at the
+    # r10 size that the driver demonstrably parses — headline total,
+    # the spec-required per-query dict, and the three compact
+    # self-adjudication scalars.
+    full_payload = {
+        "metric": "bench_full",
+        "value": total,
+        "unit": "sec",
+        "queries": results,
+        "queries_median": MEDIANS,
+        "sf": SF,
+        "cpus": N_CPUS,
+        "min_of": MIN_OF,
+        "calibration_sec": calibration_sec,
+        "calibration_sec_before": round(calibration_before, 3),
+        "loadavg": {
+            "before": [round(x, 2) for x in loadavg_before],
+            "after": [round(x, 2) for x in os.getloadavg()],
+        },
+        "loop_iter_regression": loop_regressed,
+        "loop_iter_floor": LOOP_ITER_FLOOR_SF01 if SF == 0.1 else None,
+    }
+    full_line = json.dumps(full_payload)
+    print(full_line)
+    try:
+        import pathlib
+
+        (pathlib.Path(__file__).resolve().parent / "BENCH_FULL.json").write_text(
+            full_line + "\n"
         )
-    )
+    except OSError:
+        pass  # read-only mount etc. — the stdout line above still has it
+    # Final line: wall-clock queries only (the derived per_iter/per_sec/
+    # loop_iter quotients stay in the full payload) so `value` ==
+    # sum(queries on this line) and the line stays well under the
+    # 2000-char tail window with headroom for future queries.
+    headline = {
+        "metric": "bench_total",
+        "value": total,
+        "unit": "sec",
+        "queries": {
+            k: v
+            for k, v in results.items()
+            if not k.endswith(("per_iter", "per_sec", "loop_iter"))
+        },
+        "sf": SF,
+        "cpus": N_CPUS,
+        "min_of": MIN_OF,
+        "calibration_sec": calibration_sec,
+        "b4_mrmr_k10_loop_iter": loop_iter,
+        "loop_iter_regression": loop_regressed,
+    }
+    line = json.dumps(headline)
+    if len(line) > 1900:  # hard guard: never outgrow the tail capture again
+        headline["queries"] = {"see": "BENCH_FULL.json"}
+        line = json.dumps(headline)
+    print(line)
 
 
 if __name__ == "__main__":
