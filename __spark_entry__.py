@@ -1204,93 +1204,71 @@ def _q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.dedup_keep_best(spark, sf_dir, vectorized=False)
 
 
-def _q_selected_wide_mrmr(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # I1 (wide) — mRMR over 631 features; emit_f32=False so scores stay
-    # float64 end-to-end (same contract as the other selected_* gates).
-    # The select drops the oracle-only `rid` BEFORE fit so the input's
-    # column set equals feats+label — that is what arms the pack
-    # column-count fast path this gate exists to pin (with rid present,
-    # pack would take the ordinary select route instead).
+# r12 (VERDICT r11 ask #2): the four selected_wide_{mrmr,direct,cmim,jmi}
+# slots consolidate into ONE variant-column gate spanning ALL FIVE greedy
+# criteria at the 631-attribute width (the sessionize/asof_join precedent)
+# — icap/mifs at width previously rode only the randomized sweep's
+# deterministic rows.  Each criterion keeps a DESIGNATED pack route so
+# every substrate stays driver-pinned: mrmr→scan (the pinned scan pack),
+# cmim→auto (the r10 bare-scan router end-to-end), jmi→fit_parquet (the
+# direct row-group pack, the r11 two-accumulator × direct cell),
+# mifs→scan, icap→auto.  Registry 82 → 79: breaks the structural 82-gate
+# cap (18 core + 2×32 rotating) and frees 3 rotation slots.
+_WIDE_GATE_ROUTES: list[tuple[str, str]] = [
+    ("mrmr", "scan"),
+    ("mifs", "scan"),
+    ("jmi", "direct"),
+    ("cmim", "auto"),
+    ("icap", "auto"),
+]
+
+
+def _q_selected_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # I1 (wide) — every criterion over 631 features; emit_f32=False so
+    # scores stay float64 end-to-end (same contract as the other
+    # selected_* gates).  The select drops the oracle-only `rid` BEFORE
+    # fit so the input's column set equals feats+label — that is what
+    # arms the pack column-count fast path this gate exists to pin (with
+    # rid present, pack would take the ordinary select route instead).
     feats = [f"f{j}" for j in range(_WIDE_GATE_NF)]
-    df = spark.read.parquet(_staged_wide_matrix_path()).select(*feats, "label")
-    # pack_route="scan" (r10): the auto default now direct-packs bare
-    # scans — this slot exists to pin the SCAN-pack substrate, so pin
-    # the route (selected_wide_direct owns direct, selected_wide_cmim
-    # owns the auto router).
-    model = InfoThSelector(
-        n_to_select=_WIDE_GATE_K,
-        criterion="mrmr",
-        feature_cols=feats,
-        emit_f32=False,
-        pack_route="scan",
-    ).fit(df)
-    rows = [
-        (step, int(c[1:]), _q5(s))
-        for step, (c, s) in enumerate(model.selection_path)
+    path = _staged_wide_matrix_path()
+    rows = []
+    for crit, route in _WIDE_GATE_ROUTES:
+        sel = InfoThSelector(
+            n_to_select=_WIDE_GATE_K,
+            criterion=crit,
+            feature_cols=feats,
+            emit_f32=False,
+            **({"pack_route": route} if route != "direct" else {}),
+        )
+        if route == "direct":
+            # fit_parquet prunes to feats+label at the reader, so the
+            # oracle-only rid never packs
+            model = sel.fit_parquet(spark, path)
+        else:
+            # route == "auto" leaves the r10 router to detect the bare
+            # pruned scan and direct-pack it via
+            # plans.inspect.bare_parquet_scan_files
+            model = sel.fit(spark.read.parquet(path).select(*feats, "label"))
+        rows.extend(
+            (crit, step, int(c[1:]), _q5(s))
+            for step, (c, s) in enumerate(model.selection_path)
+        )
+    return spark.createDataFrame(
+        rows, "criterion string, step int, feat int, score double"
+    )
+
+
+def wide_selection_all_oracle_sql() -> str:
+    """UNION ALL of :func:`wide_selection_oracle_sql` over every greedy
+    criterion, tagged by a ``criterion`` column — the oracle twin of the
+    consolidated ``selected_wide`` gate."""
+    parts = [
+        f"SELECT CAST('{crit}' AS VARCHAR) AS criterion, step, feat, score\n"
+        f"FROM ({wide_selection_oracle_sql(criterion=crit)})"
+        for crit, _route in _WIDE_GATE_ROUTES
     ]
-    return spark.createDataFrame(rows, "step int, feat int, score double")
-
-
-def _q_selected_wide_cmim(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # I1 (wide, CMIM — r10, VERDICT ask #7): the max-update accumulator,
-    # the most divergence-prone criterion algebra, pinned by value at
-    # the 631-attribute width.  pack_route stays the "auto" default, so
-    # this gate ALSO drives the r10 router end-to-end (the pruned bare
-    # scan below direct-packs through plans.inspect.bare_parquet_scan_files).
-    feats = [f"f{j}" for j in range(_WIDE_GATE_NF)]
-    df = spark.read.parquet(_staged_wide_matrix_path()).select(*feats, "label")
-    model = InfoThSelector(
-        n_to_select=_WIDE_GATE_K,
-        criterion="cmim",
-        feature_cols=feats,
-        emit_f32=False,
-    ).fit(df)
-    rows = [
-        (step, int(c[1:]), _q5(s))
-        for step, (c, s) in enumerate(model.selection_path)
-    ]
-    return spark.createDataFrame(rows, "step int, feat int, score double")
-
-
-def _q_selected_wide_direct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Route twin of _q_selected_wide_mrmr through the r9 DIRECT
-    # row-group pack (InfoThSelector.fit_parquet) — same fixture, same
-    # oracle.  A driver row of its own so the direct substrate cannot
-    # silently drift from the scan route (fit_parquet prunes to
-    # feats+label at the reader, so the oracle-only rid never packs).
-    feats = [f"f{j}" for j in range(_WIDE_GATE_NF)]
-    model = InfoThSelector(
-        n_to_select=_WIDE_GATE_K,
-        criterion="mrmr",
-        feature_cols=feats,
-        emit_f32=False,
-    ).fit_parquet(spark, _staged_wide_matrix_path())
-    rows = [
-        (step, int(c[1:]), _q5(s))
-        for step, (c, s) in enumerate(model.selection_path)
-    ]
-    return spark.createDataFrame(rows, "step int, feat int, score double")
-
-
-def _q_selected_wide_jmi(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # I1 (wide, JMI — r11, VERDICT ask #6): the TWO-accumulator update
-    # (running redundancy sum + running conditional-redundancy sum,
-    # InfoThCriterion.scala:104-126) pinned by value at the 631-attribute
-    # width, and crossed with the DIRECT row-group pack substrate
-    # (fit_parquet) — a criterion x route cell no other gate covers
-    # (mrmr owns scan, cmim owns the auto router, direct owns mrmr).
-    feats = [f"f{j}" for j in range(_WIDE_GATE_NF)]
-    model = InfoThSelector(
-        n_to_select=_WIDE_GATE_K,
-        criterion="jmi",
-        feature_cols=feats,
-        emit_f32=False,
-    ).fit_parquet(spark, _staged_wide_matrix_path())
-    rows = [
-        (step, int(c[1:]), _q5(s))
-        for step, (c, s) in enumerate(model.selection_path)
-    ]
-    return spark.createDataFrame(rows, "step int, feat int, score double")
+    return "\nUNION ALL\n".join(parts)
 
 
 def wide_selection_oracle_sql(
@@ -1680,11 +1658,10 @@ def rotation_history(root: str | None = None) -> dict[int, dict]:
 # mapped through each gate's import closure; the r7 verdict's ask — the
 # hand-set under-promoted when a shared module rewrite touched ~17 gates).
 # Reset at each round start (r8: r7's stream_dedup entry reset).
-# r10 gate-body edits: selected_wide_mrmr pinned to pack_route="scan"
-# (the auto default would have silently switched its substrate to the
-# direct pack); selected_wide_direct's oracle generator gained the
-# criterion parameter (values unchanged, but the body text moved).
-ROTATION_PROMOTE = frozenset({"selected_wide_mrmr", "selected_wide_direct"})
+# r12 gate-body edits: selected_wide is the new consolidated
+# criterion-column gate (never green yet — tier 1 on its own, listed
+# for documentation).
+ROTATION_PROMOTE = frozenset({"selected_wide"})
 
 _PKG_NAME = "flink_infotheoretic_feature_selection_spark"
 
@@ -2055,15 +2032,11 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # staged fixtures (registry 74 -> 76, within the 2-round period)
         "libsvm_read": _q_libsvm_read,
         "scrub_pii": _q_scrub_pii,
-        # r9: wide-matrix (631-attribute) selection path pinned by value —
-        # registry 76 -> 78 with the direct-pack route twin, still within
-        # the 2-round rotation period
-        "selected_wide_mrmr": _q_selected_wide_mrmr,
-        "selected_wide_direct": _q_selected_wide_direct,
-        # r10: CMIM (max-update algebra) at width + the auto pack router
-        # end-to-end (registry 78 -> 79)
-        "selected_wide_cmim": _q_selected_wide_cmim,
-        "selected_wide_jmi": _q_selected_wide_jmi,
+        # r12 consolidation (VERDICT r11 ask #2): the r9-r11
+        # selected_wide_{mrmr,direct,cmim,jmi} slots union into ONE
+        # criterion-column gate covering all five criteria × designated
+        # pack routes at 631-attribute width (registry 82 -> 79)
+        "selected_wide": _q_selected_wide,
         # dedup / similarity / text / streaming extensions:
         "simhash64_incremental": _q_simhash64_incremental,
         "cross_source_overlap": profile_ops.cross_source_overlap,
@@ -2200,10 +2173,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash64_mining": _simhash64_mining_oracle(),
         "libsvm_read": _libsvm_read_oracle(),
         "scrub_pii": _scrub_pii_oracle(),
-        "selected_wide_mrmr": wide_selection_oracle_sql(),
-        "selected_wide_direct": wide_selection_oracle_sql(),
-        "selected_wide_cmim": wide_selection_oracle_sql(criterion="cmim"),
-        "selected_wide_jmi": wide_selection_oracle_sql(criterion="jmi"),
+        "selected_wide": wide_selection_all_oracle_sql(),
         "simhash64_incremental": dedup.simhash64_incremental_oracle(),
         "source_token_cap": text.source_token_cap_oracle(),
         "epoch_shuffle": text.epoch_shuffle_oracle(),
