@@ -656,6 +656,60 @@ def _q_stream_neardup_cands(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table("q_stream_neardup_cands")
 
 
+def _q_tokenize_bpe_both(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # r12 (VERDICT r11 ask #7): the tokenize_bpe gate grows a `variant`
+    # column — batch (the SQL merge chain, the value-gated source of
+    # truth) UNION the previously unit-only stream_tokenize_bpe route
+    # drained through a LIVE availableNow file stream.  The operator is
+    # stateless (no watermark/state), so both variants must hash-match
+    # the same DuckDB oracle; zero extra registry slots (the r11
+    # capacity note: 82 was the structural max before the r12 wide
+    # consolidation).
+    from flink_infotheoretic_feature_selection_spark.streaming import (
+        stream_tokenize_bpe,
+    )
+
+    batch = text.tokenize_bpe(spark, sf_dir).selectExpr(
+        "'batch' AS variant", "doc_id", "n_bpe_exact", "bpe_md5"
+    )
+
+    def stage(d: str) -> None:
+        spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+            "doc_id", "text"
+        ).write.mode("overwrite").parquet(d)
+
+    d = _staged_dir((sf_dir, "bpe_docs"), stage)
+    with _few_shuffle_partitions(spark):
+        stream = spark.readStream.schema("doc_id long, text string").parquet(d)
+        q = (
+            stream_tokenize_bpe(stream)
+            .writeStream.format("memory")
+            .queryName("q_stream_tokenize_bpe")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(_STREAM_BUDGET_MS // 1000):
+            q.stop()
+            raise RuntimeError("stream_tokenize_bpe did not finish in budget")
+    streamed = spark.table("q_stream_tokenize_bpe").selectExpr(
+        "'stream' AS variant", "doc_id", "n_bpe_exact", "bpe_md5"
+    )
+    return batch.unionByName(streamed)
+
+
+def tokenize_bpe_both_oracle() -> str:
+    """Oracle twin of :func:`_q_tokenize_bpe_both` — the SAME per-variant
+    DuckDB SQL unioned under the variant tag (the operator is stateless,
+    so stream must equal batch by value)."""
+    inner = text.tokenize_bpe_oracle()
+    return "\nUNION ALL\n".join(
+        f"SELECT CAST('{v}' AS VARCHAR) AS variant, doc_id, n_bpe_exact, bpe_md5\n"
+        f"FROM ({inner})"
+        for v in ("batch", "stream")
+    )
+
+
 def _q_stream_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Streaming decontamination flag set: train docs streamed against
     # the STATIC distinct eval shingle set; watermark-bounded per-doc
@@ -1660,8 +1714,8 @@ def rotation_history(root: str | None = None) -> dict[int, dict]:
 # Reset at each round start (r8: r7's stream_dedup entry reset).
 # r12 gate-body edits: selected_wide is the new consolidated
 # criterion-column gate (never green yet — tier 1 on its own, listed
-# for documentation).
-ROTATION_PROMOTE = frozenset({"selected_wide"})
+# for documentation); tokenize_bpe grew the batch/stream variant column.
+ROTATION_PROMOTE = frozenset({"selected_wide", "tokenize_bpe"})
 
 _PKG_NAME = "flink_infotheoretic_feature_selection_spark"
 
@@ -2057,7 +2111,9 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_topk": text.tfidf_topk,
         "stratified_sample": text.stratified_sample,
         "pack_sequences": text.pack_sequences,
-        "tokenize_bpe": text.tokenize_bpe,
+        # r12: variant-column gate — batch SQL route UNION the live
+        # availableNow stream route (stateless, shares the oracle SQL)
+        "tokenize_bpe": _q_tokenize_bpe_both,
         "pack_sequences_exact": text.pack_sequences_exact,
         "vocab_topk": text.vocab_topk,
         "chunk_documents": text.chunk_documents,
@@ -2190,7 +2246,7 @@ def oracle_sql() -> dict[str, str]:
         "stratified_sample": text.STRATIFIED_SAMPLE_ORACLE,
         "corpus_rollup": text.CORPUS_ROLLUP_ORACLE,
         "pack_sequences": text.pack_sequences_oracle(),
-        "tokenize_bpe": text.tokenize_bpe_oracle(),
+        "tokenize_bpe": tokenize_bpe_both_oracle(),
         "pack_sequences_exact": text.pack_sequences_exact_oracle(),
         "vocab_topk": text.VOCAB_TOPK_ORACLE,
         "chunk_documents": text.CHUNK_DOCUMENTS_ORACLE,

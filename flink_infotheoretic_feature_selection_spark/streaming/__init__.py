@@ -7,6 +7,7 @@ from flink_infotheoretic_feature_selection_spark.streaming.ops import (
     stateful_user_stats,
     stream_feature_histogram,
     stream_text_stats,
+    stream_tokenize_bpe,
     streaming_dedup,
     windowed_event_agg,
 )
@@ -20,6 +21,7 @@ __all__ = [
     "stateful_user_stats",
     "stream_feature_histogram",
     "stream_text_stats",
+    "stream_tokenize_bpe",
     "streaming_dedup",
     "windowed_event_agg",
 ]
