@@ -434,12 +434,21 @@ def decontaminate_bloom(
     if mode not in ("drop", "flag"):
         raise ValueError(f"mode must be 'drop' or 'flag', got {mode!r}")
     train_sh = doc_shingles(train_docs, n)
-    # persist: the eval shingle pipeline feeds BOTH the bitmap build
-    # (toPandas below) and the exact-verify join — without the cache the
-    # explode+distinct runs twice (r11 review find).  The cache lives
-    # for the returned frame's lifetime; callers that loop this operator
-    # clear it like the bench clears minhash's shared shingle table.
-    eval_sh = doc_shingles(eval_docs, n).select("shingle").distinct().persist()
+    # eager localCheckpoint, not persist: the eval shingle pipeline feeds
+    # BOTH the bitmap build (toPandas below) and the exact-verify join —
+    # without materialization the explode+distinct runs twice (r11 review
+    # find).  A persist() here leaked (r11 advisor): nothing unpersisted
+    # it, so looped callers (bench min-of-3, pipelines) accumulated cached
+    # RDDs for the session lifetime — cache-manager entries are keyed on
+    # the plan and never GC-reclaimed.  localCheckpoint blocks ARE
+    # context-cleaned when the returned frame is collected and dropped,
+    # and the eval side is bounded by construction (benchmarks).
+    eval_sh = (
+        doc_shingles(eval_docs, n)
+        .select("shingle")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
 
     h_exprs = [
         F.xxhash64(F.col("shingle")).alias("h1"),

@@ -81,8 +81,19 @@ _TOKENS = r"split(trim(text), '\\s+')"  # spark
 _TOKENS_DUCK = r"string_split_regex(trim(text), '\s+')"
 _WORDS = r"regexp_extract_all(lower(text), '[a-z]+', 0)"  # spark needs group idx
 _WORDS_DUCK = r"regexp_extract_all(lower(text), '[a-z]+')"
-_BPE = r"regexp_extract_all(lower(text), '[a-z]+|[0-9]|[^a-z0-9\\s]', 0)"
-_BPE_DUCK = r"regexp_extract_all(lower(text), '[a-z]+|[0-9]|[^a-z0-9\s]')"
+def _bpe_words_expr(duck: bool, col: str = "lower(text)") -> str:
+    """BPE pretoken list over ``col`` (letter runs, single digits, single
+    punctuation; whitespace never emits).  Parameterized on the input
+    expression (r11 advisor: the NULL-handling variant used to be patched
+    in via a string replace of the literal ``lower(text)`` — a silent
+    no-op if this expression were ever reworded)."""
+    if duck:
+        return rf"regexp_extract_all({col}, '[a-z]+|[0-9]|[^a-z0-9\s]')"
+    return rf"regexp_extract_all({col}, '[a-z]+|[0-9]|[^a-z0-9\\s]', 0)"
+
+
+_BPE = _bpe_words_expr(duck=False)
+_BPE_DUCK = _bpe_words_expr(duck=True)
 
 
 def _quality_expr(duck: bool) -> str:
@@ -300,30 +311,40 @@ def pack_sequences(
     frame the join is map-side; at corpus scale both sides hash-join on
     doc_id before the one shard shuffle.
 
-    Contract: the counts frame must cover EVERY doc (a missing doc_id
-    raises at execution — a silent inner join would drop docs from
-    packing, r11 review find) and must be unique per doc_id (a
-    duplicate would pack the doc twice and corrupt every later cumsum
-    in its shard; uniqueness is the caller's responsibility — checking
-    would cost an extra aggregate pass)."""
+    Contract: the counts frame must cover EVERY doc and be unique per
+    doc_id — BOTH violations raise at execution (r11 review + advisor: a
+    silent inner join would drop missed docs from packing; a silent
+    duplicate would pack a doc twice and corrupt every later cumsum in
+    its shard).  The dup check is a window on the counts side — the
+    small side of the join — not an extra pass over documents."""
     spark.read.parquet(f"{sf_dir}/documents.parquet").createOrReplaceTempView("documents")
     if token_counts is None:
         return spark.sql(_pack_sql(duck=False, budget=budget, shards=shards))
-    token_counts.createOrReplaceTempView("__pack_token_counts")
+    # project to exactly (doc_id, n_tokens) BEFORE registering the view
+    # (r11 advisor): a counts frame carrying extra columns (text, source —
+    # easy if a caller forgets to project the tokenizer output) would
+    # make the generated SQL's unqualified text reference ambiguous
+    token_counts.select("doc_id", "n_tokens").createOrReplaceTempView(
+        "__pack_token_counts"
+    )
     rh = rolling_hash_expr_spark("lower(trim(text))")
-    # LEFT join + runtime assert (r11 review find): an inner join would
+    # LEFT join + runtime raise (r11 review find): an inner join would
     # SILENTLY drop every doc the counts frame misses — data loss a
-    # stale/partial counts table must not be able to cause.  Duplicate
-    # doc_ids in the counts frame remain the caller's contract (checking
-    # needs an extra aggregate); documented above.
+    # stale/partial counts table must not be able to cause.
     return spark.sql(f"""
-    WITH t AS (
+    WITH tc AS (
+      SELECT doc_id, n_tokens,
+             count(*) OVER (PARTITION BY doc_id) AS __dup
+      FROM __pack_token_counts),
+    t AS (
       SELECT d.doc_id,
-             IF(tc.n_tokens IS NULL,
-                CAST(raise_error('token_counts is missing doc_ids present in documents') AS BIGINT),
-                CAST(tc.n_tokens AS BIGINT)) AS n_tokens,
+             CASE WHEN tc.n_tokens IS NULL THEN
+                    CAST(raise_error('token_counts is missing doc_ids present in documents') AS BIGINT)
+                  WHEN tc.__dup > 1 THEN
+                    CAST(raise_error('token_counts has duplicate doc_ids') AS BIGINT)
+                  ELSE CAST(tc.n_tokens AS BIGINT) END AS n_tokens,
              {rh} % {shards} AS shard
-      FROM documents d LEFT JOIN __pack_token_counts tc ON d.doc_id = tc.doc_id),
+      FROM documents d LEFT JOIN tc ON d.doc_id = tc.doc_id),
     {pack_tail_sql("t", budget)}
     """)
 
@@ -1235,19 +1256,29 @@ def source_token_cap(
     spark.read.parquet(f"{sf_dir}/documents.parquet").createOrReplaceTempView("documents")
     if token_counts is None:
         return spark.sql(_source_token_cap_sql(duck=False, budget=budget))
-    token_counts.createOrReplaceTempView("__cap_token_counts")
+    # same (doc_id, n_tokens) projection as pack_sequences (r11 advisor:
+    # extra columns on the counts frame would make the unqualified
+    # text/source references ambiguous)
+    token_counts.select("doc_id", "n_tokens").createOrReplaceTempView(
+        "__cap_token_counts"
+    )
     rh = rolling_hash_expr_spark("lower(trim(text))")
     rh2 = rolling_hash_expr_spark("lower(trim(text))", mult=131)
-    # same LEFT-join + raise_error coverage contract as pack_sequences;
-    # the window/budget tail comes from _source_token_cap_sql so the two
+    # same LEFT-join + raise_error coverage/uniqueness contract as
+    # pack_sequences (dup check windows the SMALL counts side); the
+    # window/budget tail comes from _source_token_cap_sql so the two
     # n_tokens sources can never diverge on the cap rule (r11 review)
     pr_body = f"""
       SELECT d.doc_id, d.source,
-             IF(tc.n_tokens IS NULL,
-                CAST(raise_error('token_counts is missing doc_ids present in documents') AS BIGINT),
-                CAST(tc.n_tokens AS BIGINT)) AS n_tokens,
+             CASE WHEN tc.n_tokens IS NULL THEN
+                    CAST(raise_error('token_counts is missing doc_ids present in documents') AS BIGINT)
+                  WHEN tc.__dup > 1 THEN
+                    CAST(raise_error('token_counts has duplicate doc_ids') AS BIGINT)
+                  ELSE CAST(tc.n_tokens AS BIGINT) END AS n_tokens,
              {rh} AS prio, {rh2} AS prio2
-      FROM documents d LEFT JOIN __cap_token_counts tc ON d.doc_id = tc.doc_id"""
+      FROM documents d LEFT JOIN (
+        SELECT doc_id, n_tokens, count(*) OVER (PARTITION BY doc_id) AS __dup
+        FROM __cap_token_counts) tc ON d.doc_id = tc.doc_id"""
     return spark.sql(_source_token_cap_sql(duck=False, budget=budget, pr_body=pr_body))
 
 
@@ -1392,10 +1423,9 @@ def _bpe_joined_expr(duck: bool) -> str:
     Exactly one space per token, and tokens never contain spaces, so the
     count is ``length - length(without spaces)`` regardless of what the
     tokens themselves are (a '.' punctuation token encodes as ' ..')."""
-    words = _BPE_DUCK if duck else _BPE
     # coalesce: a NULL text must tokenize as the empty stream in BOTH
     # engines (same reasoning as the rolling-hash NULL wrap above)
-    words = words.replace("lower(text)", "lower(coalesce(text, ''))")
+    words = _bpe_words_expr(duck, "lower(coalesce(text, ''))")
     enc = _bpe_word_encode_expr(duck)
     if duck:
         # coalesce: DuckDB's array_to_string is string_agg underneath, so

@@ -476,3 +476,46 @@ def test_pack_sequences_token_counts_coverage_raises(spark, sf_dir):
         pack_sequences(spark, sf_dir, token_counts=partial).collect()
     with _pytest.raises(Exception, match="token_counts is missing"):
         source_token_cap(spark, sf_dir, token_counts=partial).collect()
+
+
+def test_pack_sequences_token_counts_duplicates_raise(spark, sf_dir):
+    # r11 advisor: duplicate doc_ids in the counts frame used to pack a
+    # doc twice and corrupt every later cumsum in its shard SILENTLY
+    # (the missing-doc case already failed loud) — now both raise
+    import pytest as _pytest
+
+    from flink_infotheoretic_feature_selection_spark.operators.text import (
+        source_token_cap,
+        tokenize_bpe_vectorized,
+    )
+
+    tc = tokenize_bpe_vectorized(spark, sf_dir).selectExpr(
+        "doc_id", "n_bpe_exact AS n_tokens"
+    )
+    dup = tc.unionAll(tc.where("doc_id % 7 = 0"))
+    with _pytest.raises(Exception, match="duplicate doc_ids"):
+        pack_sequences(spark, sf_dir, token_counts=dup).collect()
+    with _pytest.raises(Exception, match="duplicate doc_ids"):
+        source_token_cap(spark, sf_dir, token_counts=dup).collect()
+
+
+def test_pack_sequences_token_counts_extra_columns_ok(spark, sf_dir):
+    # r11 advisor: a counts frame that still carries text/source (easy if
+    # a caller forgets to project the tokenizer output) used to fail with
+    # an ambiguous-column AnalysisException — the operator now projects
+    # to (doc_id, n_tokens) itself, so extra columns must be harmless
+    from flink_infotheoretic_feature_selection_spark.operators.text import (
+        source_token_cap,
+        tokenize_bpe_vectorized,
+    )
+
+    clean = tokenize_bpe_vectorized(spark, sf_dir).selectExpr(
+        "doc_id", "n_bpe_exact AS n_tokens"
+    )
+    messy = clean.selectExpr(
+        "doc_id", "n_tokens", "'junk' AS text", "'web' AS source"
+    )
+    for op in (pack_sequences, source_token_cap):
+        want = {tuple(r) for r in op(spark, sf_dir, token_counts=clean).collect()}
+        got = {tuple(r) for r in op(spark, sf_dir, token_counts=messy).collect()}
+        assert got == want and len(got) > 0
