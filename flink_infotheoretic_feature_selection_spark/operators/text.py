@@ -1387,26 +1387,35 @@ def epoch_shuffle_oracle(seed: int = 1, shards: int = EPOCH_SHUFFLE_SHARDS) -> s
 import functools
 
 
-@functools.lru_cache(maxsize=1)
-def _load_bpe_fixture() -> dict:
+@functools.lru_cache(maxsize=4)
+def _load_bpe_fixture(path: str | None = None) -> dict:
     # lru_cache: the gate runner builds both dialects per gate and each
     # build folds 64 merges — one JSON parse per process, not 2-4 per
-    # gate evaluation (r11 review find)
+    # gate evaluation (r11 review find).  ``path`` (r12) lets the
+    # large-vocab units/tools load bpe_merges_4k.json through the same
+    # cache; the default stays the gate's frozen 64-merge table.
     import json
     import os
 
-    path = os.path.join(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        "fixtures",
-        "bpe_merges.json",
-    )
+    if path is None:
+        path = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "fixtures",
+            "bpe_merges.json",
+        )
     with open(path) as f:
         return json.load(f)
 
 
-def _bpe_word_encode_expr(duck: bool, var: str = "w") -> str:
-    """Encoded-word expression: ``var`` (one pretoken) → ' t1 t2 ...'."""
-    merges = _load_bpe_fixture()["merges"]
+def _bpe_word_encode_expr(
+    duck: bool, var: str = "w", merges: tuple | None = None
+) -> str:
+    """Encoded-word expression: ``var`` (one pretoken) → ' t1 t2 ...'.
+    ``merges`` overrides the frozen fixture table (r12: the route-boundary
+    tool builds the chain at arbitrary depth to measure where the nested
+    replace expression stops being compilable)."""
+    if merges is None:
+        merges = _load_bpe_fixture()["merges"]
     expr = (
         f"regexp_replace({var}, '(.)', ' \\1.', 'g')"
         if duck
@@ -1490,7 +1499,9 @@ def bpe_encode_word(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
     return syms
 
 
-def tokenize_bpe_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
+def tokenize_bpe_vectorized(
+    spark: SparkSession, sf_dir: str, fixture_path: str | None = None
+) -> DataFrame:
     """Arrow-batched production twin of :func:`tokenize_bpe`.
 
     64 nested ``replace`` calls per pretoken is fine for a value gate but
@@ -1498,11 +1509,18 @@ def tokenize_bpe_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
     in Python over Arrow batches with a per-worker word→tokens cache
     (natural-language word reuse is Zipfian, so encode work amortizes to
     ~unique-words, not total words).  Output bit-identical to the SQL
-    route (parity unit, both the count and the md5)."""
+    route (parity unit, both the count and the md5).
+
+    ``fixture_path`` (r12, VERDICT r11 ask #3): a production merge table
+    (fixtures/bpe_merges_4k.json) instead of the gate's 64-merge one —
+    the SQL route cannot compile a 4k-deep replace chain (measured in
+    tools/bpe_route_boundary.py / BASELINE.md), so above the boundary
+    THIS is the only route, and tests/test_bpe_large_vocab.py pins it
+    there against an independent rank-order replay."""
     import hashlib
     import re as _re
 
-    fx = _load_bpe_fixture()
+    fx = _load_bpe_fixture(fixture_path)
     pat = fx["pretoken_regex"]
     ranks = {tuple(m): i for i, m in enumerate(fx["merges"])}
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
