@@ -56,6 +56,7 @@ __all__ = [
     "copy_explode_expr",
     "quality_threshold_filter",
     "source_token_cap",
+    "source_token_cap_skew",
     "source_token_cap_oracle",
     "epoch_shuffle",
     "epoch_shuffle_oracle",
@@ -1182,6 +1183,49 @@ def quality_threshold_filter(
 SOURCE_TOKEN_BUDGET = 1_000  # tokens kept per source
 
 
+def _cap_pr_body(duck: bool, with_counts: bool = False) -> str:
+    """The ``pr`` stage of the source cap — (doc_id, source, n_tokens,
+    prio, prio2) — shared by the plain windowed form, the skew form and
+    the token_counts= variants so none can diverge on priorities or
+    token counts (the r11-review dedup lesson, now applied to the HEAD
+    of the query as well as the tail).
+
+    Priority ties break on a SECOND independent content hash (base 131
+    vs 31) before doc_id: base-31 collisions between distinct texts are
+    birthday-expected above ~30k docs in the 1e9+7 space, and a
+    same-source collision at the budget boundary resolved by doc_id
+    would change survivors across a re-ingest (new ids, same content).
+    Simultaneous collision under both bases is ~1e-18; doc_id remains
+    only as the final tiebreak for byte-identical texts, where either
+    survivor is the same content anyway.
+    """
+    expr = rolling_hash_expr_duckdb if duck else rolling_hash_expr_spark
+    rh = expr("lower(trim(text))")
+    rh2 = expr("lower(trim(text))", mult=131)
+    if with_counts:
+        if duck:
+            raise ValueError("token_counts pr body is Spark-only")
+        # LEFT join + raise_error coverage/uniqueness contract — see
+        # pack_sequences (dup check windows the SMALL counts side)
+        return f"""
+      SELECT d.doc_id, d.source,
+             CASE WHEN tc.n_tokens IS NULL THEN
+                    CAST(raise_error('token_counts is missing doc_ids present in documents') AS BIGINT)
+                  WHEN tc.__dup > 1 THEN
+                    CAST(raise_error('token_counts has duplicate doc_ids') AS BIGINT)
+                  ELSE CAST(tc.n_tokens AS BIGINT) END AS n_tokens,
+             {rh} AS prio, {rh2} AS prio2
+      FROM documents d LEFT JOIN (
+        SELECT doc_id, n_tokens, count(*) OVER (PARTITION BY doc_id) AS __dup
+        FROM __cap_token_counts) tc ON d.doc_id = tc.doc_id"""
+    tokens = _TOKENS_DUCK if duck else _TOKENS
+    size = "len" if duck else "size"
+    return f"""
+      SELECT doc_id, source, {size}({tokens}) AS n_tokens,
+             {rh} AS prio, {rh2} AS prio2
+      FROM documents"""
+
+
 def _source_token_cap_sql(
     duck: bool, budget: int = SOURCE_TOKEN_BUDGET, pr_body: str | None = None
 ) -> str:
@@ -1199,30 +1243,15 @@ def _source_token_cap_sql(
     Scale shape: one exchange on source + one window cumsum — the same
     plan class as pack_sequences, and the skew story is the same too: a
     corpus that is 90% one source makes that source's partition the
-    straggler, at which point the sessionize_skew bucket+stitch applies
-    (cap each bucket at budget/n_buckets).  The cumsum is exact integer
+    straggler — :func:`source_token_cap_skew` is the bucketed
+    distributed-prefix-sum twin for that regime (bit-equal output,
+    unit-pinned).  The cumsum is exact integer
     arithmetic end to end, so the gate hash cannot float-drift.
     DuckDB's SUM(INTEGER) widens to HUGEINT where Spark stays BIGINT —
     both dialects cast the window sum explicitly (the events_props_agg
     r3 lesson).
     """
-    tokens = _TOKENS_DUCK if duck else _TOKENS
-    size = "len" if duck else "size"
-    expr = rolling_hash_expr_duckdb if duck else rolling_hash_expr_spark
-    rh = expr("lower(trim(text))")
-    # Priority ties break on a SECOND independent content hash (base 131
-    # vs 31) before doc_id: base-31 collisions between distinct texts are
-    # birthday-expected above ~30k docs in the 1e9+7 space, and a
-    # same-source collision at the budget boundary resolved by doc_id
-    # would change survivors across a re-ingest (new ids, same content).
-    # Simultaneous collision under both bases is ~1e-18; doc_id remains
-    # only as the final tiebreak for byte-identical texts, where either
-    # survivor is the same content anyway.
-    rh2 = expr("lower(trim(text))", mult=131)
-    pr_body = pr_body or f"""
-      SELECT doc_id, source, {size}({tokens}) AS n_tokens,
-             {rh} AS prio, {rh2} AS prio2
-      FROM documents"""
+    pr_body = pr_body or _cap_pr_body(duck)
     # ONE copy of the window/budget tail (r11 review find: the
     # token_counts variant used to duplicate it verbatim, so an ordering
     # or cast fix could silently diverge the two forms)
@@ -1262,28 +1291,103 @@ def source_token_cap(
     token_counts.select("doc_id", "n_tokens").createOrReplaceTempView(
         "__cap_token_counts"
     )
-    rh = rolling_hash_expr_spark("lower(trim(text))")
-    rh2 = rolling_hash_expr_spark("lower(trim(text))", mult=131)
-    # same LEFT-join + raise_error coverage/uniqueness contract as
-    # pack_sequences (dup check windows the SMALL counts side); the
-    # window/budget tail comes from _source_token_cap_sql so the two
-    # n_tokens sources can never diverge on the cap rule (r11 review)
-    pr_body = f"""
-      SELECT d.doc_id, d.source,
-             CASE WHEN tc.n_tokens IS NULL THEN
-                    CAST(raise_error('token_counts is missing doc_ids present in documents') AS BIGINT)
-                  WHEN tc.__dup > 1 THEN
-                    CAST(raise_error('token_counts has duplicate doc_ids') AS BIGINT)
-                  ELSE CAST(tc.n_tokens AS BIGINT) END AS n_tokens,
-             {rh} AS prio, {rh2} AS prio2
-      FROM documents d LEFT JOIN (
-        SELECT doc_id, n_tokens, count(*) OVER (PARTITION BY doc_id) AS __dup
-        FROM __cap_token_counts) tc ON d.doc_id = tc.doc_id"""
-    return spark.sql(_source_token_cap_sql(duck=False, budget=budget, pr_body=pr_body))
+    return spark.sql(
+        _source_token_cap_sql(
+            duck=False, budget=budget, pr_body=_cap_pr_body(False, with_counts=True)
+        )
+    )
 
 
 def source_token_cap_oracle(budget: int = SOURCE_TOKEN_BUDGET) -> str:
     return _source_token_cap_sql(duck=True, budget=budget)
+
+
+def source_token_cap_skew(
+    spark: SparkSession,
+    sf_dir: str,
+    budget: int = SOURCE_TOKEN_BUDGET,
+    n_buckets: int = 64,
+    token_counts: DataFrame | None = None,
+) -> DataFrame:
+    """Skew-tolerant :func:`source_token_cap` — identical output
+    (r12, VERDICT r11 ask #4).
+
+    The plain form's per-source ordered cumsum serializes each source
+    through ONE window partition; at 100 TB with a dominant source (the
+    realistic CommonCrawl-style shape) that partition is the job.  This
+    is the classic distributed prefix-sum, the sessionize_skew
+    precedent applied to an ordered running total:
+
+    - **phase 1**: bucket rows by RANGE of the primary sort key.  ``prio``
+      is a content hash, uniform on [0, ROLLING_MOD) by construction, so
+      fixed-width buckets are balanced with no sampling pass; bucket id
+      is monotone in ``prio`` and equal-``prio`` rows share a bucket, so
+      intra-bucket (prio, prio2, doc_id) order concatenated across
+      buckets IS the global per-source order.
+    - **phase 2**: per-(source, bucket) token totals — tiny (sources ×
+      n_buckets rows) — prefix-summed into per-bucket offsets.
+    - **phase 3**: buckets whose offset already exceeds the budget are
+      pruned WHOLESALE before any row-level work (the broadcast inner
+      join below): for a hot source only the ~``budget``-prefix buckets
+      and the one straddling bucket ever run the window.  Offsets equal
+      to the budget survive (an n_tokens=0 doc at the boundary still
+      fits exactly).
+    - **phase 4**: local cumsum per (source, bucket) + offset, filter.
+
+    Cost shape: the totals pass and the survivor pass both consume the
+    PRICED frame (doc_id, source, n_tokens, prio, prio2 — ~40 B/doc, no
+    text), which is materialized ONCE via eager localCheckpoint so the
+    raw-text scan and the per-char rolling hashes run a single time
+    (measured r12: recomputing the hash for the second pass cost more
+    than the one-task window it removed).  Same persist-vs-checkpoint
+    reasoning as decontaminate_bloom: blocks are context-cleaned when
+    the frame is dropped, nothing accumulates across looped calls.
+    Exact integer arithmetic throughout, so the bit-equality unit
+    against the plain form is strict.
+    """
+    from pyspark.sql import Window
+
+    spark.read.parquet(f"{sf_dir}/documents.parquet").createOrReplaceTempView(
+        "documents"
+    )
+    if token_counts is None:
+        pr = spark.sql(_cap_pr_body(duck=False))
+    else:
+        token_counts.select("doc_id", "n_tokens").createOrReplaceTempView(
+            "__cap_token_counts"
+        )
+        pr = spark.sql(_cap_pr_body(duck=False, with_counts=True))
+    width = (ROLLING_MOD + n_buckets - 1) // n_buckets
+    b = pr.withColumn("bkt", F.expr(f"CAST(prio div {width} AS INT)")).localCheckpoint(
+        eager=True
+    )
+    totals = b.groupBy("source", "bkt").agg(
+        F.sum("n_tokens").cast("long").alias("bkt_tokens")
+    )
+    wo = Window.partitionBy("source").orderBy("bkt")
+    offsets = (
+        totals.withColumn(
+            "offset",
+            (F.sum("bkt_tokens").over(wo) - F.col("bkt_tokens")).cast("long"),
+        )
+        .where(F.col("offset") <= budget)
+        .select("source", "bkt", "offset")
+    )
+    w = Window.partitionBy("source", "bkt").orderBy("prio", "prio2", "doc_id")
+    return (
+        b.join(F.broadcast(offsets), ["source", "bkt"])
+        .withColumn(
+            "cum_tokens",
+            (F.sum("n_tokens").over(w) + F.col("offset")).cast("long"),
+        )
+        .where(F.col("cum_tokens") <= budget)
+        .select(
+            "doc_id",
+            "source",
+            F.col("n_tokens").cast("int").alias("n_tokens"),
+            "cum_tokens",
+        )
+    )
 
 
 # ---------------------------------------------------------------------------
