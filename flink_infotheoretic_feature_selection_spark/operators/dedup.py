@@ -338,12 +338,52 @@ def doc_shingles(docs: DataFrame, n: int = 3) -> DataFrame:
     )
 
 
+# Default broadcast budget for the exact route's eval-shingle set: the
+# same 10 MB order as Spark's own autoBroadcastJoinThreshold default.
+# Above it the bloom route's ~2 B/key bitmap broadcast wins the
+# cluster-side economics (BASELINE r11 regime table).
+DECONTAMINATE_BROADCAST_THRESHOLD = 10 * 1024 * 1024
+
+
+def choose_decontaminate_route(
+    eval_docs: DataFrame,
+    n: int = 3,
+    threshold_bytes: int = DECONTAMINATE_BROADCAST_THRESHOLD,
+) -> tuple[str, int]:
+    """(route, estimated_bytes) for ``decontaminate(route="auto")``
+    (r12, VERDICT r11 ask #6).
+
+    The regime criterion measured in BASELINE r11: the exact route ships
+    the DISTINCT eval-shingle strings to every executor, the bloom route
+    a ~2 B/key bitmap — so the choice reduces to estimated distinct
+    shingle bytes vs a broadcast budget.  Estimation is ONE cheap agg
+    over the eval side only (benchmarks — bounded by construction):
+    approx_count_distinct × (avg shingle length + ~48 B of broadcast
+    hash-map overhead per entry).  Output equality of the two routes is
+    unit-pinned, so this choice is purely a cost decision.
+    """
+    from pyspark.sql import functions as F
+
+    est = (
+        doc_shingles(eval_docs, n)
+        .agg(
+            F.approx_count_distinct("shingle").alias("nd"),
+            F.avg(F.length("shingle")).alias("avg_len"),
+        )
+        .collect()[0]
+    )
+    est_bytes = int((est.nd or 0) * (float(est.avg_len or 0.0) + 48.0))
+    return ("bloom" if est_bytes > threshold_bytes else "exact", est_bytes)
+
+
 def decontaminate(
     train_docs: DataFrame,
     eval_docs: DataFrame,
     n: int = 3,
     mode: str = "drop",
     max_train_df: int | None = 1000,
+    route: str = "exact",
+    broadcast_threshold_bytes: int = DECONTAMINATE_BROADCAST_THRESHOLD,
 ) -> DataFrame:
     """Benchmark decontamination: remove (or flag) training docs sharing
     any word ``n``-gram shingle with an eval/benchmark doc.
@@ -368,12 +408,29 @@ def decontaminate(
       original columns (left_anti join on doc_id).
     - ``mode="flag"``: ``(doc_id, n_hits)`` for contaminated training
       docs — n_hits = distinct shingles shared with the eval set.
+
+    ``route`` (r12, VERDICT r11 ask #6): ``"exact"`` (this broadcast
+    join — the default and the gate's pinned path), ``"bloom"``
+    (delegates to :func:`decontaminate_bloom`, bit-identical output), or
+    ``"auto"`` — :func:`choose_decontaminate_route` picks by estimated
+    distinct eval-shingle broadcast bytes vs
+    ``broadcast_threshold_bytes``.
     """
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
     if mode not in ("drop", "flag"):
         raise ValueError(f"mode must be 'drop' or 'flag', got {mode!r}")
+    if route not in ("exact", "bloom", "auto"):
+        raise ValueError(f"route must be 'exact'/'bloom'/'auto', got {route!r}")
+    if route == "auto":
+        route, _ = choose_decontaminate_route(
+            eval_docs, n, threshold_bytes=broadcast_threshold_bytes
+        )
+    if route == "bloom":
+        return decontaminate_bloom(
+            train_docs, eval_docs, n=n, mode=mode, max_train_df=max_train_df
+        )
     train_sh = doc_shingles(train_docs, n)
     eval_sh = doc_shingles(eval_docs, n).select("shingle").distinct()
     matched = train_sh.join(F.broadcast(eval_sh), "shingle")

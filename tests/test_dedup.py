@@ -999,3 +999,62 @@ def test_decontaminate_bloom_identical_to_exact(spark, sf_dir):
     # the disjoint corpus re-shingles its shingle strings, so just bound
     # the flagged docs: with no true overlap everything flagged is FP
     assert survivors.count() <= max(10, n_disjoint // 100)
+
+
+def test_decontaminate_route_auto_chooser(spark, sf_dir):
+    # r12 (VERDICT r11 ask #6): route="auto" picks exact when the
+    # estimated distinct eval-shingle broadcast is under the budget
+    # (sf0.01/sf0.001 eval sets: a few KB) and bloom above it; output is
+    # route-independent by the bit-equality contract, re-checked here
+    # through the auto entry point.  The gate path (route default
+    # "exact") is untouched.
+    from pyspark.sql import functions as F
+
+    from flink_infotheoretic_feature_selection_spark.operators.dedup import (
+        DECONTAMINATE_EVAL_PRED,
+        choose_decontaminate_route,
+        decontaminate,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ev = docs.where(F.expr(DECONTAMINATE_EVAL_PRED))
+    tr = docs.where(~F.expr(DECONTAMINATE_EVAL_PRED))
+
+    route, est = choose_decontaminate_route(ev)
+    assert route == "exact" and 0 < est < 10 * 1024 * 1024
+    # the estimate must be the right order of magnitude: true distinct
+    # shingle bytes within 3x either way (approx_count_distinct + the
+    # +48B/entry map overhead make it an estimate, not a count)
+    from flink_infotheoretic_feature_selection_spark.operators.dedup import doc_shingles
+
+    true_bytes = (
+        doc_shingles(ev)
+        .select("shingle")
+        .distinct()
+        .agg(F.sum(F.length("shingle") + F.lit(48)))
+        .collect()[0][0]
+    )
+    assert true_bytes / 3 <= est <= true_bytes * 3
+
+    # a tiny budget must flip the choice to bloom — and the auto entry
+    # point must return the same answer either way
+    assert choose_decontaminate_route(ev, threshold_bytes=100)[0] == "bloom"
+    exact_out = {
+        (r.doc_id, r.n_hits) for r in decontaminate(tr, ev, mode="flag").collect()
+    }
+    auto_bloom = {
+        (r.doc_id, r.n_hits)
+        for r in decontaminate(
+            tr, ev, mode="flag", route="auto", broadcast_threshold_bytes=100
+        ).collect()
+    }
+    auto_exact = {
+        (r.doc_id, r.n_hits)
+        for r in decontaminate(tr, ev, mode="flag", route="auto").collect()
+    }
+    assert exact_out == auto_bloom == auto_exact and exact_out
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="route"):
+        decontaminate(tr, ev, route="fast")
