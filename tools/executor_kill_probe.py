@@ -113,33 +113,64 @@ def main(cfg_path: str) -> None:
     m1 = sel()._fit_from_packed(packed, feats, "label", {})
     out["lane1_selection"] = q5_path(m1)
 
-    # ---- lane 2: kill MID-LOOP from a background timer ---------------
-    kill_state: dict = {}
+    # ---- lane 2: kill MID-FIT, event-driven ---------------------------
+    # r12: the r11 form slept 40% of the REFERENCE fit duration, which
+    # races a page-cache-warm lane2 fit (seen in the full-suite run:
+    # fit 2.43 s, kill landed just after the end — flag False, test red).
+    # Now the killer POLLS the status tracker and fires after the fit
+    # has completed `jobs_in` jobs — pack takes ~2, stats ~2, then one
+    # job per greedy iteration, so +4 lands inside the loop regardless
+    # of host speed.  One retry at an earlier mark covers the residual
+    # race on an absurdly fast fit.
+    st = spark.sparkContext.statusTracker()
 
-    def killer():
-        # 40% into the measured reference duration lands inside the
-        # greedy loop (pack+stats take <35% of a fit at this shape)
-        time.sleep(max(0.4 * ref_sec, 1.0))
-        for p in _executor_pids(app_id):
-            if p != victim:
-                os.kill(p, signal.SIGKILL)
-                kill_state["pid"] = p
-                kill_state["at"] = time.perf_counter()
-                return
-        kill_state["pid"] = None
+    def run_lane2(jobs_in: int) -> dict:
+        kill_state: dict = {}
+        base = max(st.getJobIdsForGroup() or [-1])
 
-    t = threading.Thread(target=killer, daemon=True)
-    t_fit0 = time.perf_counter()
-    t.start()
-    m2 = sel().fit_parquet(spark, matrix)
-    t_fit_end = time.perf_counter()
-    t.join(timeout=60)
-    out["lane2_selection"] = q5_path(m2)
-    out["lane2_killed_pid"] = kill_state.get("pid")
-    out["lane2_killed_before_fit_end"] = bool(
-        kill_state.get("at") is not None and kill_state["at"] < t_fit_end
-    )
-    out["lane2_fit_sec"] = round(t_fit_end - t_fit0, 2)
+        def killer():
+            while True:
+                ids = st.getJobIdsForGroup() or []
+                if ids and max(ids) >= base + jobs_in:
+                    break
+                time.sleep(0.02)
+            for p in _executor_pids(app_id):
+                if p != victim:
+                    os.kill(p, signal.SIGKILL)
+                    kill_state["pid"] = p
+                    kill_state["at"] = time.perf_counter()
+                    return
+            kill_state["pid"] = None
+
+        t = threading.Thread(target=killer, daemon=True)
+        t_fit0 = time.perf_counter()
+        t.start()
+        m2 = sel().fit_parquet(spark, matrix)
+        t_fit_end = time.perf_counter()
+        t.join(timeout=60)
+        return {
+            "selection": q5_path(m2),
+            "pid": kill_state.get("pid"),
+            "before_end": bool(
+                kill_state.get("at") is not None and kill_state["at"] < t_fit_end
+            ),
+            "fit_sec": round(t_fit_end - t_fit0, 2),
+        }
+
+    lane2 = run_lane2(jobs_in=4)
+    if not (lane2["pid"] and lane2["before_end"]):
+        # executor respawn after the late kill (standalone workers
+        # relaunch backends); then retry with the earliest useful mark
+        for _ in range(60):
+            if len([p for p in _executor_pids(app_id) if p != victim]) >= 1:
+                break
+            time.sleep(1)
+        lane2 = run_lane2(jobs_in=1)
+        out["lane2_retried"] = True
+    out["lane2_selection"] = lane2["selection"]
+    out["lane2_killed_pid"] = lane2["pid"]
+    out["lane2_killed_before_fit_end"] = lane2["before_end"]
+    out["lane2_fit_sec"] = lane2["fit_sec"]
 
     spark.stop()
     print(json.dumps(out))
