@@ -656,6 +656,57 @@ def _q_stream_neardup_cands(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table("q_stream_neardup_cands")
 
 
+def _q_decontaminate_both(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # r12: the decontaminate gate grows a `route` column — the exact
+    # broadcast join (the r10-gated path, unchanged) UNION the bloom
+    # bitmap route, previously only unit-pinned.  Both must hash-match
+    # the SAME DuckDB oracle (bloom's false positives die in its exact
+    # verify join, so equality is the operator's contract, not a
+    # statistical claim).  Zero extra registry slots.
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ev = docs.where(F.expr(dedup.DECONTAMINATE_EVAL_PRED))
+    tr = docs.where(~F.expr(dedup.DECONTAMINATE_EVAL_PRED))
+    exact = dedup.decontaminate(tr, ev, mode="flag").selectExpr(
+        "'exact' AS route", "doc_id", "n_hits"
+    )
+    bloom = dedup.decontaminate(tr, ev, mode="flag", route="bloom").selectExpr(
+        "'bloom' AS route", "doc_id", "n_hits"
+    )
+    return exact.unionByName(bloom)
+
+
+def _decontaminate_both_oracle() -> str:
+    inner = dedup.decontaminate_oracle()
+    return "\nUNION ALL\n".join(
+        f"SELECT CAST('{v}' AS VARCHAR) AS route, doc_id, n_hits FROM ({inner})"
+        for v in ("exact", "bloom")
+    )
+
+
+def _q_source_token_cap_both(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # r12: variant column — the plain windowed cap (the gated path,
+    # unchanged) UNION the bucketed distributed-prefix-sum skew twin,
+    # previously only unit-pinned.  Both hash against the same oracle.
+    plain = text.source_token_cap(spark, sf_dir).selectExpr(
+        "'plain' AS variant", "doc_id", "source", "n_tokens", "cum_tokens"
+    )
+    skew = text.source_token_cap_skew(spark, sf_dir).selectExpr(
+        "'skew' AS variant", "doc_id", "source", "n_tokens", "cum_tokens"
+    )
+    return plain.unionByName(skew)
+
+
+def _source_token_cap_both_oracle() -> str:
+    inner = text.source_token_cap_oracle()
+    return "\nUNION ALL\n".join(
+        f"SELECT CAST('{v}' AS VARCHAR) AS variant, doc_id, source, n_tokens, "
+        f"cum_tokens FROM ({inner})"
+        for v in ("plain", "skew")
+    )
+
+
 def _q_tokenize_bpe_both(spark: SparkSession, sf_dir: str) -> DataFrame:
     # r12 (VERDICT r11 ask #7): the tokenize_bpe gate grows a `variant`
     # column — batch (the SQL merge chain, the value-gated source of
@@ -1715,7 +1766,9 @@ def rotation_history(root: str | None = None) -> dict[int, dict]:
 # r12 gate-body edits: selected_wide is the new consolidated
 # criterion-column gate (never green yet — tier 1 on its own, listed
 # for documentation); tokenize_bpe grew the batch/stream variant column.
-ROTATION_PROMOTE = frozenset({"selected_wide", "tokenize_bpe"})
+ROTATION_PROMOTE = frozenset(
+    {"selected_wide", "tokenize_bpe", "decontaminate", "source_token_cap"}
+)
 
 _PKG_NAME = "flink_infotheoretic_feature_selection_spark"
 
@@ -2106,7 +2159,8 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_jaccard_pairs": dedup.shingle_jaccard_pairs,
         "minhash_lsh_pairs": _q_minhash_all,
         "neardup_groups": _q_neardup_groups,
-        "decontaminate": dedup.decontaminate_query,
+        # r12 variant gate: exact broadcast route UNION bloom bitmap route
+        "decontaminate": _q_decontaminate_both,
         "simhash_pairs": _q_simhash_all,
         "tfidf_topk": text.tfidf_topk,
         "stratified_sample": text.stratified_sample,
@@ -2121,7 +2175,8 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_variants": _q_ann_ivf_all,
         "embedding_neardup": similarity.embedding_neardup_pairs,
         "embedding_quantize": similarity.embedding_quantize,
-        "source_token_cap": text.source_token_cap,
+        # r12 variant gate: plain windowed cap UNION the skew prefix-sum twin
+        "source_token_cap": _q_source_token_cap_both,
         "epoch_shuffle": text.epoch_shuffle,
         "ann_ivf_kmeans": similarity.ivf_kmeans_fixture_topk,
         "stream_window_agg": _q_stream_window_agg,
@@ -2223,7 +2278,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_jaccard_pairs": dedup.jaccard_pairs_oracle(),
         "minhash_lsh_pairs": _minhash_all_oracle(),
         "neardup_groups": dedup.neardup_groups_oracle(),
-        "decontaminate": dedup.decontaminate_oracle(),
+        "decontaminate": _decontaminate_both_oracle(),
         "simhash_pairs": _simhash_all_oracle(),
         "keel_read": _keel_read_oracle(),
         "simhash64_mining": _simhash64_mining_oracle(),
@@ -2231,7 +2286,7 @@ def oracle_sql() -> dict[str, str]:
         "scrub_pii": _scrub_pii_oracle(),
         "selected_wide": wide_selection_all_oracle_sql(),
         "simhash64_incremental": dedup.simhash64_incremental_oracle(),
-        "source_token_cap": text.source_token_cap_oracle(),
+        "source_token_cap": _source_token_cap_both_oracle(),
         "epoch_shuffle": text.epoch_shuffle_oracle(),
         "cross_source_overlap": profile_ops.cross_source_overlap_oracle(),
         "stream_neardup_cands": dedup.stream_neardup_candidates_oracle(),
