@@ -656,6 +656,68 @@ def _q_stream_neardup_cands(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table("q_stream_neardup_cands")
 
 
+def _q_range_join_both(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # r12: variant column — the batch bucketed range join (the gated
+    # path, unchanged) UNION the stream-stream twin drained through a
+    # LIVE availableNow run (watermark-bounded two-sided state,
+    # previously only unit-pinned).  The streaming part is the JOIN; the
+    # per-interval aggregate runs batch-side on the drained matches so
+    # both variants hash against the same per-interval oracle.
+    from flink_infotheoretic_feature_selection_spark.operators.temporal import (
+        RANGE_WINDOW_SEC,
+    )
+    from flink_infotheoretic_feature_selection_spark.streaming import (
+        read_events_stream,
+        stream_range_join,
+    )
+
+    batch = temporal.range_join_query(spark, sf_dir).selectExpr(
+        "'batch' AS variant", "interval_id", "n_hits", "sum_cents"
+    )
+    d = _staged_stream_dir(sf_dir, "events.parquet")
+    with _few_shuffle_partitions(spark):
+        intervals = (
+            read_events_stream(spark, d)
+            .filter(F.col("event_type") == "error")
+            .select(F.col("event_id").alias("interval_id"), F.col("ts").alias("start"))
+        )
+        probe = (
+            read_events_stream(spark, d)
+            .filter(F.col("event_type") == "view")
+            .select("ts", "value")
+        )
+        q = (
+            stream_range_join(intervals, probe, window_sec=RANGE_WINDOW_SEC)
+            .writeStream.format("memory")
+            .queryName("q_stream_range_join")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(_STREAM_BUDGET_MS // 1000):
+            q.stop()
+            raise RuntimeError("stream_range_join did not finish in budget")
+    streamed = (
+        spark.table("q_stream_range_join")
+        .groupBy("interval_id")
+        .agg(
+            F.count("*").alias("n_hits"),
+            F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("sum_cents"),
+        )
+        .selectExpr("'stream' AS variant", "interval_id", "n_hits", "sum_cents")
+    )
+    return batch.unionByName(streamed)
+
+
+def _range_join_both_oracle() -> str:
+    inner = temporal.RANGE_JOIN_ORACLE
+    return "\nUNION ALL\n".join(
+        f"SELECT CAST('{v}' AS VARCHAR) AS variant, interval_id, n_hits, sum_cents\n"
+        f"FROM ({inner})"
+        for v in ("batch", "stream")
+    )
+
+
 def _q_decontaminate_both(spark: SparkSession, sf_dir: str) -> DataFrame:
     # r12: the decontaminate gate grows a `route` column — the exact
     # broadcast join (the r10-gated path, unchanged) UNION the bloom
@@ -746,7 +808,13 @@ def _q_tokenize_bpe_both(spark: SparkSession, sf_dir: str) -> DataFrame:
     streamed = spark.table("q_stream_tokenize_bpe").selectExpr(
         "'stream' AS variant", "doc_id", "n_bpe_exact", "bpe_md5"
     )
-    return batch.unionByName(streamed)
+    # third variant (r12): the Arrow word-cache PRODUCTION route — the
+    # only route above the ~300-merge SQL parse boundary (BASELINE r12)
+    # — now value-gated by the driver, not just parity-united
+    vec = text.tokenize_bpe_vectorized(spark, sf_dir).selectExpr(
+        "'vec' AS variant", "doc_id", "n_bpe_exact", "bpe_md5"
+    )
+    return batch.unionByName(streamed).unionByName(vec)
 
 
 def tokenize_bpe_both_oracle() -> str:
@@ -757,7 +825,7 @@ def tokenize_bpe_both_oracle() -> str:
     return "\nUNION ALL\n".join(
         f"SELECT CAST('{v}' AS VARCHAR) AS variant, doc_id, n_bpe_exact, bpe_md5\n"
         f"FROM ({inner})"
-        for v in ("batch", "stream")
+        for v in ("batch", "stream", "vec")
     )
 
 
@@ -1767,7 +1835,8 @@ def rotation_history(root: str | None = None) -> dict[int, dict]:
 # criterion-column gate (never green yet — tier 1 on its own, listed
 # for documentation); tokenize_bpe grew the batch/stream variant column.
 ROTATION_PROMOTE = frozenset(
-    {"selected_wide", "tokenize_bpe", "decontaminate", "source_token_cap"}
+    {"selected_wide", "tokenize_bpe", "decontaminate", "source_token_cap",
+     "range_join_agg"}
 )
 
 _PKG_NAME = "flink_infotheoretic_feature_selection_spark"
@@ -2106,7 +2175,8 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # events / temporal / pipeline / profile / media extensions:
         "events_props_agg": events_ops.events_props_agg,
         "asof_join": _q_asof_join_both,
-        "range_join_agg": temporal.range_join_query,
+        # r12 variant gate: batch bucketed join UNION live stream-stream twin
+        "range_join_agg": _q_range_join_both,
         "hypertable_rollup": _q_hypertable_us,
         "funnel_conversion": events_ops.funnel_conversion,
         "dedup_keep_best": _q_dedup_keep_best,
@@ -2327,7 +2397,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "sessionize": SESSIONIZE_BOTH_ORACLE,
         "asof_join": ASOF_JOIN_BOTH_ORACLE,
-        "range_join_agg": temporal.RANGE_JOIN_ORACLE,
+        "range_join_agg": _range_join_both_oracle(),
         "hypertable_rollup": HYPERTABLE_US_ORACLE,
         "dedup_keep_best": dedup.dedup_keep_best_oracle(),
         "mixture_sample": text.MIXTURE_SAMPLE_ORACLE,

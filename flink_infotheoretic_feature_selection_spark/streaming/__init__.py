@@ -3,6 +3,7 @@ from flink_infotheoretic_feature_selection_spark.streaming.ops import (
     read_events_stream,
     stream_decontaminate,
     stream_neardup_candidates,
+    stream_range_join,
     sessionize_stream,
     stateful_user_stats,
     stream_feature_histogram,
@@ -17,6 +18,7 @@ __all__ = [
     "read_events_stream",
     "stream_decontaminate",
     "stream_neardup_candidates",
+    "stream_range_join",
     "sessionize_stream",
     "stateful_user_stats",
     "stream_feature_histogram",
