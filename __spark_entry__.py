@@ -656,6 +656,19 @@ def _q_stream_neardup_cands(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table("q_stream_neardup_cands")
 
 
+def _tagged_union_oracle(inner, tag_col: str, values, cols: str) -> str:
+    """UNION ALL of a per-variant oracle under a discriminator column —
+    the one definition every variant-column gate's oracle shares (r12
+    review find: five hand-rolled copies).  ``inner`` is the oracle SQL
+    string, or a callable value→SQL when the inner query itself varies
+    by variant (the wide-selection criterion oracle)."""
+    mk = inner if callable(inner) else (lambda _v: inner)
+    return "\nUNION ALL\n".join(
+        f"SELECT CAST('{v}' AS VARCHAR) AS {tag_col}, {cols}\nFROM ({mk(v)})"
+        for v in values
+    )
+
+
 def _q_range_join_both(spark: SparkSession, sf_dir: str) -> DataFrame:
     # r12: variant column — the batch bucketed range join (the gated
     # path, unchanged) UNION the stream-stream twin drained through a
@@ -710,11 +723,11 @@ def _q_range_join_both(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _range_join_both_oracle() -> str:
-    inner = temporal.RANGE_JOIN_ORACLE
-    return "\nUNION ALL\n".join(
-        f"SELECT CAST('{v}' AS VARCHAR) AS variant, interval_id, n_hits, sum_cents\n"
-        f"FROM ({inner})"
-        for v in ("batch", "stream")
+    return _tagged_union_oracle(
+        temporal.RANGE_JOIN_ORACLE,
+        "variant",
+        ("batch", "stream"),
+        "interval_id, n_hits, sum_cents",
     )
 
 
@@ -740,10 +753,8 @@ def _q_decontaminate_both(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _decontaminate_both_oracle() -> str:
-    inner = dedup.decontaminate_oracle()
-    return "\nUNION ALL\n".join(
-        f"SELECT CAST('{v}' AS VARCHAR) AS route, doc_id, n_hits FROM ({inner})"
-        for v in ("exact", "bloom")
+    return _tagged_union_oracle(
+        dedup.decontaminate_oracle(), "route", ("exact", "bloom"), "doc_id, n_hits"
     )
 
 
@@ -761,11 +772,11 @@ def _q_source_token_cap_both(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _source_token_cap_both_oracle() -> str:
-    inner = text.source_token_cap_oracle()
-    return "\nUNION ALL\n".join(
-        f"SELECT CAST('{v}' AS VARCHAR) AS variant, doc_id, source, n_tokens, "
-        f"cum_tokens FROM ({inner})"
-        for v in ("plain", "skew")
+    return _tagged_union_oracle(
+        text.source_token_cap_oracle(),
+        "variant",
+        ("plain", "skew"),
+        "doc_id, source, n_tokens, cum_tokens",
     )
 
 
@@ -817,15 +828,15 @@ def _q_tokenize_bpe_both(spark: SparkSession, sf_dir: str) -> DataFrame:
     return batch.unionByName(streamed).unionByName(vec)
 
 
-def tokenize_bpe_both_oracle() -> str:
+def _tokenize_bpe_both_oracle() -> str:
     """Oracle twin of :func:`_q_tokenize_bpe_both` — the SAME per-variant
     DuckDB SQL unioned under the variant tag (the operator is stateless,
-    so stream must equal batch by value)."""
-    inner = text.tokenize_bpe_oracle()
-    return "\nUNION ALL\n".join(
-        f"SELECT CAST('{v}' AS VARCHAR) AS variant, doc_id, n_bpe_exact, bpe_md5\n"
-        f"FROM ({inner})"
-        for v in ("batch", "stream", "vec")
+    so all three routes must agree by value)."""
+    return _tagged_union_oracle(
+        text.tokenize_bpe_oracle(),
+        "variant",
+        ("batch", "stream", "vec"),
+        "doc_id, n_bpe_exact, bpe_md5",
     )
 
 
@@ -1319,7 +1330,8 @@ def _scrub_pii_oracle() -> str:
 
 
 # ---------------------------------------------------------------------------
-# selected_wide_mrmr gate — r9 (verdict ask #3): the WIDE-matrix selection
+# selected_wide gate fixture — r9 (verdict ask #3; consolidated r12): the
+# WIDE-matrix selection
 # path (pack column-count fast path + driver-merge regime, the shape b16
 # benches) was pinned only by cross-rep equality and packed-vs-arrow
 # parity units, never by value.  This staged 631-attribute fixture (the
@@ -1436,12 +1448,12 @@ def wide_selection_all_oracle_sql() -> str:
     """UNION ALL of :func:`wide_selection_oracle_sql` over every greedy
     criterion, tagged by a ``criterion`` column — the oracle twin of the
     consolidated ``selected_wide`` gate."""
-    parts = [
-        f"SELECT CAST('{crit}' AS VARCHAR) AS criterion, step, feat, score\n"
-        f"FROM ({wide_selection_oracle_sql(criterion=crit)})"
-        for crit, _route in _WIDE_GATE_ROUTES
-    ]
-    return "\nUNION ALL\n".join(parts)
+    return _tagged_union_oracle(
+        lambda crit: wide_selection_oracle_sql(criterion=crit),
+        "criterion",
+        [crit for crit, _route in _WIDE_GATE_ROUTES],
+        "step, feat, score",
+    )
 
 
 def wide_selection_oracle_sql(
@@ -2371,7 +2383,7 @@ def oracle_sql() -> dict[str, str]:
         "stratified_sample": text.STRATIFIED_SAMPLE_ORACLE,
         "corpus_rollup": text.CORPUS_ROLLUP_ORACLE,
         "pack_sequences": text.pack_sequences_oracle(),
-        "tokenize_bpe": tokenize_bpe_both_oracle(),
+        "tokenize_bpe": _tokenize_bpe_both_oracle(),
         "pack_sequences_exact": text.pack_sequences_exact_oracle(),
         "vocab_topk": text.VOCAB_TOPK_ORACLE,
         "chunk_documents": text.CHUNK_DOCUMENTS_ORACLE,

@@ -1374,8 +1374,20 @@ def source_token_cap_skew(
         .select("source", "bkt", "offset")
     )
     w = Window.partitionBy("source", "bkt").orderBy("prio", "prio2", "doc_id")
+    # eqNullSafe on source (r12 review find): groupBy and the window both
+    # treat NULL source as its own group, but a plain equi-join would
+    # silently DROP every NULL-source doc the plain form keeps — the one
+    # place the two forms could diverge on data shape
+    off = offsets.select(
+        F.col("source").alias("__osrc"),
+        F.col("bkt").alias("__obkt"),
+        "offset",
+    )
     return (
-        b.join(F.broadcast(offsets), ["source", "bkt"])
+        b.join(
+            F.broadcast(off),
+            b["source"].eqNullSafe(off["__osrc"]) & (b["bkt"] == off["__obkt"]),
+        )
         .withColumn(
             "cum_tokens",
             (F.sum("n_tokens").over(w) + F.col("offset")).cast("long"),

@@ -1,6 +1,7 @@
 """Randomized WIDE-matrix cross-engine sweep (r9).
 
-The `selected_wide_mrmr` gate pins the wide selection path (pack
+The `selected_wide` gate (r12 consolidated criterion-column form,
+formerly selected_wide_mrmr et al.) pins the wide selection path (pack
 column-count fast path + driver-merge regime) on ONE staged 631x2048
 fixture; this sweep re-verifies the same path on random wide shapes —
 random feature count (150-320), row count, per-feature dims, and
@@ -68,7 +69,7 @@ def test_wide_selection_cross_engine_on_random_matrix(spark, tmp_path, seed, cri
 
     feats = [f"f{j}" for j in range(nf)]
     # select drops rid so the pack column-count fast path arms — the
-    # exact route the staged gate pins (see _q_selected_wide_mrmr)
+    # exact route the staged gate pins (see _q_selected_wide)
     df = spark.read.parquet(path).select(*feats, "label")
     model = InfoThSelector(
         n_to_select=k,

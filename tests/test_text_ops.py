@@ -532,7 +532,15 @@ def test_source_token_cap_skew_bit_equal(spark, sf_dir):
             " ".join(rng.choice(words) for _ in range(rng.randint(1, 40))),
         )
         for i in range(600)
-    ] + [(600, "hot", ""), (601, "hot", None)]
+    ] + [
+        (600, "hot", ""),
+        (601, "hot", None),
+        # NULL source rows (r12 review find): the window/groupBy treat
+        # NULL as its own source group; a plain equi-join in the skew
+        # form silently dropped them — must stay bit-equal
+        (602, None, "alpha beta gamma"),
+        (603, None, "delta epsilon"),
+    ]
     d = tempfile.mkdtemp(prefix="cap_skew_")
     spark.createDataFrame(docs, "doc_id long, source string, text string").write.mode(
         "overwrite"

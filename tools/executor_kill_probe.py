@@ -126,14 +126,21 @@ def main(cfg_path: str) -> None:
 
     def run_lane2(jobs_in: int) -> dict:
         kill_state: dict = {}
+        done = threading.Event()
         base = max(st.getJobIdsForGroup() or [-1])
 
         def killer():
-            while True:
+            # done-flag exit (r12 review find): without it a killer that
+            # never reaches its job mark stays armed past t.join and can
+            # fire a SECOND kill into the retry lane's fit
+            while not done.is_set():
                 ids = st.getJobIdsForGroup() or []
                 if ids and max(ids) >= base + jobs_in:
                     break
                 time.sleep(0.02)
+            if done.is_set():
+                kill_state["pid"] = None
+                return
             for p in _executor_pids(app_id):
                 if p != victim:
                     os.kill(p, signal.SIGKILL)
@@ -147,6 +154,7 @@ def main(cfg_path: str) -> None:
         t.start()
         m2 = sel().fit_parquet(spark, matrix)
         t_fit_end = time.perf_counter()
+        done.set()
         t.join(timeout=60)
         return {
             "selection": q5_path(m2),
