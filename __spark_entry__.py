@@ -731,6 +731,85 @@ def _range_join_both_oracle() -> str:
     )
 
 
+def _q_stream_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # r12 (one of the 3 slots freed by the wide consolidation): the
+    # CUSTOM STATEFUL operator (applyInPandasWithState, the escape hatch
+    # for logic windowed aggs can't express) earns a live multi-batch
+    # driver row.  Events split into 3 disjoint files drain through
+    # maxFilesPerTrigger=1, so per-user state provably carries across
+    # >= 3 real micro-batches; update mode emits a running row per user
+    # per batch it appears in, and n_events is strictly monotone per
+    # user, so the max-n_events row IS the final state — which must
+    # equal the batch aggregate (the oracle).  The staged stream carries
+    # value in EXACT CENTS as doubles (integer-valued, so the pandas
+    # accumulation order can't produce a last-ulp float divergence —
+    # the range_join cents lesson applied to a float column).
+    from flink_infotheoretic_feature_selection_spark.streaming import (
+        stateful_user_stats,
+    )
+
+    def stage(d: str) -> None:
+        import glob as _glob
+        import shutil as _shutil
+
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        for i in range(3):
+            tmp = f"{d}/_tmp{i}"
+            ev.where(f"event_id % 3 = {i}").selectExpr(
+                "user_id", "ts", "CAST(round(value * 100) AS DOUBLE) AS value"
+            ).coalesce(1).write.mode("overwrite").parquet(tmp)
+            _shutil.move(_glob.glob(f"{tmp}/part-*.parquet")[0], f"{d}/split{i}.parquet")
+            _shutil.rmtree(tmp)
+
+    d = _staged_dir((sf_dir, "user_stats_splits"), stage)
+    with _few_shuffle_partitions(spark):
+        stream = (
+            spark.readStream.schema("user_id long, ts timestamp, value double")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(d)
+        )
+        q = (
+            stateful_user_stats(stream)
+            .writeStream.format("memory")
+            .queryName("q_stream_user_stats")
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(_STREAM_BUDGET_MS // 1000):
+            q.stop()
+            raise RuntimeError("stream_user_stats did not finish in budget")
+        n_batches = len([p for p in q.recentProgress if p["numInputRows"] > 0])
+        if n_batches < 3:
+            raise RuntimeError(
+                f"stream_user_stats ran {n_batches} non-empty micro-batches; "
+                "the state-carryover gate requires >= 3"
+            )
+    from pyspark.sql import Window as _W
+
+    tbl = spark.table("q_stream_user_stats")
+    w = _W.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    return (
+        tbl.withColumn("__rn", F.row_number().over(w))
+        .where("__rn = 1")
+        .select(
+            "user_id",
+            "n_events",
+            F.round("sum_value", 4).alias("sum_cents"),
+            "last_ts_us",
+        )
+    )
+
+
+STREAM_USER_STATS_ORACLE = """
+    SELECT user_id,
+           count(*) AS n_events,
+           round(sum(CAST(round(value * 100) AS DOUBLE)), 4) AS sum_cents,
+           max(epoch_us(ts)) AS last_ts_us
+    FROM events GROUP BY user_id
+"""
+
+
 def _q_decontaminate_both(spark: SparkSession, sf_dir: str) -> DataFrame:
     # r12: the decontaminate gate grows a `route` column — the exact
     # broadcast join (the r10-gated path, unchanged) UNION the bloom
@@ -2262,6 +2341,8 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "epoch_shuffle": text.epoch_shuffle,
         "ann_ivf_kmeans": similarity.ivf_kmeans_fixture_topk,
         "stream_window_agg": _q_stream_window_agg,
+        # r12: applyInPandasWithState custom stateful op, live multi-batch
+        "stream_user_stats": _q_stream_user_stats,
         "stream_sessionize": _q_stream_sessionize,
     }
     return base
@@ -2425,6 +2506,7 @@ def oracle_sql() -> dict[str, str]:
         # stream_dedup: two copies of the events file streamed through
         # dropDuplicatesWithinWatermark must yield exactly the original ids
         "stream_dedup": "SELECT event_id FROM events",
+        "stream_user_stats": STREAM_USER_STATS_ORACLE,
         # stream_sessionize: native session_window, reconciled to the batch
         # convention (end = last event), = the batch oracle minus sess_seq
         "stream_sessionize": f"""
