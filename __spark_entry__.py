@@ -1347,6 +1347,141 @@ def _libsvm_read_oracle() -> str:
 
 
 # ---------------------------------------------------------------------------
+# jsonl_read gate — r12: the JSONL landing-dir reader (the de-facto LLM
+# training-data interchange format) was the last source format with only
+# unit coverage.  The staged fixture is a realistic landing dir — mixed
+# gzip + plain shards — carrying every hazard class whose PERMISSIVE-mode
+# semantics were probe-verified against Spark 4.1: blank lines (skipped,
+# not corrupt), missing fields / explicit nulls / empty strings / extra
+# fields (NULL or ignored, not corrupt), JSON escapes (\t \" \\ \uXXXX)
+# and raw multibyte UTF-8, int64 extremes, duplicate doc_ids (reader does
+# not dedup), and the corrupt classes: syntactically invalid lines,
+# top-level non-object JSON (42, "str"), and a well-formed object whose
+# field fails schema coercion ("doc_id": "abc").  Probe-pinned corrupt
+# semantics (Spark 4.1 PERMISSIVE): the quarantine column captures the
+# line VERBATIM while every WELL-TYPED field keeps its PARTIAL value —
+# only the failing field is NULL (fields before AND after it survive).
+# Long fields corrupt on any non-integral json value ("abc", 1.5, true);
+# string fields never corrupt (Spark coerces numbers to their text).
+# Top-level ARRAYS of objects are excluded: Spark explodes them into
+# multiple rows (probe-verified) — a multi-row semantics the single-line
+# oracle deliberately leaves out of contract; numeric-valued STRING
+# fields are excluded too (Jackson keeps the source lexeme, DuckDB
+# normalizes — a text-formatting parity no cross-engine gate should
+# depend on).  sf-independent like keel_read / libsvm_read: a
+# file-format parse does not scale with sf.
+#
+# The DuckDB oracle re-parses the same bytes line-by-line (read_csv with
+# an unused delimiter, quoting off — the keel_read trick) and mirrors the
+# contract PER FIELD via TRY_CAST(line AS JSON) — json_type/json_extract
+# THROW on invalid JSON even under CASE (vectorized evaluation does not
+# short-circuit), so the NULL-on-failure cast is the only throw-free
+# guard.  Each field emits iff its own json_type matches the read schema
+# (integer fields BIGINT/UBIGINT, string fields VARCHAR); the record is
+# quarantined iff the line is not a JSON object or any integer field's
+# present json_type is non-integral.
+# ---------------------------------------------------------------------------
+_JSONL_GATE_SHARDS: dict[str, list[str]] = {
+    # gzip shard 0: happy paths — full row, blank line, missing fields,
+    # raw UTF-8 + \u escape + null field + extra field
+    "part-00000.jsonl.gz": [
+        '{"doc_id": 101, "text": "the quick brown fox", "lang": "en",'
+        ' "source": "web", "n_chars": 19}',
+        "",
+        '{"doc_id": 102, "text": "hallo welt", "lang": "de"}',
+        '{"doc_id": 103, "text": "café \\u2014 na\\u00efve", "lang": "fr",'
+        ' "source": null, "n_chars": 12, "extra_field": true}',
+    ],
+    # gzip shard 1: the corrupt classes + JSON escape soup
+    "part-00001.jsonl.gz": [
+        "{not json at all",
+        '{"doc_id": "abc", "text": "type mismatch"}',
+        '{"doc_id": 104, "text": "tab\\there \\"quoted\\" back\\\\slash",'
+        ' "lang": "en", "source": "books", "n_chars": 29}',
+        "42",
+        '"just a string"',
+    ],
+    # plain shard 2: empty object, empty strings, duplicate id, extremes
+    "part-00002.jsonl": [
+        "{}",
+        '{"doc_id": 105, "text": "", "lang": "", "source": "web", "n_chars": 0}',
+        '{"doc_id": 105, "text": "duplicate id", "lang": "en", "source": "cc",'
+        ' "n_chars": 12}',
+        '{"doc_id": -9223372036854775808, "text": "min int64", "lang": "en",'
+        ' "source": "cc", "n_chars": 9}',
+        '{"doc_id": 9223372036854775807, "text": "max int64", "lang": "en",'
+        ' "source": "cc", "n_chars": 9}',
+    ],
+}
+
+
+def _staged_jsonl_dir() -> str:
+    def stage(d: str) -> None:
+        import gzip
+
+        for fname, lines in _JSONL_GATE_SHARDS.items():
+            payload = "\n".join(lines) + "\n"
+            if fname.endswith(".gz"):
+                with gzip.open(f"{d}/{fname}", "wt", encoding="utf-8") as fh:
+                    fh.write(payload)
+            else:
+                with open(f"{d}/{fname}", "w", encoding="utf-8") as fh:
+                    fh.write(payload)
+
+    return _staged_dir(("jsonl_gate",), stage)
+
+
+def _q_jsonl_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_infotheoretic_feature_selection_spark.operators.sinks import (
+        read_documents_jsonl,
+    )
+
+    return read_documents_jsonl(spark, _staged_jsonl_dir(), corrupt_col="bad_line")
+
+
+def _jsonl_read_oracle() -> str:
+    d = _staged_jsonl_dir()
+    int_fields = ["doc_id", "n_chars"]
+    str_fields = ["text", "lang", "source"]
+    # a record is corrupt iff it is not a JSON object, or an integer
+    # field is present with a non-integral value (string fields coerce,
+    # never corrupt — probe-pinned)
+    type_checks = [
+        f"coalesce(json_type(j, '$.{f}'), 'NULL') NOT IN ('BIGINT', 'UBIGINT', 'NULL')"
+        for f in int_fields
+    ]
+    bad = "j IS NULL OR json_type(j) <> 'OBJECT' OR " + " OR ".join(type_checks)
+    # per-field emission — partial results survive on corrupt records,
+    # so each field keys on ITS OWN json_type, not on the record flag.
+    # TRY_CAST in the value branch: the type guard already guarantees an
+    # integral lexeme, but vectorized CASE may evaluate the branch on
+    # excluded rows too — it must not throw.
+    outs = [
+        f"CASE WHEN json_type(j, '$.{f}') IN ('BIGINT', 'UBIGINT')"
+        f" THEN TRY_CAST(json_extract_string(j, '$.{f}') AS BIGINT) END AS {f}"
+        for f in int_fields
+    ] + [
+        f"CASE WHEN json_type(j, '$.{f}') = 'VARCHAR'"
+        f" THEN json_extract_string(j, '$.{f}') END AS {f}"
+        for f in str_fields
+    ]
+    return f"""
+    WITH jlines AS (
+      SELECT value AS line
+      FROM read_csv('{d}/part-*', columns={{'value': 'VARCHAR'}}, header=false,
+                    delim=chr(1), quote='')
+      WHERE coalesce(value, '') <> ''),
+    jparsed AS (
+      SELECT line, TRY_CAST(line AS JSON) AS j FROM jlines),
+    jflag AS (
+      SELECT line, j, ({bad}) AS bad FROM jparsed)
+    SELECT {", ".join(outs)},
+           CASE WHEN bad THEN line END AS bad_line
+    FROM jflag
+    """
+
+
+# ---------------------------------------------------------------------------
 # scrub_pii gate — r8: the one extension op that was unit-only (the
 # testdata corpus has no PII, so a corpus oracle would zero-hit-check
 # nothing).  The staged parquet fixture carries every pattern class plus
@@ -2300,6 +2435,10 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # staged fixtures (registry 74 -> 76, within the 2-round period)
         "libsvm_read": _q_libsvm_read,
         "scrub_pii": _q_scrub_pii,
+        # r12: the JSONL landing-dir reader earns a value-level row via a
+        # staged mixed gzip/plain shard fixture (registry 80 -> 81, one
+        # slot under the 82 structural cap)
+        "jsonl_read": _q_jsonl_read,
         # r12 consolidation (VERDICT r11 ask #2): the r9-r11
         # selected_wide_{mrmr,direct,cmim,jmi} slots union into ONE
         # criterion-column gate covering all five criteria × designated
@@ -2447,6 +2586,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash64_mining": _simhash64_mining_oracle(),
         "libsvm_read": _libsvm_read_oracle(),
         "scrub_pii": _scrub_pii_oracle(),
+        "jsonl_read": _jsonl_read_oracle(),
         "selected_wide": wide_selection_all_oracle_sql(),
         "simhash64_incremental": dedup.simhash64_incremental_oracle(),
         "source_token_cap": _source_token_cap_both_oracle(),

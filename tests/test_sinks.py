@@ -115,3 +115,47 @@ def test_jsonl_corrupt_lines_quarantine(spark, tmp_path):
     assert sorted(
         r["doc_id"] for r in plain.collect() if r["doc_id"] is not None
     ) == [1, 2]
+
+
+def test_jsonl_permissive_semantics_pin(spark, tmp_path):
+    # Pins the Spark-only PERMISSIVE behaviors the jsonl_read gate's
+    # oracle deliberately leaves OUT of its cross-engine contract (see
+    # __spark_entry__._jsonl_read_oracle): partial results on corrupt
+    # records, number->string coercion, and top-level array explode.
+    # If a Spark upgrade shifts any of these, this test names the break
+    # before the landing-dir gate fixture has to.
+    from flink_infotheoretic_feature_selection_spark.operators.sinks import (
+        read_documents_jsonl,
+    )
+
+    p = tmp_path / "semantics"
+    p.mkdir()
+    (p / "part-0.jsonl").write_text(
+        # long-field coercion failure mid-record: fields before AND
+        # after the failing one keep their values, line is quarantined
+        '{"doc_id": 8, "n_chars": "x", "lang": "de"}\n'
+        # number -> string field coerces (NOT corrupt)
+        '{"doc_id": 9, "text": 5, "lang": "en"}\n'
+        # float / bool -> long both corrupt the record
+        '{"doc_id": 1.5, "text": "frac"}\n'
+        '{"doc_id": true, "text": "bool"}\n'
+        # top-level array of objects explodes into one row per element
+        '[{"doc_id": 20, "text": "a"}, {"doc_id": 21, "text": "b"}]\n'
+    )
+    rows = read_documents_jsonl(spark, str(p), corrupt_col="_bad").collect()
+    by_bad = {r["_bad"]: r for r in rows if r["_bad"] is not None}
+
+    partial = by_bad['{"doc_id": 8, "n_chars": "x", "lang": "de"}']
+    assert (partial["doc_id"], partial["n_chars"], partial["lang"]) == (8, None, "de")
+
+    coerced = next(r for r in rows if r["doc_id"] == 9)
+    assert coerced["text"] == "5" and coerced["_bad"] is None
+
+    assert {b for b in by_bad if '"frac"' in b or '"bool"' in b} == {
+        '{"doc_id": 1.5, "text": "frac"}',
+        '{"doc_id": true, "text": "bool"}',
+    }
+
+    exploded = sorted(r["doc_id"] for r in rows if r["doc_id"] in (20, 21))
+    assert exploded == [20, 21]
+    assert len(rows) == 6  # 4 single-line rows + 2 array elements
