@@ -1439,8 +1439,17 @@ def _q_jsonl_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_documents_jsonl(spark, _staged_jsonl_dir(), corrupt_col="bad_line")
 
 
-def _jsonl_read_oracle() -> str:
-    d = _staged_jsonl_dir()
+def jsonl_oracle_sql(glob: str) -> str:
+    """DuckDB re-parse of a JSONL landing dir — the oracle twin of
+    ``sinks.read_documents_jsonl(corrupt_col="bad_line")`` for ANY file
+    set within the probe-verified hazard classes (the gate passes the
+    fixed fixture; the randomized JSONL sweep generates landing dirs).
+
+    Out-of-contract inputs (see the gate comment above): top-level JSON
+    arrays (Spark explodes them), numeric-valued string fields (lexeme
+    formatting differs), integers outside int64 (Jackson overflow vs
+    TRY_CAST NULL), and whitespace-only lines.
+    """
     int_fields = ["doc_id", "n_chars"]
     str_fields = ["text", "lang", "source"]
     # a record is corrupt iff it is not a JSON object, or an integer
@@ -1468,7 +1477,7 @@ def _jsonl_read_oracle() -> str:
     return f"""
     WITH jlines AS (
       SELECT value AS line
-      FROM read_csv('{d}/part-*', columns={{'value': 'VARCHAR'}}, header=false,
+      FROM read_csv('{glob}', columns={{'value': 'VARCHAR'}}, header=false,
                     delim=chr(1), quote='')
       WHERE coalesce(value, '') <> ''),
     jparsed AS (
@@ -1479,6 +1488,10 @@ def _jsonl_read_oracle() -> str:
            CASE WHEN bad THEN line END AS bad_line
     FROM jflag
     """
+
+
+def _jsonl_read_oracle() -> str:
+    return jsonl_oracle_sql(_staged_jsonl_dir() + "/part-*")
 
 
 # ---------------------------------------------------------------------------

@@ -45,6 +45,7 @@ def main() -> int:
     wide = _load("test_random_wide_matrix_sweep.py")
     embeds = _load("test_random_embeddings_gate_sweep.py")
     keel = _load("test_random_keel_gate_sweep.py")
+    jsonl = _load("test_random_jsonl_gate_sweep.py")
     streaming = _load("test_random_streaming_sweep.py")
 
     seeds = list(range(base, base + n_seeds))
@@ -56,6 +57,7 @@ def main() -> int:
         jobs.append(("events", s, lambda d, s=s: events.test_events_gates_cross_engine_on_random_events(spark, d, s)))
         jobs.append(("embeddings", s, lambda d, s=s: embeds.test_embeddings_gates_cross_engine_on_random_vectors(spark, d, s)))
         jobs.append(("keel", s, lambda d, s=s: keel.test_keel_reader_cross_engine_on_random_files(spark, d, s)))
+        jobs.append(("jsonl", s, lambda d, s=s: jsonl.test_jsonl_reader_cross_engine_on_random_dirs(spark, d, s)))
         jobs.append(("matrix", s, lambda d, s=s: matrix.test_core_gates_cross_engine_on_random_matrix(spark, d, s, 120)))
         jobs.append(("media", s, lambda d, s=s: corpus.test_media_gates_on_ascii_corpus_with_nulls(spark, d, s)))
     def _matrix_distmerge(d, s):
