@@ -28,7 +28,14 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-__all__ = ["KeelHeader", "KeelAttribute", "parse_keel_header", "read_keel"]
+__all__ = [
+    "KeelHeader",
+    "KeelAttribute",
+    "parse_keel_header",
+    "read_keel",
+    "write_keel",
+    "format_keel_header",
+]
 
 _ATTR_RE = re.compile(
     r"@attribute\s+(?P<name>[^\s{\[]+)\s*"
@@ -267,3 +274,118 @@ def read_keel(
     ]
     cols.append(exprs[header.label].alias(label_as))
     return raw.select(*cols)
+
+
+def format_keel_header(header: KeelHeader) -> str:
+    """Serialize a :class:`KeelHeader` back to its ``@``-directive text
+    (through ``@data``) — the write-back twin of :func:`parse_keel_header`
+    (reference: ``keel/Dataset/InstanceSet.java`` print/write paths).
+    """
+    lines = [f"@relation {header.relation or 'spark-export'}"]
+    for a in header.attributes:
+        if a.kind == "nominal":
+            lines.append(f"@attribute {a.name} {{{', '.join(a.values)}}}")
+        elif a.lo is not None and a.hi is not None:
+            lo = int(a.lo) if a.kind == "integer" else a.lo
+            hi = int(a.hi) if a.kind == "integer" else a.hi
+            lines.append(f"@attribute {a.name} {a.kind} [{lo}, {hi}]")
+        else:
+            lines.append(f"@attribute {a.name} {a.kind}")
+    if header.inputs:
+        lines.append(f"@inputs {', '.join(header.inputs)}")
+    if header.outputs:
+        lines.append(f"@outputs {', '.join(header.outputs)}")
+    lines.append("@data")
+    return "\n".join(lines) + "\n"
+
+
+def write_keel(
+    df: DataFrame,
+    path: str,
+    header: KeelHeader,
+    label_as: str = "label",
+    single_file: bool = False,
+) -> None:
+    """Write a ``read_keel``-shaped frame back to the KEEL dense dialect
+    (``keel/Dataset/InstanceSet.java`` print/write paths — the one
+    reference surface without a Spark twin until r12).
+
+    ``df`` carries the attributes named as in ``header`` with the label
+    under ``label_as`` — exactly what :func:`read_keel` returns (indexed
+    nominals, double numerics).  Cell formatting mirrors the reference's
+    printing: nominal index → its declared value string, integer kinds →
+    integral text, real kinds → shortest round-trip double text, NULL →
+    ``'?'``.  Everything is JVM column expressions over a distributed
+    text write — no driver-side row loop.
+
+    Layout: ``path/`` gets ``header.dat`` (the ``@``-directives through
+    ``@data``, driver-written, bounded by attribute count) plus
+    distributed ``body/part-*`` shards; read back with
+    ``read_keel(spark, f"{path}/body", header_path=f"{path}/header.dat")``.
+    ``single_file=True`` additionally concatenates the shards into ONE
+    ``path/data.dat`` interop file (header inline, the classic KEEL
+    shape) — a driver-side byte copy, sized for exports to KEEL tooling,
+    not for corpus-scale output.
+    """
+    import os
+    import shutil
+
+    by_name = {a.name: a for a in header.attributes}
+    missing = [a.name for a in header.attributes if a.name != header.label]
+    missing = [n for n in missing if n not in df.columns]
+    if missing:
+        raise ValueError(f"frame lacks header attributes: {missing}")
+    cells = []
+    for a in header.attributes:
+        col = F.col(label_as if a.name == header.label else a.name)
+        if a.kind == "nominal":
+            bad = [v for v in a.values if "," in v or v.strip() != v]
+            if bad:
+                raise ValueError(
+                    f"nominal values of {a.name!r} not dense-dialect-safe: {bad}"
+                )
+            # declared-order index -> value string via a map lookup, the
+            # exact inverse of read_keel's value->index map.  NOT
+            # element_at(array, col+1): under Spark 4.1's default ANSI
+            # mode a NULL index makes element_at return the LAST array
+            # element instead of NULL (probe-verified in a bare session;
+            # ansi=false and map lookups are both correct) — a missing
+            # nominal would silently write as the final declared value
+            # instead of '?'.  Caught by the roundtrip unit.
+            mapping = F.create_map(
+                *[x for i, v in enumerate(a.values) for x in (F.lit(i), F.lit(v))]
+            )
+            cell = mapping[col.cast("int")]
+        elif a.kind == "integer":
+            # integer attributes normally hold integral doubles — emit
+            # them without the trailing '.0'.  Real files break their own
+            # declarations though (read_keel happily parses '1.5' under
+            # an integer kind), so non-integral / out-of-int64 values
+            # fall back to the double text instead of truncating or
+            # throwing (try_cast: ANSI CAST would throw on overflow).
+            dbl = col.cast("double")
+            as_int = dbl.try_cast("bigint")
+            cell = F.when(
+                as_int.isNotNull() & (as_int.cast("double") == dbl),
+                as_int.cast("string"),
+            ).otherwise(dbl.cast("string"))
+        else:
+            cell = col.cast("double").cast("string")
+        cells.append(F.coalesce(cell, F.lit("?")))
+
+    os.makedirs(path, exist_ok=True)
+    with open(f"{path}/header.dat", "w") as fh:
+        fh.write(format_keel_header(header))
+    body_dir = f"{path}/body"
+    df.select(F.concat_ws(", ", *cells).alias("value")).write.mode(
+        "overwrite"
+    ).text(body_dir)
+
+    if single_file:
+        with open(f"{path}/data.dat", "w") as out:
+            out.write(format_keel_header(header))
+            for part in sorted(os.listdir(body_dir)):
+                if part.startswith(("_", ".")) or not part.endswith(".txt"):
+                    continue
+                with open(f"{body_dir}/{part}") as src:
+                    shutil.copyfileobj(src, out)

@@ -123,3 +123,38 @@ def test_jsonl_reader_cross_engine_on_random_dirs(spark, tmp_path, seed):
     )
     assert got == exp, (seed, got[:4], exp[:4])
     assert len(got) == n_rows  # every non-blank line lands exactly once
+
+
+@pytest.mark.parametrize("seed", [11, 37])
+def test_jsonl_write_read_roundtrip_random(spark, tmp_path, seed):
+    # writer -> reader closure on random CLEAN corpora (the writer never
+    # produces corrupt lines); gzip shards + content-hash sharding
+    from flink_infotheoretic_feature_selection_spark.operators.sinks import (
+        write_documents_jsonl,
+    )
+
+    rng = random.Random(seed)
+    rows = [
+        (
+            i,
+            rng.choice(TEXT_POOL + [None]),
+            rng.choice([v for v in LANGS if v is not None] + [None]),
+            rng.choice([v for v in SOURCES if v is not None] + [None]),
+            rng.choice([0, -5, rng.randint(0, 10**12), None]),
+        )
+        for i in range(rng.randint(20, 60))
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    out = str(tmp_path / "out")
+    write_documents_jsonl(df, out, key_col="doc_id", n_shards=4)
+    from flink_infotheoretic_feature_selection_spark.operators.sinks import (
+        read_documents_jsonl,
+    )
+
+    back = read_documents_jsonl(spark, out).drop("shard")
+    key = lambda t: tuple((v is None, v) for v in t)
+    assert sorted(map(tuple, back.select(*df.columns).collect()), key=key) == sorted(
+        map(tuple, rows), key=key
+    )

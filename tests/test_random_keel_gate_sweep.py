@@ -110,3 +110,29 @@ def test_keel_reader_cross_engine_on_random_files(spark, tmp_path, seed):
     )
     assert got == exp, (seed, got[:4], exp[:4])
     assert len(got) >= 5  # the generator produced real data rows
+
+
+@pytest.mark.parametrize("seed", [7, 29])
+def test_keel_write_roundtrip_on_random_files(spark, tmp_path, seed):
+    # r12: write_keel closure — random file -> read -> write -> read
+    # must be value-identical (incl. '?' NULLs, nominal re-mapping, and
+    # out-of-declaration fractional values under integer kinds)
+    from flink_infotheoretic_feature_selection_spark.sources.keel import (
+        parse_keel_header,
+        write_keel,
+    )
+
+    content, attrs, inputs, label = _random_keel(seed)
+    src = str(tmp_path / f"src_{seed}.dat")
+    with open(src, "w") as fh:
+        fh.write(content)
+    header = parse_keel_header(content.splitlines())
+    df = read_keel(spark, src)
+    out = str(tmp_path / "export")
+    write_keel(df, out, header)
+    back = read_keel(spark, f"{out}/body", header_path=f"{out}/header.dat")
+    key = lambda t: tuple((v is None, v) for v in t)
+    got = sorted(map(tuple, back.select(*df.columns).collect()), key=key)
+    exp = sorted(map(tuple, df.collect()), key=key)
+    assert got == exp, (seed, got[:4], exp[:4])
+    assert len(got) >= 5

@@ -339,3 +339,94 @@ def test_keel_bare_inputs_directive_raises():
         parse_keel_header(
             ["@relation t", "@attribute a integer", "@inputs", "@data"]
         )
+
+
+# --- write_keel (r12: the reference's InstanceSet write-back path) ------
+
+
+def _roundtrip(spark, tmp_path, text, normalize=False):
+    from flink_infotheoretic_feature_selection_spark.sources.keel import write_keel
+
+    src = tmp_path / "src.dat"
+    src.write_text(text)
+    header = parse_keel_header(text.splitlines())
+    df = read_keel(spark, str(src), normalize=normalize)
+    out = str(tmp_path / "export")
+    write_keel(df, out, header)
+    back = read_keel(spark, f"{out}/body", header_path=f"{out}/header.dat")
+    key = lambda t: tuple((v is None, v) for v in t)
+    assert sorted(map(tuple, back.collect()), key=key) == sorted(
+        map(tuple, df.collect()), key=key
+    )
+    return out, header
+
+
+def test_write_keel_roundtrip_dense(spark, tmp_path):
+    _roundtrip(spark, tmp_path, KEEL_TEXT)
+
+
+def test_write_keel_roundtrip_sparse_and_missing(spark, tmp_path):
+    # sparse rows densify on write (the writer emits the dense dialect);
+    # '?' NULLs survive the roundtrip
+    text = KEEL_SPARSE_TEXT + "?, 5, <null>, yes\n"
+    out, header = _roundtrip(spark, tmp_path, text)
+    body = ""
+    import os
+
+    for part in sorted(os.listdir(f"{out}/body")):
+        if part.endswith(".txt"):
+            body += open(f"{out}/body/{part}").read()
+    assert "?" in body  # NULLs wrote as the KEEL missing token
+    assert "{" not in body  # dense dialect only
+
+
+def test_write_keel_single_file_is_classic_shape(spark, tmp_path):
+    from flink_infotheoretic_feature_selection_spark.sources.keel import write_keel
+
+    src = tmp_path / "src.dat"
+    src.write_text(KEEL_TEXT)
+    header = parse_keel_header(KEEL_TEXT.splitlines())
+    df = read_keel(spark, str(src))
+    out = str(tmp_path / "export1")
+    write_keel(df, out, header, single_file=True)
+    data = open(f"{out}/data.dat").read()
+    assert data.startswith("@relation ")
+    assert "@data\n" in data
+    # the classic single file reads back through the normal entry point
+    back = read_keel(spark, f"{out}/data.dat")
+    key = lambda t: tuple((v is None, v) for v in t)
+    assert sorted(map(tuple, back.collect()), key=key) == sorted(
+        map(tuple, df.collect()), key=key
+    )
+
+
+def test_write_keel_rejects_unsafe_nominals_and_missing_cols(spark, tmp_path):
+    from flink_infotheoretic_feature_selection_spark.sources.keel import (
+        KeelAttribute,
+        KeelHeader,
+        write_keel,
+    )
+
+    df = spark.createDataFrame([(0, 0)], "a int, label int")
+    bad = KeelHeader(
+        "t",
+        [
+            KeelAttribute("a", "nominal", ["x,y", "z"]),
+            KeelAttribute("c", "nominal", ["p", "q"]),
+        ],
+        ["a"],
+        ["c"],
+    )
+    with pytest.raises(ValueError, match="not dense-dialect-safe"):
+        write_keel(df, str(tmp_path / "e1"), bad)
+    lacking = KeelHeader(
+        "t",
+        [
+            KeelAttribute("zz", "integer"),
+            KeelAttribute("c", "nominal", ["p", "q"]),
+        ],
+        ["zz"],
+        ["c"],
+    )
+    with pytest.raises(ValueError, match="frame lacks header attributes"):
+        write_keel(df, str(tmp_path / "e2"), lacking)
