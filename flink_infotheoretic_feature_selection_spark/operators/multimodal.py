@@ -69,9 +69,15 @@ def attach_media(documents: DataFrame) -> DataFrame:
         # buffer used to crash the Arrow kernels (bytes(None)); the
         # oracles coalesce identically so n_bytes is 0 on both engines
         F.encode(F.coalesce(F.col("text"), F.lit("")), "UTF-8").alias("media"),
-        F.element_at(
-            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
-            (F.col("doc_id") % 3 + 1).cast("int"),
+        # the SAME total CASE the DuckDB oracle carries — NULL doc_id and
+        # negative remainders both land in ELSE on BOTH engines.  NOT
+        # element_at(array, doc_id % 3 + 1): a NULL doc_id hits Spark
+        # 4.1's ANSI element_at NULL-index bug (returns the LAST element
+        # — see sources/keel.py write_keel note) and a negative doc_id
+        # makes index 0/-1 THROW at scan time.
+        F.expr(
+            "CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' "
+            "WHEN 1 THEN 'audio' ELSE 'video' END"
         ).alias("media_type"),
         F.length(F.encode(F.coalesce(F.col("text"), F.lit("")), "UTF-8")).alias("n_bytes"),
     )

@@ -1294,7 +1294,11 @@ def pq_adc_score_terms(
             for c in book
         ) + ")"
         sub = f"slice({q_emb}, {m * sub_dim + 1}, {sub_dim})"
-        dot = _dot_expr_spark(sub, f"element_at({books_lit}, c{m} + 1)")
+        # try_element_at: a NULL code (e.g. a stream row with a NULL
+        # embedding) must yield a NULL score — plain element_at under
+        # Spark 4.1 ANSI silently returns the LAST codebook entry for a
+        # NULL index (see sources/keel.py write_keel note)
+        dot = _dot_expr_spark(sub, f"try_element_at({books_lit}, c{m} + 1)")
         terms.append(
             f"CAST(round(round(({dot}) / {q_nrm}, 5) * {PQ_SCORE_SCALE}, 0) AS BIGINT)"
         )

@@ -166,7 +166,11 @@ def read_keel(
         "  filter(split(regexp_replace(trim(value), '^\\\\{|\\\\}$', ''), ','),"
         "         t -> trim(t) != ''),"
         "  t -> struct(TRY_CAST(element_at(split(trim(t), '\\\\s+'), 1) AS INT) AS k,"
-        "              element_at(split(trim(t), '\\\\s+'), 2) AS v))"
+        # try_element_at: an index-only entry like '{3}' has no second
+        # token, and under ANSI element_at(.., 2) would THROW a deep
+        # INVALID_ARRAY_INDEX at scan time; NULL v reaches the readable
+        # raise_error below instead
+        "              try_element_at(split(trim(t), '\\\\s+'), 2) AS v))"
     )
     # Malformed sparse rows fail here with a READABLE error carrying the
     # offending row text, instead of the engine's own deep-in-the-scan
@@ -175,6 +179,8 @@ def read_keel(
     sparse_entries = F.expr(
         f"CASE WHEN exists({_entries_sql}, e -> e.k IS NULL) THEN "
         f"raise_error(concat('malformed sparse KEEL entry (non-numeric index): ', trim(value))) "
+        f"WHEN exists({_entries_sql}, e -> e.v IS NULL) THEN "
+        f"raise_error(concat('malformed sparse KEEL entry (index without value): ', trim(value))) "
         f"WHEN size(array_distinct(transform({_entries_sql}, e -> e.k))) != size({_entries_sql}) THEN "
         f"raise_error(concat('duplicate sparse index in KEEL row: ', trim(value))) "
         f"ELSE map_from_entries({_entries_sql}) END"

@@ -271,3 +271,20 @@ def test_decode_media_with_pil_codec(spark):
     for i, g in enumerate(grids):
         want = (g.astype(np.float32) / 255.0).reshape(-1)
         assert np.array_equal(got[i], want)
+
+
+def test_attach_media_total_on_null_and_negative_doc_ids(spark):
+    # r12: media_type is a total CASE matching the oracle — NULL doc_id
+    # and negative remainders land in ELSE ('video') on BOTH engines.
+    # The previous element_at(array, doc_id % 3 + 1) hit Spark 4.1's
+    # ANSI NULL-index bug (returned 'video' by ACCIDENT) and THREW an
+    # INVALID_ARRAY_INDEX on negative ids (index 0/-1).
+    df = spark.createDataFrame(
+        [(None, "a"), (-1, "b"), (-2, "c"), (-3, "d"), (0, "e")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r["media_type"] for r in mm.attach_media(df).collect()}
+    assert rows[None] == "video"
+    assert rows[-1] == "video" and rows[-2] == "video"  # CASE -1/-2 -> ELSE
+    assert rows[-3] == "image"  # -3 % 3 == 0 on both engines
+    assert rows[0] == "image"

@@ -319,6 +319,14 @@ def test_keel_malformed_sparse_rows_raise_readable_errors(spark, tmp_path):
     with pytest.raises(Exception, match="duplicate sparse index"):
         read_keel(spark, str(dup_index)).collect()
 
+    # r12: index-only entry — used to surface as a deep ANSI
+    # INVALID_ARRAY_INDEX from element_at(.., 2) instead of a readable
+    # message naming the row
+    no_value = tmp_path / "no_value.dat"
+    no_value.write_text(header + "{0 1, 2}\n")
+    with pytest.raises(Exception, match="index without value"):
+        read_keel(spark, str(no_value)).collect()
+
 
 def test_keel_unknown_inputs_name_raises(spark, tmp_path):
     from flink_infotheoretic_feature_selection_spark.sources.keel import read_keel
