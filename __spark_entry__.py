@@ -1431,12 +1431,41 @@ def _staged_jsonl_dir() -> str:
     return _staged_dir(("jsonl_gate",), stage)
 
 
+_JSONL_GATE_COLS = "doc_id, text, lang, source, n_chars, bad_line"
+
+
 def _q_jsonl_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # variant column: the batch reader UNION the streaming landing-dir
+    # ingest twin drained through a LIVE availableNow file stream over
+    # the SAME staged shards (each file a micro-batch; stateless, so
+    # both variants must hash-match the same line-level oracle).
     from flink_infotheoretic_feature_selection_spark.operators.sinks import (
         read_documents_jsonl,
     )
+    from flink_infotheoretic_feature_selection_spark.streaming import (
+        read_documents_jsonl_stream,
+    )
 
-    return read_documents_jsonl(spark, _staged_jsonl_dir(), corrupt_col="bad_line")
+    d = _staged_jsonl_dir()
+    batch = read_documents_jsonl(spark, d, corrupt_col="bad_line").selectExpr(
+        "'batch' AS variant", *_JSONL_GATE_COLS.split(", ")
+    )
+    with _few_shuffle_partitions(spark):
+        q = (
+            read_documents_jsonl_stream(spark, f"{d}/part-*", corrupt_col="bad_line")
+            .writeStream.format("memory")
+            .queryName("q_stream_jsonl_read")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(_STREAM_BUDGET_MS // 1000):
+            q.stop()
+            raise RuntimeError("stream jsonl ingest did not finish in budget")
+    streamed = spark.table("q_stream_jsonl_read").selectExpr(
+        "'stream' AS variant", *_JSONL_GATE_COLS.split(", ")
+    )
+    return batch.unionByName(streamed)
 
 
 def jsonl_oracle_sql(glob: str) -> str:
@@ -1491,7 +1520,12 @@ def jsonl_oracle_sql(glob: str) -> str:
 
 
 def _jsonl_read_oracle() -> str:
-    return jsonl_oracle_sql(_staged_jsonl_dir() + "/part-*")
+    return _tagged_union_oracle(
+        jsonl_oracle_sql(_staged_jsonl_dir() + "/part-*"),
+        "variant",
+        ("batch", "stream"),
+        _JSONL_GATE_COLS,
+    )
 
 
 # ---------------------------------------------------------------------------
