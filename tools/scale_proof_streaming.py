@@ -57,7 +57,10 @@ def ensure_fixture(script: str, n: int, sf_dir: str, out: str) -> str:
     return out
 
 
-def drain(stream_df, name: str, budget_s: int = 1800, sink: str = "memory"):
+def drain(
+    stream_df, name: str, budget_s: int = 1800, sink: str = "memory",
+    mode: str = "append",
+):
     """Run to a sink with availableNow; return metrics dict.
 
     ``sink="parquet"`` for high-volume outputs: the memory sink COLLECTS
@@ -67,7 +70,7 @@ def drain(stream_df, name: str, budget_s: int = 1800, sink: str = "memory"):
     materialization instead of the operator.
     """
     spark = stream_df.sparkSession
-    w = stream_df.writeStream.outputMode("append").trigger(availableNow=True)
+    w = stream_df.writeStream.outputMode(mode).trigger(availableNow=True)
     if sink == "parquet":
         out_dir = f"/tmp/sp_stream_out/{name}"
         import shutil
@@ -120,8 +123,8 @@ def drain(stream_df, name: str, budget_s: int = 1800, sink: str = "memory"):
 
 def main() -> None:
     argv = [a for a in sys.argv[1:]]
-    ops = {a for a in argv if a in ("neardup", "decon", "winagg")} or {
-        "neardup", "decon", "winagg"
+    ops = {a for a in argv if a in ("neardup", "decon", "winagg", "userstats")} or {
+        "neardup", "decon", "winagg", "userstats"
     }
     nums = [a for a in argv if a not in ops]
     n = int(nums[0]) if nums else 100
@@ -206,6 +209,22 @@ def main() -> None:
     if "winagg" in ops:
         report["stream_window_agg"] = drain(
             windowed_event_agg(ev_stream), "sp_winagg"
+        )
+
+    if "userstats" in ops:
+        # r12: the applyInPandasWithState custom stateful op.  State is
+        # ONE fixed-width row per user (bounded by key cardinality, not
+        # stream length); update-mode emission re-emits each touched
+        # user per micro-batch, so out_rows ~ users x batches while
+        # peak_state_rows must stay ~= distinct users.  Memory sink:
+        # file sinks cannot take update mode; output is users-bounded
+        # (NOT row-bounded), so the driver collect is the small side.
+        from flink_infotheoretic_feature_selection_spark.streaming import (
+            stateful_user_stats,
+        )
+
+        report["stream_user_stats"] = drain(
+            stateful_user_stats(ev_stream), "sp_userstats", mode="update"
         )
 
     print(json.dumps({"n_copies": n, "files_per_trigger": fpt, "ops": report}))
