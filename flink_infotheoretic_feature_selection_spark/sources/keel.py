@@ -336,16 +336,24 @@ def write_keel(
     import os
     import shutil
 
-    by_name = {a.name: a for a in header.attributes}
-    missing = [a.name for a in header.attributes if a.name != header.label]
-    missing = [n for n in missing if n not in df.columns]
+    missing = [
+        a.name
+        for a in header.attributes
+        if a.name != header.label and a.name not in df.columns
+    ]
     if missing:
         raise ValueError(f"frame lacks header attributes: {missing}")
     cells = []
     for a in header.attributes:
         col = F.col(label_as if a.name == header.label else a.name)
         if a.kind == "nominal":
-            bad = [v for v in a.values if "," in v or v.strip() != v]
+            # ',' breaks the dense row, padding breaks the re-parse trim,
+            # and the missing-value tokens would read back as NULL
+            bad = [
+                v
+                for v in a.values
+                if "," in v or v.strip() != v or v.lower() in ("?", "<null>")
+            ]
             if bad:
                 raise ValueError(
                     f"nominal values of {a.name!r} not dense-dialect-safe: {bad}"
