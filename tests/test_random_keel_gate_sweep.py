@@ -82,6 +82,16 @@ def _random_keel(seed: int) -> tuple[str, list, list, str]:
             lines.append(
                 ", ".join(f"{pad}{cell(vals)}{pad}" for _, vals in attrs)
             )
+    # the sweep's sanity floor asserts >= 5 data rows; blank/@-garbage
+    # rolls can leave fewer (seed 408: 8 body lines, 4 data rows) — top
+    # up with dense rows so the floor is a property of the GENERATOR,
+    # not of the dice
+    n_data = sum(
+        1 for ln in lines[lines.index("@data") + 1 :]
+        if ln.strip() and not ln.strip().startswith("@")
+    )
+    for _ in range(max(0, 5 - n_data)):
+        lines.append(", ".join(cell(vals) for _, vals in attrs))
     return "\n".join(lines) + "\n", attrs, inputs, label
 
 
