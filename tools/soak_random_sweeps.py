@@ -79,6 +79,9 @@ def main() -> int:
             histogram.BLOB_DRIVER_MERGE_MAX_BYTES = prev
 
     for s in thin:
+        # r12: writer->reader closure legs (KEEL write-back + JSONL export)
+        jobs.append(("keel_write", s, lambda d, s=s: keel.test_keel_write_roundtrip_on_random_files(spark, d, s)))
+        jobs.append(("jsonl_write", s, lambda d, s=s: jsonl.test_jsonl_write_read_roundtrip_random(spark, d, s)))
         jobs.append(("matrix_distmerge", s, lambda d, s=s: _matrix_distmerge(d, s)))
         # r9: random wide shapes (150-320 features) through the pack
         # fast path vs the parameterized rid-join oracle; r10 crosses
