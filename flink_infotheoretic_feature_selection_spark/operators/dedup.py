@@ -1094,10 +1094,19 @@ def simhash_pairs(
     LINEAR ``(doc_id, simhash)`` table is computed ONCE and
     checkpointed; the pair listing returns LAZILY (materializing a
     family-quadratic output is the 100×-fixture failure mode BASELINE
-    records for simhash64_pairs).  The 28-bit chunk join stays at the
-    DOC level deliberately: its buckets saturate on big corpora either
-    way (documented), and :func:`simhash64_pairs` is the production
-    form with the signature-level join.
+    records for simhash64_pairs).
+
+    r12: the chunk join now runs at the DISTINCT-SIGNATURE level with
+    first-match banding — :func:`simhash64_chunk_index`'s SCALE RULE,
+    previously applied only to the 64-bit production form.  The 28-bit
+    signature SATURATES on template-heavy corpora (identical-signature
+    families), which made the old doc-level join + DISTINCT dedup
+    family-quadratic *inside the exchange*: every duplicate candidate
+    (a pair matching k chunks exits the join k times, identical
+    signatures all 4) was shuffled just to be discarded.  Signatures
+    are joined once, verified once, and only TRUE near-signature pairs
+    pay the doc expansion — identical output rows (the same unordered
+    pair set, pinned by the value gate).
     """
     if max_hamming >= SIMHASH_CHUNKS:
         raise ValueError(
@@ -1108,36 +1117,67 @@ def simhash_pairs(
     _docs(spark, sf_dir)
     sig = spark.sql(_simhash_sql(duck=False)).localCheckpoint(eager=True)
     mask = (1 << SIMHASH_CHUNK_BITS) - 1
-    chunks = sig.select(
-        "doc_id",
-        "simhash",
-        F.explode(
-            F.expr(
-                f"transform(sequence(0, {SIMHASH_CHUNKS - 1}), c -> struct("
-                f"c AS chunk_idx, "
-                f"shiftright(simhash, c * {SIMHASH_CHUNK_BITS}) & {mask} AS chunk_val))"
-            )
-        ).alias("cc"),
-    ).select("doc_id", "simhash", "cc.chunk_idx", "cc.chunk_val")
+
+    def chunk_index(df, sig_alias):
+        # simhash is a non-negative 28-bit INT: plain shiftright is the
+        # unsigned shift here
+        return df.select(
+            F.col("simhash").alias(sig_alias),
+            F.explode(
+                F.expr(
+                    f"transform(sequence(0, {SIMHASH_CHUNKS - 1}), c -> struct("
+                    f"c AS chunk_idx, "
+                    f"shiftright(simhash, c * {SIMHASH_CHUNK_BITS}) & {mask}"
+                    f" AS chunk_val))"
+                )
+            ).alias("cc"),
+        ).select(sig_alias, "cc.chunk_idx", "cc.chunk_val")
+
+    dsig = sig.select("simhash").distinct()
     cand = (
-        chunks.alias("a")
+        chunk_index(dsig, "sim_a")
+        .alias("a")
         .join(
-            chunks.alias("b"),
+            chunk_index(dsig, "sim_b").alias("b"),
             (F.col("a.chunk_idx") == F.col("b.chunk_idx"))
             & (F.col("a.chunk_val") == F.col("b.chunk_val"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            & (F.col("sim_a") <= F.col("sim_b")),
         )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.col("a.simhash").alias("sim_a"),
-            F.col("b.simhash").alias("sim_b"),
-        )
-        .distinct()
+        .select("sim_a", "sim_b", F.col("a.chunk_idx").alias("chunk_idx"))
     )
-    ham = F.expr("bit_count(CAST(sim_a AS BIGINT) ^ CAST(sim_b AS BIGINT))")
-    return cand.filter(ham <= max_hamming).select(
-        "doc_a", "doc_b", ham.cast("int").alias("hamming")
+    # First-match banding (see simhash64_first_match_verify): keep a
+    # signature pair only from its LOWEST matching chunk — a narrow
+    # codegen CASE of bit tests, so duplicate candidates never reach an
+    # exchange where the old DISTINCT shuffled them all.
+    xor = "CAST(sim_a AS BIGINT) ^ CAST(sim_b AS BIGINT)"
+    first_chunk = F.expr(
+        "CASE "
+        + " ".join(
+            f"WHEN (shiftright({xor}, {c * SIMHASH_CHUNK_BITS}) & {mask}) = 0 THEN {c}"
+            for c in range(SIMHASH_CHUNKS - 1)
+        )
+        + f" ELSE {SIMHASH_CHUNKS - 1} END"
+    )
+    ham = F.expr(f"bit_count({xor})")
+    spairs = (
+        cand.filter(F.col("chunk_idx") == first_chunk)
+        .filter(ham <= max_hamming)
+        .select("sim_a", "sim_b", ham.cast("int").alias("hamming"))
+    )
+    docs_a = sig.select(F.col("doc_id").alias("ida"), F.col("simhash").alias("sim_a"))
+    docs_b = sig.select(F.col("doc_id").alias("idb"), F.col("simhash").alias("sim_b"))
+    return (
+        spairs.join(docs_a, "sim_a")
+        .join(docs_b, "sim_b")
+        # equal-signature self-pairs expand to intra-family pairs once
+        # via the id order; cross-signature pairs are unordered-unique
+        # already (sim_a < sim_b), so any id orientation appears once
+        .where((F.col("sim_a") != F.col("sim_b")) | (F.col("ida") < F.col("idb")))
+        .select(
+            F.least("ida", "idb").alias("doc_a"),
+            F.greatest("ida", "idb").alias("doc_b"),
+            "hamming",
+        )
     )
 
 
