@@ -467,7 +467,25 @@ class InfoThSelector:
                 # 1.2 GB each, whose concat OOM-killed the box — more
                 # partitions than cores is exactly how big data is
                 # supposed to look (r10 decade-run find).
-                if cur < -(-target // 2):
+                #
+                # r12 (guide §2.4 — remove shuffles outright): the
+                # starved re-layout must also be WORTH its own job + a
+                # full shuffle of the packed bytes.  Spreading a
+                # partition only pays when the per-task histogram work it
+                # removes, summed over the loop's k-1 iterations, exceeds
+                # the one-time re-layout; below ~32M cells (≈32 MB of
+                # int8 blocks) per partition the per-iteration task
+                # compute is tens of ms and the shuffle can never win it
+                # back (measured sf0.1, 600k×33, local[32]: the 3→10
+                # split cost 1.3-1.8 s and the loop iteration read
+                # 0.39 s vs 0.38 s — parity).  A genuinely starved big
+                # input (one unsplit multi-GB file) is far above the
+                # threshold and still re-lays out.  Partition-count
+                # choices never affect results: histogram merges are
+                # partition-agnostic integer sums (pinned by
+                # tests/test_packed.py).
+                cells_per_part = (n * len(feats + [label])) / max(cur, 1)
+                if cur < -(-target // 2) and cells_per_part >= self.REBALANCE_MIN_CELLS_PER_PART:
                     t0 = time.perf_counter()
                     packed = packed.rebalance(target, self.LOOP_ROWS_PER_PARTITION)
                     timings["rebalance_sec"] = round(time.perf_counter() - t0, 3)
@@ -558,6 +576,11 @@ class InfoThSelector:
     # 1.05 s → 0.52 s.  Data below 2× this floor is never repartitioned
     # (the shuffle would cost more than it saves).
     LOOP_ROWS_PER_PARTITION = 65536
+    # Minimum per-partition cell count (rows × packed columns) for the
+    # parallelism-starved re-layout to fire — see _fit_from_packed.
+    # Scale-free: compares actual per-partition work against the fixed
+    # cost of one extra job + shuffling every packed byte once.
+    REBALANCE_MIN_CELLS_PER_PART = 32 * 1024 * 1024
 
     def _loop_partition_target(self, matrix: DataFrame, n: int) -> int | None:
         """Partition count the loop should run at, or None to keep the
