@@ -123,6 +123,30 @@ def calibration_probe(reps: int = 3) -> float:
 # substrate regression, not noise.
 LOOP_ITER_FLOOR_SF01 = 0.23
 
+# r12 measurement fix (declared in OPTIMIZATION_r12.md): the 0.23 floor
+# embeds the builder box's ~0.12-0.15 s Spark job-launch latency, but that
+# latency is a HOST property the calibration probe cannot see (it is
+# scheduler/VM wakeup time, not CPU) — an optimization-round box measured
+# a 0.25-0.30 s trivial-one-task floor on UNCHANGED code, tripping the
+# absolute flag with zero substrate change.  The substrate signal is the
+# EXCESS of loop_iter over the measured job floor (builder band: 0.23-0.27
+# minus 0.12-0.15 → ~0.10 s of per-iteration substrate work); regression =
+# excess > LOOP_ITER_EXCESS_LIMIT (≈2.5× the builder's excess).  The old
+# absolute flag is kept in the full payload as loop_iter_regression_abs.
+LOOP_ITER_EXCESS_LIMIT = 0.25
+
+
+def job_floor_probe(sc, reps: int = 5) -> float:
+    """Min-of-N seconds for a trivial one-task RDD job — the host's
+    Spark job-launch latency, subtracted from loop_iter to isolate the
+    substrate's own per-iteration cost."""
+    best = float("inf")
+    for _ in range(max(1, reps)):
+        t0 = time.perf_counter()
+        sc.parallelize([1], 1).count()
+        best = min(best, time.perf_counter() - t0)
+    return best
+
 
 def main() -> None:
     loadavg_before = list(os.getloadavg())
@@ -441,9 +465,23 @@ def main() -> None:
         3,
     )
     # loud substrate-regression tripwire (VERDICT r10 ask #7): only
-    # meaningful at the sf0.1 shape the floor was measured on
+    # meaningful at the sf0.1 shape the floor was measured on.  r12:
+    # judged on the EXCESS over the host's measured job-launch floor
+    # (see LOOP_ITER_EXCESS_LIMIT); the old absolute flag stays in the
+    # full payload for round-over-round comparability.
     loop_iter = results.get("b4_mrmr_k10_loop_iter")
+    job_floor = round(job_floor_probe(spark.sparkContext), 3)
+    loop_excess = (
+        round(loop_iter - job_floor, 3)
+        if (SF == 0.1 and loop_iter is not None)
+        else None
+    )
     loop_regressed = (
+        bool(loop_excess > LOOP_ITER_EXCESS_LIMIT)
+        if loop_excess is not None
+        else None
+    )
+    loop_regressed_abs = (
         bool(loop_iter > 1.5 * LOOP_ITER_FLOOR_SF01)
         if (SF == 0.1 and loop_iter is not None)
         else None
@@ -472,8 +510,12 @@ def main() -> None:
             "before": [round(x, 2) for x in loadavg_before],
             "after": [round(x, 2) for x in os.getloadavg()],
         },
+        "job_floor_sec": job_floor,
+        "loop_iter_excess": loop_excess,
         "loop_iter_regression": loop_regressed,
+        "loop_iter_regression_abs": loop_regressed_abs,
         "loop_iter_floor": LOOP_ITER_FLOOR_SF01 if SF == 0.1 else None,
+        "loop_iter_excess_limit": LOOP_ITER_EXCESS_LIMIT if SF == 0.1 else None,
     }
     full_line = json.dumps(full_payload)
     print(full_line)
@@ -503,6 +545,7 @@ def main() -> None:
         "min_of": MIN_OF,
         "calibration_sec": calibration_sec,
         "b4_mrmr_k10_loop_iter": loop_iter,
+        "job_floor_sec": job_floor,
         "loop_iter_regression": loop_regressed,
     }
     line = json.dumps(headline)
