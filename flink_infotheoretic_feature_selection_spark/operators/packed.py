@@ -580,6 +580,127 @@ class PackedMatrix:
             )
         return dims, n
 
+    def dims_count_hist2d(
+        self, y_col: str, cap: int = 256
+    ) -> tuple[dict[str, int], int, dict[str, np.ndarray] | None]:
+        """ONE pass fusing :meth:`dims_and_count` with the stage-2
+        relevance histograms (r12, guide §1.2: remove whole passes —
+        dims + relevances were two full scans of the packed blocks).
+
+        Returns ``(dims, n, h2)`` where ``h2`` maps every non-label
+        column to its global ``(dims[c], y_dim)`` int64 contingency
+        table vs ``y_col`` — or ``h2 = None`` when any block declined to
+        histogram (its tables would exceed its share of the driver-merge
+        budget, or it holds out-of-contract values that only the stats
+        pass can report cleanly); the caller then falls back to
+        :meth:`relevances` with the dims already in hand, i.e. worst
+        case costs what the unfused flow always cost.
+
+        Exactness: each block bincounts ``x·y_loc + y`` with its own
+        LOCAL dims and the driver pads the 2-D tables into the global
+        ``(dims[c], y_dim)`` accumulators — per-cell integer sums,
+        bit-identical to :meth:`relevances`' global-dims bincount
+        (pinned by tests).  Error contract is :meth:`dims_and_count`'s,
+        raised from the same driver-side checks on the merged stats.
+
+        Caller gate: only sensible in the bounded-partition regime
+        (collected stats + tables ≤ the driver-merge budget); at 100 TB
+        partition counts the caller keeps the treeReduce dims pass.
+        """
+        import math
+
+        from flink_infotheoretic_feature_selection_spark.operators.histogram import (
+            BLOB_DRIVER_MERGE_MAX_BYTES,
+        )
+
+        cols = self.cols
+        feats = [c for c in cols if c != y_col]
+        per_part_budget = max(
+            BLOB_DRIVER_MERGE_MAX_BYTES // max(self.n_partitions, 1), 1
+        )
+
+        def stat_hist(blk):
+            maxes = np.full(len(cols), -np.inf)
+            nan_mask = np.zeros(len(cols), dtype=bool)
+            clean = True
+            for i, c in enumerate(cols):
+                a = blk[c]
+                if a.size:
+                    m = float(a.max())
+                    if math.isnan(m):
+                        nan_mask[i] = True
+                        clean = False
+                    else:
+                        maxes[i] = m
+                        # out-of-contract values (negative or >= cap)
+                        # must surface through the driver's stat checks,
+                        # never a raw bincount failure here
+                        if m >= cap or float(a.min()) < 0:
+                            clean = False
+                else:
+                    clean = False
+            nrows = len(blk[cols[0]])
+            tables = None
+            if clean and nrows:
+                check_int32_rows(nrows)
+                y = blk[y_col].astype(np.int64)
+                y_loc = int(y.max()) + 1
+                est = 0
+                tabs: list[tuple[int, np.ndarray]] | None = []
+                for c in feats:
+                    x = blk[c]
+                    xd_loc = int(x.max()) + 1
+                    est += xd_loc * y_loc * 4
+                    if est > per_part_budget:
+                        tabs = None
+                        break
+                    tabs.append(
+                        (
+                            xd_loc,
+                            np.bincount(
+                                x.astype(np.int64) * y_loc + y,
+                                minlength=xd_loc * y_loc,
+                            ).astype(np.int32),
+                        )
+                    )
+                if tabs is not None:
+                    tables = (y_loc, tabs)
+            return maxes, nan_mask, nrows, tables
+
+        parts = self.rdd.map(stat_hist).collect()
+        if not parts:
+            raise ValueError(
+                "cannot derive dims: input is empty or columns are all-NULL "
+                f"or NULL-bearing: {cols}"
+            )
+        maxes = np.full(len(cols), -np.inf)
+        nan_mask = np.zeros(len(cols), dtype=bool)
+        n = 0
+        for m_, nm_, nr_, _ in parts:
+            maxes = np.maximum(maxes, m_)
+            nan_mask |= nm_
+            n += nr_
+        null_cols = [c for i, c in enumerate(cols) if nan_mask[i]]
+        if n == 0 or null_cols or not np.isfinite(maxes).all():
+            raise ValueError(
+                "cannot derive dims: input is empty or columns are all-NULL "
+                f"or NULL-bearing: {null_cols or cols}"
+            )
+        dims = {c: int(maxes[i]) + 1 for i, c in enumerate(cols)}
+        over = {c: d for c, d in dims.items() if d > cap}
+        if over:
+            raise ValueError(
+                f"feature values exceed the byte range (dim>{cap}): {over}"
+            )
+        if any(p[3] is None for p in parts):
+            return dims, n, None
+        y_dim = dims[y_col]
+        h2 = {c: np.zeros((dims[c], y_dim), dtype=np.int64) for c in feats}
+        for _, _, _, (y_loc, tabs) in parts:
+            for c, (xd_loc, flat) in zip(feats, tabs):
+                h2[c][:xd_loc, :y_loc] += flat.reshape(xd_loc, y_loc)
+        return dims, n, h2
+
     def validate_byte_range(self, cols: list[str]) -> list[str]:
         """Columns violating the non-null-integer-in-[0,255] contract —
         the packed twin of ``InfoThSelector._validate_byte_range`` (one

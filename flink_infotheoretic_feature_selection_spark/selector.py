@@ -444,7 +444,21 @@ class InfoThSelector:
                 offenders = packed.validate_byte_range(feats + [label])
                 if offenders:
                     raise ValueError(self._byte_range_message(offenders))
-            dims, n = packed.dims_and_count()
+            # r12 (guide §1.2): fuse the dims pass with the stage-2
+            # relevance histograms — one scan of the blocks instead of
+            # two — whenever the per-partition collect stays inside the
+            # driver-merge budget (h2 comes back None otherwise and the
+            # flow below falls back to the separate relevances pass,
+            # costing exactly what the unfused flow always cost).  Only
+            # in the bounded-partition regime; at 100 TB partition
+            # counts the treeReduce dims pass keeps the driver volume
+            # flat.  Bit-identical either way (integer pad-merge; pinned
+            # by tests/test_packed.py).
+            h2_fused = None
+            if packed.n_partitions * len(packed.cols) * 16 <= 64 * 1024 * 1024:
+                dims, n, h2_fused = packed.dims_count_hist2d(label)
+            else:
+                dims, n = packed.dims_and_count()
             timings["stats_sec"] = round(time.perf_counter() - t0, 3)
             if n >= 2 * self.LOOP_ROWS_PER_PARTITION:
                 sc = packed.rdd.context
@@ -499,7 +513,7 @@ class InfoThSelector:
             # partition probe run on the blocks)
             return self._fit_stages(
                 None, feats, label, dims, n, dims[label], packed=packed,
-                timings=timings,
+                timings=timings, h2_fused=h2_fused,
             )
         finally:
             packed.unpersist()
@@ -638,13 +652,21 @@ class InfoThSelector:
         y_dim: int,
         packed=None,
         timings: dict | None = None,
+        h2_fused: dict | None = None,
     ) -> InfoThSelectorModel:
         import time as _time
 
         timings = {} if timings is None else timings
-        # Stage 2 — relevances: one histogram pass over all features.
+        # Stage 2 — relevances: one histogram pass over all features
+        # (or zero, when the fused dims+hist2d pass already produced the
+        # global tables — driver-side MI math only).
         _t0 = _time.perf_counter()
-        if packed is not None:
+        if h2_fused is not None:
+            relevances = {
+                c: mutual_info(h2_fused[c], n, emit_f32=self.emit_f32)
+                for c in feats
+            }
+        elif packed is not None:
             relevances = packed.relevances(
                 feats, label, dims, n, emit_f32=self.emit_f32
             )

@@ -333,3 +333,45 @@ def test_rebalance_cost_gate(spark, matrix, monkeypatch):
     assert m_reb.fit_timings["loop_partitions"] > 1
     assert m_reb.selection_path == m_skip.selection_path
     assert m_reb.relevances == m_skip.relevances
+
+
+def test_dims_count_hist2d_fused_matches_separate_passes(spark, matrix, packed):
+    """r12: the fused dims+hist2d pass returns the same dims/count as
+    dims_and_count and bit-identical tables to the hist2d route."""
+    feats = [c for c in matrix.columns if c != "label"]
+    dims, n = packed.dims_and_count()
+    fdims, fn, h2 = packed.dims_count_hist2d("label")
+    assert (fdims, fn) == (dims, n)
+    assert h2 is not None
+    want = collect_hist2d(
+        hist2d(matrix, feats, "label", dims, dims["label"]),
+        feats, dims, dims["label"],
+    )
+    for c in feats:
+        assert (h2[c] == want[c]).all()
+        assert h2[c].dtype == want[c].dtype
+
+
+def test_dims_count_hist2d_budget_fallback_and_errors(spark, matrix, packed, monkeypatch):
+    # shrinking the driver-merge budget makes every block decline to
+    # histogram -> h2 None, dims/count still exact (the caller's
+    # fallback contract)
+    import flink_infotheoretic_feature_selection_spark.operators.packed as packed_mod
+    monkeypatch.setattr(histogram, "BLOB_DRIVER_MERGE_MAX_BYTES", 0)
+    dims, n = packed.dims_and_count()
+    fdims, fn, h2 = packed.dims_count_hist2d("label")
+    assert (fdims, fn, h2) == (dims, n, None)
+    monkeypatch.undo()
+
+    # out-of-contract values raise the dims_and_count error text, never
+    # a raw bincount failure
+    import numpy as np
+    wild = spark.createDataFrame(
+        [(0, 300), (1, 0)], "label int, f0 int"
+    )
+    pm = PackedMatrix.pack(wild, ["f0", "label"])
+    try:
+        with pytest.raises(ValueError, match="exceed the byte range"):
+            pm.dims_count_hist2d("label")
+    finally:
+        pm.unpersist()
