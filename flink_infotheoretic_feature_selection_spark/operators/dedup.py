@@ -102,7 +102,18 @@ SIMHASH_BITS = 28
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> None:
-    spark.read.parquet(f"{sf_dir}/documents.parquet").createOrReplaceTempView("documents")
+    # r12 (guide §2.5): a single-row-group documents file scans as ONE
+    # task, serializing every per-row signature/shingle expression fused
+    # into the scan stage; spread it when starved (identity at scale —
+    # see spread_starved_scan).  Safe for every consumer in this module:
+    # signatures/shingles/anchors are row-local, aggregations are exact
+    # integer merges, and rank windows break ties deterministically —
+    # re-pinned by the full gate sweep at sf0.01 and sf0.1.
+    from flink_infotheoretic_feature_selection_spark.session import spread_starved_scan
+
+    spread_starved_scan(
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ).createOrReplaceTempView("documents")
 
 
 # ---------------------------------------------------------------------------

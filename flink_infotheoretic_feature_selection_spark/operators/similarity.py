@@ -1022,9 +1022,25 @@ def _pq_encode_sql(duck: bool) -> str:
     """
 
 
+def _emb_spread(spark: SparkSession, sf_dir: str) -> None:
+    """Register ``embeddings`` with a starved-scan spread (guide §2.5) —
+    for the PQ queries ONLY, whose codes CTE evaluates M×K interpreted
+    HOF dots per row in the scan stage (measured 2.2-2.6 s single-task
+    at sf0.1, 3.6 s query → parallelized).  Their outputs are
+    partition-independent: codes are per-row argmins over constants,
+    scores are exact integer sums, ranks break ties on neighbor_id.
+    NOT for label_centroids (order-sensitive float avg) or the live
+    k-means fit (float treeAggregate)."""
+    from flink_infotheoretic_feature_selection_spark.session import spread_starved_scan
+
+    spread_starved_scan(
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    ).createOrReplaceTempView("embeddings")
+
+
 def pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PQ-encode the corpus against the frozen codebooks (gate form)."""
-    _emb(spark, sf_dir)
+    _emb_spread(spark, sf_dir)
     return spark.sql(_pq_encode_sql(duck=False))
 
 
@@ -1098,7 +1114,7 @@ def ann_ivf_pq_topk(
     spark: SparkSession, sf_dir: str, k: int = 3, query_limit: int = 200
 ) -> DataFrame:
     """IVF-PQ approximate top-k against the frozen codebooks."""
-    _emb(spark, sf_dir)
+    _emb_spread(spark, sf_dir)
     return spark.sql(_ann_ivf_pq_sql(duck=False, k=k, query_limit=query_limit))
 
 

@@ -60,3 +60,28 @@ class conf_clamp:
         else:
             self.spark.conf.unset(self.key)
         return False
+
+
+def spread_starved_scan(df, min_ratio: int = 2):
+    """Round-robin repartition a parallelism-STARVED scan to the
+    session's default parallelism (guide §2.5 "input skew: one huge
+    unsplittable file ... repartition immediately after the read").
+
+    The single-row-group small-file case leaves the whole scan STAGE —
+    and every row-local expression fused into it — on one task; at any
+    real scale the scan has >= cores partitions and this helper is the
+    identity, so nothing is coalesced or shuffled on big inputs.  The
+    exchange it introduces on the starved case carries the scan's rows
+    once (small by construction: the input fit one task).
+
+    ONLY for queries whose output is partition-independent: row-local
+    expressions, exact integer aggregation, rank windows with
+    deterministic tiebreaks.  Order-sensitive float aggregations (e.g.
+    label_centroids' avg of vector components) must keep the raw scan —
+    round-robin placement changes their fold order.
+    """
+    sc = df.sparkSession.sparkContext
+    p = sc.defaultParallelism
+    if df.rdd.getNumPartitions() * min_ratio < p:
+        return df.repartition(p)
+    return df
