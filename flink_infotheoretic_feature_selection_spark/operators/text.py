@@ -1579,8 +1579,19 @@ def _tokenize_bpe_sql(duck: bool) -> str:
 def tokenize_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact BPE token counts + token-stream fingerprint per document,
     against the frozen merges fixture.  Pure SQL both dialects — the
-    value-gated source of truth for exact token budgets."""
-    spark.read.parquet(f"{sf_dir}/documents.parquet").createOrReplaceTempView("documents")
+    value-gated source of truth for exact token budgets.
+
+    r12 (guide §2.5): the scan is spread when parallelism-starved (a
+    single-row-group file runs the whole 64-deep interpreted replace
+    chain on ONE task — measured 1.78 → 1.01 s at sf0.1); identity at
+    scale.  Output is per-doc row-local (counts + md5 of the doc's own
+    stream), so partitioning cannot change it — re-pinned by the gate.
+    """
+    from flink_infotheoretic_feature_selection_spark.session import spread_starved_scan
+
+    spread_starved_scan(
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ).createOrReplaceTempView("documents")
     return spark.sql(_tokenize_bpe_sql(duck=False))
 
 
@@ -1639,7 +1650,14 @@ def tokenize_bpe_vectorized(
     fx = _load_bpe_fixture(fixture_path)
     pat = fx["pretoken_regex"]
     ranks = {tuple(m): i for i, m in enumerate(fx["merges"])}
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    # starved-scan spread (r12, guide §2.5): one-row-group input would
+    # run the whole Arrow tokenize kernel on one task; identity at scale.
+    # Per-doc row-local output — partitioning cannot change it.
+    from flink_infotheoretic_feature_selection_spark.session import spread_starved_scan
+
+    docs = spread_starved_scan(
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ).select("doc_id", "text")
 
     def batches(it):
         import pyarrow as _pa
