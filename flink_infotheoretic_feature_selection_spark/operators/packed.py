@@ -863,6 +863,126 @@ class PackedMatrix:
             scores.setdefault(c, 0.0)
         return scores
 
+    def hist3d_mi_cmi_multi(
+        self,
+        feature_cols: list[str],
+        y_cols: list[str],
+        z_col: str,
+        dims: dict[str, int],
+        n: int,
+        emit_f32: bool = True,
+    ) -> dict[str, dict[str, tuple[float, float]]]:
+        """``{y_col: {feature: (MI(x;y), CMI(x;y|z))}}`` for SEVERAL
+        conditioning columns in ONE job — the greedy loop's speculative
+        batch pass (r13, guide §1.2: the loop's sequential job count is
+        the cost, so score the known winner AND the likely next winners
+        in one launch).
+
+        Each (feature, y) table is the same integer-merged contingency
+        table :meth:`hist3d_mi_cmi` builds — per-cond bincounts over the
+        same blocks, exact int64 merges in any order, the same
+        ``mi_and_cmi`` on the final table — so every returned pair is
+        bit-identical to a dedicated single-cond pass (pinned by
+        tests/test_packed.py).  The driver-merge budget accounts for ALL
+        conds together; past it the int32 partials flow through the same
+        ``combineByKey`` int64 merge keyed by (cond, feature) and only
+        scalars reach the driver."""
+        from flink_infotheoretic_feature_selection_spark.functions.infotheory import mi_and_cmi
+        from flink_infotheoretic_feature_selection_spark.operators.histogram import (
+            BLOB_DRIVER_MERGE_MAX_BYTES,
+        )
+
+        feats = list(feature_cols)
+        conds = list(y_cols)
+        z_dim = dims[z_col]
+        y_dims = [dims[s] for s in conds]
+        xd = [dims[c] for c in feats]
+
+        def partials(blocks):
+            # one pass over the blocks: per cond, the fused (y, z) code,
+            # then per feature the same int32 bincount emit as the
+            # single-cond pass (same overflow proof: counts <= rows)
+            for blk in blocks:
+                z = blk[z_col].astype(np.int64)
+                check_int32_rows(len(z))
+                out = []
+                for si, s in enumerate(conds):
+                    yz_code = blk[s].astype(np.int64) * z_dim + z
+                    yz = y_dims[si] * z_dim
+                    out.append(
+                        [
+                            np.bincount(
+                                blk[c].astype(np.int64) * yz + yz_code,
+                                minlength=xd[fi] * yz,
+                            ).astype(np.int32)
+                            for fi, c in enumerate(feats)
+                        ]
+                    )
+                yield out
+
+        blob_bytes = self.n_partitions * sum(xd) * z_dim * 4 * sum(y_dims)
+        if blob_bytes <= BLOB_DRIVER_MERGE_MAX_BYTES:
+            totals = [
+                [np.zeros(d * y_dims[si] * z_dim, dtype=np.int64) for d in xd]
+                for si in range(len(conds))
+            ]
+            for part in self.rdd.mapPartitions(partials).collect():
+                for si, cond_part in enumerate(part):
+                    for fi, acc in enumerate(cond_part):
+                        totals[si][fi] += acc
+            result = {
+                s: {
+                    feats[fi]: mi_and_cmi(
+                        totals[si][fi].reshape(xd[fi], y_dims[si], z_dim),
+                        n,
+                        emit_f32=emit_f32,
+                    )
+                    for fi in range(len(feats))
+                }
+                for si, s in enumerate(conds)
+            }
+        else:
+            # 100 TB regime: same shape as hist3d_mi_cmi's, keyed by
+            # (cond, feature); executor-side MI/CMI, scalars collected.
+            def kv_partials(blocks):
+                for part in partials(blocks):
+                    for si, cond_part in enumerate(part):
+                        for fi, acc in enumerate(cond_part):
+                            yield (si, fi), acc
+
+            merged = (
+                self.rdd.mapPartitions(kv_partials)
+                .combineByKey(
+                    lambda v: v.astype(np.int64),
+                    lambda a, v: a + v,
+                    lambda a, b: a + b,
+                    numPartitions=min(
+                        len(feats) * len(conds), self.n_partitions
+                    ),
+                )
+                .map(
+                    lambda kv: (
+                        kv[0],
+                        mi_and_cmi(
+                            kv[1].reshape(
+                                xd[kv[0][1]], y_dims[kv[0][0]], z_dim
+                            ),
+                            n,
+                            emit_f32=emit_f32,
+                        ),
+                    )
+                )
+                .collect()
+            )
+            result = {s: {} for s in conds}
+            for (si, fi), mi_cmi in merged:
+                result[conds[si]][feats[fi]] = mi_cmi
+        # empty matrix → no blocks → zero histograms, like collect_hist3d
+        for s in conds:
+            for c in feats:
+                result[s].setdefault(c, (0.0, 0.0))
+        return result
+
     def hist3d_mi_cmi(
         self,
         feature_cols: list[str],

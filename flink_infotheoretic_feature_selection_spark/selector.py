@@ -212,12 +212,19 @@ class InfoThSelector:
         loop_engine: str = "packed",
         pack_route: str = "auto",
         spill_dir: str | None = None,
+        speculation: int | str = "auto",
     ) -> None:
         if loop_engine not in ("packed", "arrow"):
             raise ValueError(f"loop_engine must be 'packed' or 'arrow', got {loop_engine!r}")
         if pack_route not in ("auto", "scan", "spill", "direct"):
             raise ValueError(
                 f"pack_route must be 'auto', 'scan', 'spill' or 'direct', got {pack_route!r}"
+            )
+        if speculation != "auto" and (
+            not isinstance(speculation, int) or speculation < 0
+        ):
+            raise ValueError(
+                f"speculation must be 'auto' or a non-negative int, got {speculation!r}"
             )
         self.n_to_select = int(n_to_select)
         self.criterion = criterion
@@ -230,6 +237,7 @@ class InfoThSelector:
         self.loop_engine = loop_engine
         self.pack_route = pack_route
         self.spill_dir = spill_dir
+        self.speculation = speculation
 
     def fit(self, df: DataFrame) -> InfoThSelectorModel:
         df = self._widen_vectors(df)
@@ -696,6 +704,30 @@ class InfoThSelector:
         else:
             n_parts = None if packed is not None else matrix.rdd.getNumPartitions()
             remaining = list(feats)
+            # Speculative prefetch (r13, guide §1.2 — the greedy loop is
+            # k−1 SEQUENTIAL jobs and at bench scale each pays far more
+            # in job-launch latency than in histogram compute): the loop
+            # consumes only the pairwise quantities
+            # (MI(c; s), CMI(c; s | label)), which do not depend on the
+            # iteration they are consumed in — so one launch can compute
+            # the pass for the known winner AND for the `width` features
+            # most likely to win next (ranked by the same argmax key the
+            # selection uses).  When a later winner is already prefetched
+            # its pass is skipped outright.  Results are bit-identical by
+            # construction: every (c, s) table is the same integer-merged
+            # histogram, and updates are replayed one winner at a time in
+            # selection order, so float accumulation order never changes
+            # (pinned by tests/test_packed.py).  A miss wastes only the
+            # speculated bincounts inside an already-launched job; the
+            # auto width adapts to the observed consumption (halve on a
+            # fully-wasted launch, grow with hits, cap 7) so adversarial
+            # data decays to the old one-cond-per-job behavior.
+            prefetched: dict[str, dict[str, tuple[float, float]]] = {}
+            spec_auto = self.speculation == "auto"
+            width = 3 if spec_auto else int(self.speculation)
+            consumed_since_launch = 0
+            loop_jobs = 0
+            spec_hits = 0
             while len(path) < self.n_to_select:
                 # tie_precision comparison: module-docstring tie contract
                 best = max(
@@ -724,10 +756,42 @@ class InfoThSelector:
                 # compilation costs seconds per fresh plan.  One-shot
                 # passes (relevance init, the hist2d/hist3d gate queries)
                 # keep the codegen route.
-                if packed is not None:
-                    scores = packed.hist3d_mi_cmi(
-                        remaining, best, label, dims, n, emit_f32=self.emit_f32
+                if best in prefetched:
+                    # the prefetching pass scored a SUPERSET of the
+                    # current remaining set (remaining only shrinks)
+                    scores = prefetched.pop(best)
+                    spec_hits += 1
+                    consumed_since_launch += 1
+                elif packed is not None:
+                    if loop_jobs and spec_auto:
+                        width = (
+                            min(2 * consumed_since_launch + 1, 7)
+                            if consumed_since_launch
+                            else width // 2
+                        )
+                    consumed_since_launch = 0
+                    # a speculated cond is only consumable by a FUTURE
+                    # pass; the fit needs exactly
+                    # n_to_select − len(path) − 1 more of them, so wider
+                    # speculation past that bound is guaranteed waste
+                    w_eff = min(width, self.n_to_select - len(path) - 1)
+                    spec: list[str] = []
+                    if w_eff > 0:
+                        spec = sorted(
+                            (c for c in remaining if c not in prefetched),
+                            key=lambda c: (
+                                _tie_key(state[c].score, self.tie_precision),
+                                -feats.index(c),
+                            ),
+                            reverse=True,
+                        )[:w_eff]
+                    multi = packed.hist3d_mi_cmi_multi(
+                        remaining, [best] + spec, label, dims, n,
+                        emit_f32=self.emit_f32,
                     )
+                    loop_jobs += 1
+                    scores = multi.pop(best)
+                    prefetched.update(multi)
                 else:
                     scores = hist3d_mi_cmi(
                         matrix,
@@ -741,8 +805,11 @@ class InfoThSelector:
                         emit_f32=self.emit_f32,
                         n_partitions=n_parts,
                     )
+                    loop_jobs += 1
                 for c in remaining:
                     state[c].update(*scores[c])
+            timings["loop_jobs"] = loop_jobs
+            timings["speculation_hits"] = spec_hits
 
         timings["loop_sec"] = round(_time.perf_counter() - _t0, 3)
         # MIM never runs a redundancy pass — reporting k-1 would hand

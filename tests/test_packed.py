@@ -375,3 +375,48 @@ def test_dims_count_hist2d_budget_fallback_and_errors(spark, matrix, packed, mon
             pm.dims_count_hist2d("label")
     finally:
         pm.unpersist()
+
+
+@pytest.mark.parametrize("forced_regime", ["driver", "distributed"])
+def test_hist3d_mi_cmi_multi_bit_equal_single(matrix, packed, forced_regime, monkeypatch):
+    """r13: the speculative batch pass returns, for every conditioning
+    column, exactly the pairs a dedicated single-cond pass returns —
+    in BOTH merge regimes."""
+    feats = [c for c in matrix.columns if c != "label"]
+    dims, n = _dims_n(matrix)
+    conds = [feats[3], feats[0], feats[5]]
+    if forced_regime == "distributed":
+        monkeypatch.setattr(histogram, "BLOB_DRIVER_MERGE_MAX_BYTES", 0)
+    remaining = [c for c in feats if c != feats[3]]
+    got = packed.hist3d_mi_cmi_multi(remaining, conds, "label", dims, n, emit_f32=True)
+    assert sorted(got) == sorted(conds)
+    for s in conds:
+        want = packed.hist3d_mi_cmi(remaining, s, "label", dims, n, emit_f32=True)
+        assert got[s] == want  # exact float equality
+
+
+@pytest.mark.parametrize("criterion", ["mrmr", "jmi", "cmim", "icap", "mifs"])
+def test_fit_identical_across_speculation_widths(matrix, criterion):
+    """r13: speculation is a pure prefetch — selection path, scores and
+    relevances are bit-identical at every width (updates replay in
+    selection order from the same integer-merged histograms)."""
+    base = InfoThSelector(
+        n_to_select=6, criterion=criterion, speculation=0
+    ).fit(matrix)
+    assert base.fit_timings["loop_jobs"] == 5
+    assert base.fit_timings["speculation_hits"] == 0
+    for spec in (2, "auto", 16):
+        m = InfoThSelector(
+            n_to_select=6, criterion=criterion, speculation=spec
+        ).fit(matrix)
+        assert m.selection_path == base.selection_path
+        assert m.relevances == base.relevances
+        assert m.selected_cols == base.selected_cols
+        assert m.fit_timings["loop_jobs"] + m.fit_timings["speculation_hits"] == 5
+
+
+def test_speculation_param_validated():
+    with pytest.raises(ValueError, match="speculation"):
+        InfoThSelector(speculation=-1)
+    with pytest.raises(ValueError, match="speculation"):
+        InfoThSelector(speculation="always")
