@@ -268,10 +268,26 @@ def features_dense(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> DataFra
 
     Pure narrow projection over the lineitem scan — Catalyst prunes the
     parquet read to exactly the source columns.
+
+    r13 (guide §2.5): the scan is spread when parallelism-starved (the
+    single-row-group small-file case runs the WHOLE derive + cache +
+    every downstream aggregation on one task; identity on any real
+    multi-split input).  Safe here because every FEATURE_SPEC expression
+    and the label are pure row-local functions of lineitem columns and
+    every consumer is row-order independent (integer histogram merges,
+    max-per-column dims, count) — the projection sits ABOVE the spread
+    exchange so the derivation itself parallelizes.  The ``lineitem``
+    temp view stays the RAW scan: other consumers of the view may be
+    order-sensitive.
     """
+    from flink_infotheoretic_feature_selection_spark.session import spread_starved_scan
+
     lineitem = load_table(spark, sf_dir, "lineitem")
     lineitem.createOrReplaceTempView("lineitem")
-    return spark.sql(f"SELECT {features_select_spark()} FROM lineitem")
+    exprs = [
+        f"CAST({expr} AS TINYINT) AS {name}" for name, expr, _ in FEATURE_SPEC
+    ] + [f"CAST({LABEL_EXPR_SPARK} AS TINYINT) AS label"]
+    return spread_starved_scan(lineitem).selectExpr(*exprs)
 
 
 def features_dense_oracle_sql() -> str:

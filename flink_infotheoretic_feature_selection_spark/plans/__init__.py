@@ -3,6 +3,7 @@ from flink_infotheoretic_feature_selection_spark.plans.inspect import (
     exchange_count,
     formatted_plan,
     pushed_filters,
+    round_robin_exchange_count,
     read_schema_columns,
     wholestage_codegen_count,
 )
@@ -12,6 +13,7 @@ __all__ = [
     "exchange_count",
     "formatted_plan",
     "pushed_filters",
+    "round_robin_exchange_count",
     "read_schema_columns",
     "wholestage_codegen_count",
 ]

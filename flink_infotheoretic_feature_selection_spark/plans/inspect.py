@@ -176,6 +176,16 @@ def exchange_count(df: DataFrame) -> int:
     return len(re.findall(r"\(\d+\) Exchange\b", plan))
 
 
+def round_robin_exchange_count(df: DataFrame) -> int:
+    """Number of round-robin (keyless spread) exchanges in the plan —
+    the shape ``session.spread_starved_scan`` introduces on
+    parallelism-starved scans (identity at any real scale).  Lets plan
+    guardrails allow exactly the documented spread while still
+    forbidding unexpected hash/range row shuffles."""
+    plan = formatted_plan(df)
+    return len(re.findall(r"RoundRobinPartitioning", plan))
+
+
 def broadcast_join_count(df: DataFrame) -> int:
     return len(re.findall(r"BroadcastHashJoin|BroadcastNestedLoopJoin", formatted_plan(df)))
 

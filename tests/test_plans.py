@@ -15,6 +15,7 @@ from flink_infotheoretic_feature_selection_spark.plans import (
     formatted_plan,
     pushed_filters,
     read_schema_columns,
+    round_robin_exchange_count,
 )
 from flink_infotheoretic_feature_selection_spark.selector import InfoThSelector
 
@@ -61,16 +62,24 @@ def test_small_dim_join_broadcasts(spark, sf_dir):
 def test_hist2d_single_shuffle(spark, sf_dir):
     # The histogram pass must shuffle ONLY the partial count cells —
     # exactly one hash exchange (partial->final agg), never row data.
+    # r13: features_dense spreads a parallelism-STARVED scan with one
+    # round-robin exchange (identity at real scale) — allowed, anything
+    # beyond it is an unexpected row shuffle.
     df = features_dense(spark, sf_dir)
     dims = feature_dims(df, FEATURE_NAMES + ["label"])
     h = hist2d(df, FEATURE_NAMES, "label", dims, dims["label"])
-    assert exchange_count(h) == 1, formatted_plan(h)
+    spread = round_robin_exchange_count(h)
+    assert spread <= 1, formatted_plan(h)
+    assert exchange_count(h) - spread == 1, formatted_plan(h)
 
 
 def test_transform_is_shuffle_free(spark, sf_dir):
+    # No hash/range shuffle — the only exchange allowed is the r13
+    # starved-scan spread riding in from features_dense (see above).
     df = features_dense(spark, sf_dir)
     model = InfoThSelector(n_to_select=3, criterion="mim").fit(df)
-    assert exchange_count(model.transform(df)) == 0
+    out = model.transform(df)
+    assert exchange_count(out) - round_robin_exchange_count(out) == 0
 
 
 def test_sessionize_single_exchange(spark, sf_dir):
