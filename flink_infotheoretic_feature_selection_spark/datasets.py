@@ -287,7 +287,9 @@ def features_dense(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> DataFra
     exprs = [
         f"CAST({expr} AS TINYINT) AS {name}" for name, expr, _ in FEATURE_SPEC
     ] + [f"CAST({LABEL_EXPR_SPARK} AS TINYINT) AS label"]
-    return spread_starved_scan(lineitem).selectExpr(*exprs)
+    return spread_starved_scan(
+        lineitem, cache_key=f"{sf_dir}/lineitem.parquet"
+    ).selectExpr(*exprs)
 
 
 def features_dense_oracle_sql() -> str:

@@ -112,7 +112,8 @@ def _docs(spark: SparkSession, sf_dir: str) -> None:
     from flink_infotheoretic_feature_selection_spark.session import spread_starved_scan
 
     spread_starved_scan(
-        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        spark.read.parquet(f"{sf_dir}/documents.parquet"),
+        cache_key=f"{sf_dir}/documents.parquet",
     ).createOrReplaceTempView("documents")
 
 
@@ -375,15 +376,21 @@ def choose_decontaminate_route(
     """
     from pyspark.sql import functions as F
 
+    # ADVICE r12: the estimate folds in exact int64 sum/count instead of
+    # a float avg — float summation is fold-order-sensitive, so a
+    # layout change (e.g. the starved-scan spread) could flip the route
+    # near the threshold boundary; integer sums cannot.
     est = (
         doc_shingles(eval_docs, n)
         .agg(
             F.approx_count_distinct("shingle").alias("nd"),
-            F.avg(F.length("shingle")).alias("avg_len"),
+            F.sum(F.length("shingle").cast("long")).alias("len_sum"),
+            F.count("shingle").alias("cnt"),
         )
         .collect()[0]
     )
-    est_bytes = int((est.nd or 0) * (float(est.avg_len or 0.0) + 48.0))
+    avg_len = (est.len_sum or 0) / est.cnt if est.cnt else 0.0
+    est_bytes = int((est.nd or 0) * (avg_len + 48.0))
     return ("bloom" if est_bytes > threshold_bytes else "exact", est_bytes)
 
 

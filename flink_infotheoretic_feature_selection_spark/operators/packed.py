@@ -290,10 +290,27 @@ class PackedMatrix:
     accumulators, same int32 partial emit, same f64 MI/CMI math).
     """
 
-    def __init__(self, rdd, cols: list[str], n_partitions: int) -> None:
+    #: Driver-volume bound for the one-stage stats fold AND the
+    #: selector's fused dims+hist2d gate (hoisted r13, ADVICE: the two
+    #: sites previously duplicated the literal and could drift):
+    #: ``n_partitions × n_cols × 16 B`` of collected stat rows must stay
+    #: under this for a plain reduce/collect to beat a tree fold.
+    DRIVER_STATS_MAX_BYTES = 64 * 1024 * 1024
+
+    def __init__(
+        self, rdd, cols: list[str], n_partitions: int, n_rows: int | None = None
+    ) -> None:
         self.rdd = rdd
         self.cols = list(cols)
         self.n_partitions = n_partitions
+        #: Total row count, when the pack could derive it for free (the
+        #: materialization job sums per-block row counts; the direct
+        #: route knows it from the footers).  ``None`` means unknown —
+        #: callers must not assume it.  Lets the selector predict the
+        #: starved-rebalance decision BEFORE the stats pass (ADVICE r12:
+        #: the fused dims+hist2d pass must not run serially inside the
+        #: very partitions the rebalance is about to split).
+        self.n_rows = n_rows
 
     @classmethod
     def pack(
@@ -353,8 +370,11 @@ class PackedMatrix:
             .persist(storage_level)
         )
         n_parts = rdd.getNumPartitions()
-        rdd.count()  # materialize: downstream timing is pure iteration cost
-        return cls(rdd, cols, n_parts)
+        # materialize (downstream timing is pure iteration cost); the sum
+        # of per-block row counts rides the same job and gives n_rows for
+        # free (r13 — replaces the former bare count())
+        n_rows = int(rdd.map(lambda blk: len(blk[cols[0]])).sum())
+        return cls(rdd, cols, n_parts, n_rows=n_rows)
 
     @classmethod
     def pack_parquet(
@@ -489,7 +509,8 @@ class PackedMatrix:
             .persist(storage_level)
         )
         rdd.count()  # materialize: downstream timing is pure iteration cost
-        return cls(rdd, cols, rdd.getNumPartitions())
+        # row count is footer-known (sum of non-empty row-group rows)
+        return cls(rdd, cols, rdd.getNumPartitions(), n_rows=sum(u[2] for u in units))
 
     def unpersist(self) -> None:
         self.rdd.unpersist()
@@ -552,7 +573,9 @@ class PackedMatrix:
             # keeps the driver volume flat.  Identical results either
             # way: elementwise max / or / int sum are associative and
             # commutative (NaN travels in the mask, never through max).
-            small = self.n_partitions * len(cols) * 16 <= 64 * 1024 * 1024
+            small = (
+                self.n_partitions * len(cols) * 16 <= self.DRIVER_STATS_MAX_BYTES
+            )
             stats = self.rdd.map(stat)
             maxes, nan_mask, n = (
                 stats.reduce(merge) if small else stats.treeReduce(merge)
@@ -775,7 +798,7 @@ class PackedMatrix:
             )
         rdd.count()
         self.unpersist()
-        return PackedMatrix(rdd, cols, rdd.getNumPartitions())
+        return PackedMatrix(rdd, cols, rdd.getNumPartitions(), n_rows=self.n_rows)
 
     # -- histograms --------------------------------------------------------
 

@@ -1034,7 +1034,8 @@ def _emb_spread(spark: SparkSession, sf_dir: str) -> None:
     from flink_infotheoretic_feature_selection_spark.session import spread_starved_scan
 
     spread_starved_scan(
-        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet"),
+        cache_key=f"{sf_dir}/embeddings.parquet",
     ).createOrReplaceTempView("embeddings")
 
 

@@ -1590,7 +1590,8 @@ def tokenize_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     from flink_infotheoretic_feature_selection_spark.session import spread_starved_scan
 
     spread_starved_scan(
-        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        spark.read.parquet(f"{sf_dir}/documents.parquet"),
+        cache_key=f"{sf_dir}/documents.parquet",
     ).createOrReplaceTempView("documents")
     return spark.sql(_tokenize_bpe_sql(duck=False))
 
@@ -1656,7 +1657,8 @@ def tokenize_bpe_vectorized(
     from flink_infotheoretic_feature_selection_spark.session import spread_starved_scan
 
     docs = spread_starved_scan(
-        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        spark.read.parquet(f"{sf_dir}/documents.parquet"),
+        cache_key=f"{sf_dir}/documents.parquet",
     ).select("doc_id", "text")
 
     def batches(it):

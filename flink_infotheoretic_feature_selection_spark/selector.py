@@ -462,8 +462,31 @@ class InfoThSelector:
             # counts the treeReduce dims pass keeps the driver volume
             # flat.  Bit-identical either way (integer pad-merge; pinned
             # by tests/test_packed.py).
+            #
+            # r13 (ADVICE r12, medium): do NOT fuse when the
+            # parallelism-starved re-layout below is about to fire — the
+            # fused histograms would execute serially inside the very
+            # partitions the rebalance exists to split; run the cheap
+            # stats pass, re-layout, and take the relevances pass over
+            # the spread blocks instead.  The prediction uses the pack's
+            # free n_rows (same numbers the real decision below uses).
             h2_fused = None
-            if packed.n_partitions * len(packed.cols) * 16 <= 64 * 1024 * 1024:
+            fuse = (
+                packed.n_partitions * len(packed.cols) * 16
+                <= type(packed).DRIVER_STATS_MAX_BYTES
+            )
+            nr = packed.n_rows
+            if fuse and nr and nr >= 2 * self.LOOP_ROWS_PER_PARTITION:
+                sc = packed.rdd.context
+                ideal = -(-nr // self.LOOP_ROWS_PER_PARTITION)
+                target = max(1, min(ideal, sc.defaultParallelism))
+                cells = (nr * len(packed.cols)) / max(packed.n_partitions, 1)
+                if (
+                    packed.n_partitions < -(-target // 2)
+                    and cells >= self.REBALANCE_MIN_CELLS_PER_PART
+                ):
+                    fuse = False
+            if fuse:
                 dims, n, h2_fused = packed.dims_count_hist2d(label)
             else:
                 dims, n = packed.dims_and_count()

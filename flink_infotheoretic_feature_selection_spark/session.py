@@ -62,7 +62,14 @@ class conf_clamp:
         return False
 
 
-def spread_starved_scan(df, min_ratio: int = 2):
+# spread_starved_scan decisions keyed by (cache_key, parallelism,
+# min_ratio) — the RDD-conversion split probe costs a driver-side plan
+# conversion per call (ADVICE r12), pointless to repeat for an immutable
+# input path queried by every gate invocation.
+_SPREAD_DECISION_CACHE: dict[tuple, int] = {}
+
+
+def spread_starved_scan(df, min_ratio: int = 2, cache_key: str | None = None):
     """Round-robin repartition a parallelism-STARVED scan to the
     session's default parallelism (guide §2.5 "input skew: one huge
     unsplittable file ... repartition immediately after the read").
@@ -79,9 +86,24 @@ def spread_starved_scan(df, min_ratio: int = 2):
     deterministic tiebreaks.  Order-sensitive float aggregations (e.g.
     label_centroids' avg of vector components) must keep the raw scan —
     round-robin placement changes their fold order.
+
+    ``cache_key`` — pass a stable identifier (e.g. the parquet path) to
+    memoize the split-count probe, which otherwise converts the plan to
+    an RDD on every call (driver-side overhead per gate invocation —
+    ADVICE r12).  ONLY for inputs whose file layout is immutable for the
+    process lifetime; a path whose files change between calls must keep
+    the default re-probe.  The probe is the RDD conversion's partition
+    count — for a bare scan, the file-split count (AQE does not re-plan
+    a bare scan's splits).
     """
     sc = df.sparkSession.sparkContext
     p = sc.defaultParallelism
-    if df.rdd.getNumPartitions() * min_ratio < p:
+    key = (cache_key, p, min_ratio) if cache_key is not None else None
+    nparts = _SPREAD_DECISION_CACHE.get(key) if key is not None else None
+    if nparts is None:
+        nparts = df.rdd.getNumPartitions()
+        if key is not None:
+            _SPREAD_DECISION_CACHE[key] = nparts
+    if nparts * min_ratio < p:
         return df.repartition(p)
     return df

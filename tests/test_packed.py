@@ -420,3 +420,40 @@ def test_speculation_param_validated():
         InfoThSelector(speculation=-1)
     with pytest.raises(ValueError, match="speculation"):
         InfoThSelector(speculation="always")
+
+
+def test_fusion_skipped_when_rebalance_will_fire(spark, matrix, monkeypatch):
+    """ADVICE r12 (medium): a starved input that the re-layout is about
+    to split must NOT take the fused dims+hist2d pass (it would run the
+    stage-2 histograms serially in the starved partitions); the fit
+    falls back to stats -> rebalance -> parallel relevances, with a
+    bit-identical selection."""
+    from flink_infotheoretic_feature_selection_spark.selector import InfoThSelector as Sel
+
+    few = matrix.coalesce(1)
+    m_fused = Sel(n_to_select=3, criterion="mrmr").fit(few)
+
+    # force the starved-rebalance prediction true on the tiny fixture
+    monkeypatch.setattr(Sel, "REBALANCE_MIN_CELLS_PER_PART", 0)
+    monkeypatch.setattr(Sel, "LOOP_ROWS_PER_PARTITION", 64)
+
+    def boom(self, *a, **k):  # pragma: no cover - failure path
+        raise AssertionError("dims_count_hist2d must not run before a rebalance")
+
+    monkeypatch.setattr(PackedMatrix, "dims_count_hist2d", boom)
+    m = Sel(n_to_select=3, criterion="mrmr").fit(few)
+    assert "rebalance_sec" in m.fit_timings
+    assert m.selection_path == m_fused.selection_path
+    assert m.relevances == m_fused.relevances
+
+
+def test_pack_records_n_rows(matrix, packed):
+    assert packed.n_rows == matrix.count()
+    # rebalance must carry the count through (it unpersists its input,
+    # so use a private pack)
+    own = PackedMatrix.pack(matrix, list(matrix.columns), n_partitions=4)
+    re = own.rebalance(2, 1 << 16)
+    try:
+        assert re.n_rows == packed.n_rows
+    finally:
+        re.unpersist()
