@@ -69,6 +69,24 @@ MIN_OF = _min_of()
 # host noise from a real regression without hand re-measurement.
 RESULTS: dict[str, float] = {}
 MEDIANS: dict[str, float] = {}
+# r13 (VERDICT r12 ask #5, additions-only): estimated sequential Spark
+# job count per selector/loop-family query, from the fitted model's own
+# fit_timings — pack(1) + stats(1) + optional rebalance(1) + loop_jobs.
+# The full payload emits queries_excess = min_sec − est_jobs × the
+# measured job_floor_sec, so the PERF diff can separate substrate time
+# from scheduler floor on the job-count-bound queries.
+EST_JOBS: dict[str, int] = {}
+
+
+def _est_fit_jobs(model) -> int | None:
+    ft = getattr(model, "fit_timings", None)
+    if not ft:
+        return None
+    return (
+        2
+        + (1 if "rebalance_sec" in ft else 0)
+        + int(ft.get("loop_jobs", 0))
+    )
 
 
 def record(name: str, fn, reps: int | None = None):
@@ -184,6 +202,7 @@ def main() -> None:
     # the fitted model is reused by B6 below (refitting it there added a
     # redundant untimed full fit to every run)
     t, mim_model = record("b3_mim_k10", lambda: InfoThSelector(n_to_select=10, criterion="mim").fit(df))
+    EST_JOBS["b3_mim_k10"] = _est_fit_jobs(mim_model)
 
     # B4 — mRMR fit at k ∈ {5, 10, 25}.  *_per_iter keeps its historical
     # wall/k meaning for round-over-round comparability; *_loop_iter is
@@ -194,6 +213,7 @@ def main() -> None:
             f"b4_mrmr_k{k}",
             lambda k=k: InfoThSelector(n_to_select=k, criterion="mrmr").fit(df),
         )
+        EST_JOBS[f"b4_mrmr_k{k}"] = _est_fit_jobs(m4)
         results[f"b4_mrmr_k{k}_per_iter"] = round(t / k, 3)
         results[f"b4_mrmr_k{k}_loop_iter"] = round(
             m4.fit_timings["loop_sec"] / max(m4.fit_timings["iterations"], 1), 3
@@ -201,7 +221,8 @@ def main() -> None:
 
     # B5 — JMI / CMIM fit, k=10
     for crit in ("jmi", "cmim"):
-        t, _ = record(f"b5_{crit}_k10", lambda c=crit: InfoThSelector(n_to_select=10, criterion=c).fit(df))
+        t, m5 = record(f"b5_{crit}_k10", lambda c=crit: InfoThSelector(n_to_select=10, criterion=c).fit(df))
+        EST_JOBS[f"b5_{crit}_k10"] = _est_fit_jobs(m5)
 
     # B6 — projection transform throughput (model from B3)
     model = mim_model
@@ -415,6 +436,7 @@ def main() -> None:
 
     t, _ = record("b16_wide_mrmr_k10", b16)
     last = wide_models[-1]
+    EST_JOBS["b16_wide_mrmr_k10"] = _est_fit_jobs(last)
     results["b16_wide_pack_per_iter"] = round(last.fit_timings["pack_sec"], 3)
     results["b16_wide_loop_per_iter"] = round(
         last.fit_timings["loop_sec"] / max(last.fit_timings["iterations"], 1), 3
@@ -429,6 +451,7 @@ def main() -> None:
         return m
 
     t, _ = record("b16s_wide_scan_mrmr_k10", b16s)
+    EST_JOBS["b16s_wide_scan_mrmr_k10"] = _est_fit_jobs(wide_models[-1])
     results["b16s_wide_scan_pack_per_iter"] = round(
         wide_models[-1].fit_timings["pack_sec"], 3
     )
@@ -446,6 +469,7 @@ def main() -> None:
         return m
 
     t, _ = record("b16c_wide_direct_mrmr_k10", b16c)
+    EST_JOBS["b16c_wide_direct_mrmr_k10"] = _est_fit_jobs(wide_models[-1])
     results["b16c_wide_direct_pack_per_iter"] = round(
         wide_models[-1].fit_timings["pack_sec"], 3
     )
@@ -516,6 +540,15 @@ def main() -> None:
         "loop_iter_regression_abs": loop_regressed_abs,
         "loop_iter_floor": LOOP_ITER_FLOOR_SF01 if SF == 0.1 else None,
         "loop_iter_excess_limit": LOOP_ITER_EXCESS_LIMIT if SF == 0.1 else None,
+        # r13 (VERDICT r12 ask #5): per-query scheduler-floor split for
+        # the job-count-bound selector family — est_jobs from the fitted
+        # models' own fit_timings, excess = min_sec − est_jobs × floor.
+        "est_jobs": {k: v for k, v in EST_JOBS.items() if v is not None},
+        "queries_excess": {
+            k: round(results[k] - v * job_floor, 3)
+            for k, v in EST_JOBS.items()
+            if v is not None and k in results
+        },
     }
     full_line = json.dumps(full_payload)
     print(full_line)
@@ -547,6 +580,7 @@ def main() -> None:
         "b4_mrmr_k10_loop_iter": loop_iter,
         "job_floor_sec": job_floor,
         "loop_iter_regression": loop_regressed,
+        "loop_iter_regression_abs": loop_regressed_abs,
     }
     line = json.dumps(headline)
     if len(line) > 1900:  # hard guard: never outgrow the tail capture again
