@@ -1039,8 +1039,74 @@ def _emb_spread(spark: SparkSession, sf_dir: str) -> None:
     ).createOrReplaceTempView("embeddings")
 
 
+# Corpus row count above which the PQ codes stage routes through the
+# inline-constant expressions (with_pq_codes) instead of the HOF
+# codebook-CTE SQL (r13, VERDICT r12 ask #7).  Regime A/B, committed in
+# OPTIMIZATION_r13.md: at 1M vectors the CTE's per-row interpreted
+# M×K HOF dots cost 36.5 s vs 6.9 s inline (5.3×, outputs exactly equal
+# by count + integer checksum); at 2k vectors the inline route's ~1-2 s
+# constant plan/codegen cost makes it a wash-to-slightly-slower
+# (2.38 vs 2.58 s).  Crossover is ~30-60k rows; 100k keeps margin.  The
+# two routes are bit-equal (with_pq_codes is unit-pinned to the codes
+# CTE), so this is purely a cost decision.
+PQ_CODES_INLINE_MIN_ROWS = 100_000
+
+# footer row counts per embeddings path (immutable fixture inputs; same
+# staleness contract as session.spread_starved_scan's cache_key)
+_EMB_ROWS_CACHE: dict[str, int] = {}
+
+
+def _embeddings_row_count(sf_dir: str) -> int:
+    """Total row count of ``{sf_dir}/embeddings.parquet`` from parquet
+    FOOTERS only — a driver-side O(files) metadata read, no data scan."""
+    path = f"{sf_dir}/embeddings.parquet"
+    n = _EMB_ROWS_CACHE.get(path)
+    if n is None:
+        import pyarrow.parquet as pq_mod
+
+        from flink_infotheoretic_feature_selection_spark.operators.packed import (
+            list_parquet_files,
+        )
+
+        n = sum(
+            pq_mod.ParquetFile(f).metadata.num_rows
+            for f in list_parquet_files(path)
+        )
+        _EMB_ROWS_CACHE[path] = n
+    return n
+
+
+def _pq_codes_inline_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``(vec_id, m, code)`` via the inline-constant expression route —
+    bit-equal to the codes CTE (unit-pinned; the argmin keys are the
+    same ``_pq_argmin_key`` packing with the same left-assoc dot
+    accumulation), unpivoted to the gate's long layout."""
+    from pyspark.sql import functions as F
+
+    from flink_infotheoretic_feature_selection_spark.session import spread_starved_scan
+
+    fx = _load_pq_fixture()
+    m_total = fx["m"]
+    emb = spread_starved_scan(
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet"),
+        cache_key=f"{sf_dir}/embeddings.parquet",
+    )
+    wide = with_pq_codes(emb)
+    stack = ", ".join(f"{m}, c{m}" for m in range(m_total))
+    return wide.selectExpr(
+        "vec_id", f"stack({m_total}, {stack}) as (m, code)"
+    ).select("vec_id", "m", F.col("code").cast("int").alias("code"))
+
+
 def pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PQ-encode the corpus against the frozen codebooks (gate form)."""
+    """PQ-encode the corpus against the frozen codebooks (gate form).
+
+    Auto-routes the codes computation on corpus size (footer row count):
+    the HOF codebook-CTE SQL below ``PQ_CODES_INLINE_MIN_ROWS``, the
+    inline-constant expression route above it — identical (vec_id, m,
+    code) rows either way (pinned by test)."""
+    if _embeddings_row_count(sf_dir) >= PQ_CODES_INLINE_MIN_ROWS:
+        return _pq_codes_inline_df(spark, sf_dir)
     _emb_spread(spark, sf_dir)
     return spark.sql(_pq_encode_sql(duck=False))
 
@@ -1049,7 +1115,9 @@ def pq_encode_oracle() -> str:
     return _pq_encode_sql(duck=True)
 
 
-def _ann_ivf_pq_sql(duck: bool, k: int, query_limit: int) -> str:
+def _ann_ivf_pq_sql(
+    duck: bool, k: int, query_limit: int, codes_view: str | None = None
+) -> str:
     """IVF-PQ approximate top-k, one statement, both dialects.
 
     Plan shape at 100 TB: candidates come from the sign-grid multiprobe
@@ -1074,14 +1142,24 @@ def _ann_ivf_pq_sql(duck: bool, k: int, query_limit: int) -> str:
     sdot_e = _pq_sub_dot(duck, "e.emb", sub_dim)
     sdot_q = _pq_sub_dot(duck, "qq.emb", sub_dim)
     key = _pq_argmin_key(f"cb.cn2 - 2.0 * ({sdot_e}) / e.nrm", k_codes)
+    # r13 auto-route: at large corpus sizes the caller precomputes the
+    # codes via the bit-equal inline expression route and passes them in
+    # as a view — the CTE body is then a plain reference (Spark only;
+    # the DuckDB oracle always takes the CTE, duck callers never pass a
+    # view).
+    codes_body = (
+        f"SELECT vec_id, m, code FROM {codes_view}"
+        if codes_view
+        else f"""SELECT vec_id, m, CAST(min(key) % {k_codes} AS INT) AS code FROM (
+        SELECT e.vec_id, cb.m, {key} AS key
+        FROM e CROSS JOIN cb) s GROUP BY vec_id, m"""
+    )
     return f"""
     WITH cb AS ({cb}),
     e AS (SELECT vec_id, {emb_cast} AS emb, {nrm} AS nrm, {bucket} AS bucket
           FROM embeddings),
     codes AS (
-      SELECT vec_id, m, CAST(min(key) % {k_codes} AS INT) AS code FROM (
-        SELECT e.vec_id, cb.m, {key} AS key
-        FROM e CROSS JOIN cb) s GROUP BY vec_id, m),
+      {codes_body}),
     lut AS (
       SELECT qq.vec_id AS query_id, cb.m, cb.code,
              CAST(round(round(({sdot_q}) / qq.nrm, 5) * {PQ_SCORE_SCALE}, 0) AS BIGINT)
@@ -1114,9 +1192,21 @@ def _ann_ivf_pq_sql(duck: bool, k: int, query_limit: int) -> str:
 def ann_ivf_pq_topk(
     spark: SparkSession, sf_dir: str, k: int = 3, query_limit: int = 200
 ) -> DataFrame:
-    """IVF-PQ approximate top-k against the frozen codebooks."""
+    """IVF-PQ approximate top-k against the frozen codebooks.
+
+    Same codes auto-route as :func:`pq_encode`: above
+    ``PQ_CODES_INLINE_MIN_ROWS`` the codes CTE is fed by the bit-equal
+    inline expression route (5.3× at 1M vectors — the interpreted M×K
+    HOF dots per row dominate the query there), below it the SQL CTE
+    stays (the DuckDB-parity form, cheaper at small scale)."""
     _emb_spread(spark, sf_dir)
-    return spark.sql(_ann_ivf_pq_sql(duck=False, k=k, query_limit=query_limit))
+    codes_view = None
+    if _embeddings_row_count(sf_dir) >= PQ_CODES_INLINE_MIN_ROWS:
+        codes_view = "__pq_codes_inline"
+        _pq_codes_inline_df(spark, sf_dir).createOrReplaceTempView(codes_view)
+    return spark.sql(
+        _ann_ivf_pq_sql(duck=False, k=k, query_limit=query_limit, codes_view=codes_view)
+    )
 
 
 def ann_ivf_pq_vectorized(

@@ -494,3 +494,18 @@ def test_semantic_decontaminate_vectorized_survives_bare_count(spark, sf_dir):
     n = semantic_decontaminate_vectorized(spark, sf_dir).count()
     assert n == semantic_decontaminate(spark, sf_dir).count()
     assert n > 0
+
+
+def test_pq_codes_inline_route_bit_equal(spark, sf_dir, monkeypatch):
+    """r13 auto-route: forcing the inline-constant codes route must give
+    EXACTLY the SQL CTE route's rows for both pq_encode and ann_ivf_pq
+    (the routing threshold is a pure cost decision)."""
+    import flink_infotheoretic_feature_selection_spark.operators.similarity as sim
+
+    base_pq = sorted(map(tuple, sim.pq_encode(spark, sf_dir).collect()))
+    base_ann = sorted(map(tuple, sim.ann_ivf_pq_topk(spark, sf_dir).collect()))
+    monkeypatch.setattr(sim, "PQ_CODES_INLINE_MIN_ROWS", 0)
+    got_pq = sorted(map(tuple, sim.pq_encode(spark, sf_dir).collect()))
+    got_ann = sorted(map(tuple, sim.ann_ivf_pq_topk(spark, sf_dir).collect()))
+    assert got_pq == base_pq
+    assert got_ann == base_ann
