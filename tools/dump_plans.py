@@ -1,4 +1,4 @@
-"""Dump .explain("formatted") for declared queries to plans/r12/.
+"""Dump .explain("formatted") for declared queries to plans/<round>/ ($SPARK_GRAFT_PLANS_DIR, default r13).
 
 Usage:  python tools/dump_plans.py <suffix> [query ...]
 
@@ -22,7 +22,11 @@ from pyspark.sql import SparkSession  # noqa: E402
 
 import __spark_entry__ as entry_mod  # noqa: E402
 
-OUT_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r12")
+OUT_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "plans",
+    os.environ.get("SPARK_GRAFT_PLANS_DIR", "r13"),
+)
 
 
 def main() -> None:
