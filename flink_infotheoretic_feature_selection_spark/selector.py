@@ -529,12 +529,24 @@ class InfoThSelector:
                 # choices never affect results: histogram merges are
                 # partition-agnostic integer sums (pinned by
                 # tests/test_packed.py).
+                # r13: the over-split band tightened 4×ideal → 2×ideal.
+                # The loop's per-pass merge volume grows linearly with
+                # partition count (each partition emits one partial per
+                # (cond, feature) table), so an over-split layout pushes
+                # the pass into the shuffled combineByKey regime where
+                # the one-stage driver merge would do.  Measured sf0.1,
+                # 32 blocks vs the coalesced ideal 10: pass m=1
+                # 0.68 → 0.33 s, m=8 1.42 → 0.82 s, against a one-time
+                # shuffle-free coalesce of 0.64 s.  The coalesce target
+                # stays IDEAL (≈LOOP_ROWS_PER_PARTITION-row blocks, the
+                # loop's memory model) — never the core count, which is
+                # what OOM-killed the r10 decade run.
                 cells_per_part = (n * len(feats + [label])) / max(cur, 1)
                 if cur < -(-target // 2) and cells_per_part >= self.REBALANCE_MIN_CELLS_PER_PART:
                     t0 = time.perf_counter()
                     packed = packed.rebalance(target, self.LOOP_ROWS_PER_PARTITION)
                     timings["rebalance_sec"] = round(time.perf_counter() - t0, 3)
-                elif cur > 4 * ideal:
+                elif cur > 2 * ideal:
                     t0 = time.perf_counter()
                     packed = packed.rebalance(ideal, self.LOOP_ROWS_PER_PARTITION)
                     timings["rebalance_sec"] = round(time.perf_counter() - t0, 3)
