@@ -491,7 +491,12 @@ class InfoThSelector:
             else:
                 dims, n = packed.dims_and_count()
             timings["stats_sec"] = round(time.perf_counter() - t0, 3)
-            if n >= 2 * self.LOOP_ROWS_PER_PARTITION:
+            # The re-layout exists for the greedy LOOP (dims/relevances
+            # already ran above it); MIM and k=1 fits never run a loop
+            # pass, so re-laying out for them is pure waste (r13 — the
+            # MIM bench paid a 0.55 s coalesce for zero loop jobs).
+            needs_loop = self.criterion.lower() != "mim" and self.n_to_select >= 2
+            if needs_loop and n >= 2 * self.LOOP_ROWS_PER_PARTITION:
                 sc = packed.rdd.context
                 # ideal = the layout the loop's memory model is built on
                 # (~LOOP_ROWS_PER_PARTITION rows per block); the
