@@ -442,16 +442,29 @@ def test_rebalance_band_compares_oversplit_to_row_ideal(spark, tmp_path):
     from flink_infotheoretic_feature_selection_spark.operators.packed import PackedMatrix
 
     packed = PackedMatrix.pack_parquet(
-        spark, str(p), ["f0", "label"], rows_per_partition=10
+        spark, str(p), ["f0", "f1", "label"], rows_per_partition=10
     )
     try:
         assert packed.n_partitions == 400
-        sel = TinySelector(n_to_select=1, feature_cols=["f0"], emit_f32=False)
-        m2 = sel._fit_from_packed(packed, ["f0"], "label", {})
+        # r13: the re-layout exists for the LOOP — use a k=2 fit (one
+        # loop pass) to exercise the band; k=1/MIM fits skip it (below)
+        sel = TinySelector(n_to_select=2, feature_cols=["f0", "f1"], emit_f32=False)
+        m2 = sel._fit_from_packed(packed, ["f0", "f1"], "label", {})
         assert m2.fit_timings["loop_partitions"] == 40
         assert "rebalance_sec" in m2.fit_timings
     finally:
         pass  # _fit_from_packed unpersists
+
+    # r13: a fit that never runs a loop pass (k=1 / MIM) must NOT pay
+    # the re-layout at all
+    packed1 = PackedMatrix.pack_parquet(
+        spark, str(p), ["f0", "label"], rows_per_partition=10
+    )
+    m3 = TinySelector(
+        n_to_select=1, feature_cols=["f0"], emit_f32=False
+    )._fit_from_packed(packed1, ["f0"], "label", {})
+    assert "rebalance_sec" not in m3.fit_timings
+    assert m3.fit_timings["loop_partitions"] == 400
 
 
 def test_list_parquet_files_skips_hidden_paths(tmp_path):
